@@ -1,0 +1,169 @@
+package graft.parse
+
+import java.util.regex.{Matcher, Pattern}
+import graft.model.Event
+import scala.collection.mutable
+
+/** Grok compiler: Logstash grok dialect → pre-compiled `java.util.regex.Pattern`
+  * plus a capture plan writing named groups into nested event paths.
+  *
+  * Reference semantics reproduced (SURVEY.md §2.3 grok row):
+  *  - `%{NAME}` / `%{NAME:field}` pattern-library references
+  *    (ref: config/processors/syslog_audit_linux_rsyslog.conf:48-54)
+  *  - Logstash named-group dialect `(?<[a][b]>...)` targeting nested paths
+  *    (ref: config/enrichments/10_user_agent_enrichment.conf:11,
+  *     config/processors/syslog_security_palo.alto.fw.conf:15)
+  *  - pattern LIST, first match wins
+  *  - `tag_on_failure` (ref: syslog_security_palo.alto.fw.conf:14)
+  *  - `timeout_millis => 500` runaway-regex guard (ref: same file:16) —
+  *    implemented as a deadline-checking CharSequence (deterministic inputs
+  *    never hit it; it bounds adversarial backtracking).
+  *
+  * Patterns are compiled ONCE per JVM (executor) via a registry; only pattern
+  * STRINGS cross the serialization boundary (SURVEY.md §2.3: broadcast the
+  * strings, compile in mapPartitions).
+  */
+final case class CompiledGrok(pattern: Pattern, groupToPath: Array[(String, Seq[String])]) {
+  /** Apply to `input`; on match write captures into `ev`, return true. */
+  def extract(ev: Event, input: String, timeoutMillis: Long = 500L): Boolean = {
+    val cs: CharSequence =
+      if (timeoutMillis <= 0) input else new Grok.DeadlineCharSequence(input, timeoutMillis)
+    val m = pattern.matcher(cs)
+    try {
+      if (!m.find()) return false
+    } catch { case _: Grok.GrokTimeoutException => return false }
+    var i = 0
+    while (i < groupToPath.length) {
+      val (g, path) = groupToPath(i)
+      val v = m.group(g)
+      if (v != null) ev.setParts(path, v)
+      i += 1
+    }
+    true
+  }
+}
+
+object Grok {
+  final class GrokTimeoutException extends RuntimeException("grok timeout")
+
+  /** CharSequence that checks a wall deadline every 4096 reads — the Spark-side
+    * replacement for Logstash's `timeout_millis` watchdog thread. */
+  final class DeadlineCharSequence(s: String, timeoutMillis: Long) extends CharSequence {
+    private val deadline = System.nanoTime() + timeoutMillis * 1000000L
+    private var ticks = 0
+    override def length(): Int = s.length
+    override def charAt(i: Int): Char = {
+      ticks += 1
+      if ((ticks & 0xfff) == 0 && System.nanoTime() > deadline) throw new GrokTimeoutException
+      s.charAt(i)
+    }
+    override def subSequence(a: Int, b: Int): CharSequence = s.subSequence(a, b)
+    override def toString: String = s
+  }
+
+  /** Built-in pattern library — the subset of Logstash core patterns used by the
+    * ported processors (public grok pattern definitions). */
+  val Library: Map[String, String] = Map(
+    "WORD" -> "\\b\\w+\\b",
+    "NOTSPACE" -> "\\S+",
+    "SPACE" -> "\\s*",
+    "DATA" -> ".*?",
+    "GREEDYDATA" -> ".*",
+    "INT" -> "(?:[+-]?(?:[0-9]+))",
+    "NUMBER" -> "(?:[+-]?(?:[0-9]+(?:\\.[0-9]+)?))",
+    "BASE10NUM" -> "(?:[+-]?(?:[0-9]+(?:\\.[0-9]+)?))",
+    "POSINT" -> "\\b(?:[1-9][0-9]*)\\b",
+    "NONNEGINT" -> "\\b(?:[0-9]+)\\b",
+    "YEAR" -> "(?:\\d\\d){1,2}",
+    "MONTH" -> "\\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\\b",
+    "MONTHDAY" -> "(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "HOUR" -> "(?:2[0123]|[01]?[0-9])",
+    "MINUTE" -> "(?:[0-5][0-9])",
+    "SECOND" -> "(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME" -> "(?!<[0-9])(?:2[0123]|[01]?[0-9]):(?:[0-5][0-9])(?::(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?))(?![0-9])",
+    "SYSLOGTIMESTAMP" -> "%{MONTH} +%{MONTHDAY} %{TIME}",
+    "IPV4" -> "(?<![0-9])(?:(?:[0-1]?[0-9]{1,2}|2[0-4][0-9]|25[0-5])[.](?:[0-1]?[0-9]{1,2}|2[0-4][0-9]|25[0-5])[.](?:[0-1]?[0-9]{1,2}|2[0-4][0-9]|25[0-5])[.](?:[0-1]?[0-9]{1,2}|2[0-4][0-9]|25[0-5]))(?![0-9])",
+    "IP" -> "(?<![0-9])(?:(?:[0-1]?[0-9]{1,2}|2[0-4][0-9]|25[0-5])[.](?:[0-1]?[0-9]{1,2}|2[0-4][0-9]|25[0-5])[.](?:[0-1]?[0-9]{1,2}|2[0-4][0-9]|25[0-5])[.](?:[0-1]?[0-9]{1,2}|2[0-4][0-9]|25[0-5]))(?![0-9])",
+    "HOSTNAME" -> "\\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*(\\.?|\\b)",
+    "USERNAME" -> "[a-zA-Z0-9._-]+",
+    "USER" -> "[a-zA-Z0-9._-]+",
+    "LOGLEVEL" -> "(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo(?:rmation)?|INFO(?:RMATION)?|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)"
+  )
+
+  private val refRe = Pattern.compile("%\\{(\\w+)(?::([^}]+))?\\}")
+  // Logstash dialect named group: (?<[a][b]>  or  (?<name>  — rewrite to safe java names
+  private val namedRe = Pattern.compile("\\(\\?<((?:\\[[^\\]]+\\])+|[A-Za-z_][\\w@.\\[\\]_-]*)>")
+
+  private val compileCache = new java.util.concurrent.ConcurrentHashMap[String, CompiledGrok]()
+
+  /** Compile a Logstash grok pattern string. Cached per JVM. */
+  def compile(grokPattern: String): CompiledGrok = {
+    val c = compileCache.get(grokPattern)
+    if (c != null) return c
+    val built = doCompile(grokPattern)
+    compileCache.putIfAbsent(grokPattern, built)
+    built
+  }
+
+  private def doCompile(grokPattern: String): CompiledGrok = {
+    val groups = mutable.ArrayBuffer.empty[(String, Seq[String])]
+    var gid = 0
+    def freshGroup(target: String): String = {
+      val g = s"g$gid"; gid += 1
+      groups += ((g, Event.parsePath(target)))
+      g
+    }
+    // 1) expand %{NAME} / %{NAME:field} references (recursively, library may nest)
+    def expand(p: String, depth: Int): String = {
+      if (depth > 10) return p
+      val m = refRe.matcher(p)
+      val sb = new java.lang.StringBuilder
+      var last = 0
+      while (m.find()) {
+        sb.append(p, last, m.start())
+        val name = m.group(1); val field = m.group(2)
+        val body = Library.getOrElse(name, throw new IllegalArgumentException(s"unknown grok pattern %{$name}"))
+        val expanded = expand(body, depth + 1)
+        if (field == null) sb.append("(?:").append(expanded).append(")")
+        else sb.append("(?<").append(freshGroup(field)).append(">").append(expanded).append(")")
+        last = m.end()
+      }
+      sb.append(p, last, p.length)
+      sb.toString
+    }
+    val afterRefs = expand(grokPattern, 0)
+    // 2) rewrite dialect named groups (?<[a][b]>…) / (?<name>…) to (?<gN>…)
+    val m2 = namedRe.matcher(afterRefs)
+    val sb2 = new java.lang.StringBuilder
+    var last2 = 0
+    while (m2.find()) {
+      sb2.append(afterRefs, last2, m2.start())
+      val raw = m2.group(1)
+      if (raw.startsWith("g") && raw.matches("g\\d+")) {
+        sb2.append("(?<").append(raw).append(">") // already ours (from step 1)
+      } else {
+        sb2.append("(?<").append(freshGroup(raw)).append(">")
+      }
+      last2 = m2.end()
+    }
+    sb2.append(afterRefs, last2, afterRefs.length)
+    CompiledGrok(Pattern.compile(sb2.toString), groups.toArray)
+  }
+
+  /** First-match-wins over a pattern list; failure appends tag(s).
+    * (ref: list-of-patterns at config/processors/syslog_audit_linux_rsyslog.conf:48-54) */
+  def apply(ev: Event, sourceField: String, patterns: Seq[String],
+            tagOnFailure: Seq[String] = Seq("_grokparsefailure"),
+            timeoutMillis: Long = 500L): Boolean = {
+    val in = ev.getString(sourceField)
+    if (in.isEmpty) { tagOnFailure.foreach(ev.addTag); return false }
+    val s = in.get
+    var i = 0
+    while (i < patterns.length) {
+      if (compile(patterns(i)).extract(ev, s, timeoutMillis)) return true
+      i += 1
+    }
+    tagOnFailure.foreach(ev.addTag)
+    false
+  }
+}

@@ -1,0 +1,61 @@
+package graft.parse
+
+import graft.model.Event
+import scala.collection.mutable
+
+/** Key-value tokenizer — semantics of the Logstash `kv` filter as used by the
+  * ported processors (SURVEY.md §2.3 kv row):
+  *  - `field_split` single-char pair separator, `value_split` single-char k/v
+  *    separator (ref: config/processors/syslog_security_palo.alto.fw.conf:116-122
+  *    field_split ";" value_split "=")
+  *  - `target` prefix path (captures land under it)
+  *  - `trim_key` set of chars stripped from both ends of keys
+  *    (ref: same file `trim_key => "$ "`)
+  *  - duplicate keys promote scalar→array (scalar⇄array duality); with
+  *    `allow_duplicate_values => false` equal values are deduped
+  *    (ref: config/enrichments/93_mitre.conf:31-37)
+  */
+object Kv {
+  def apply(ev: Event, sourceField: String, fieldSplit: Char, valueSplit: Char,
+            target: String = "", trimKey: String = "", trimValue: String = "",
+            allowDuplicateValues: Boolean = true): Boolean = {
+    val in = ev.getString(sourceField)
+    if (in.isEmpty) return false
+    val s = in.get
+    val targetParts = if (target.isEmpty) Vector.empty[String] else Event.parsePath(target)
+    var start = 0
+    val n = s.length
+    while (start <= n) {
+      var end = s.indexOf(fieldSplit, start)
+      if (end < 0) end = n
+      if (end > start) {
+        val vs = s.indexOf(valueSplit, start)
+        if (vs >= 0 && vs < end) {
+          val key = trim(s.substring(start, vs), trimKey)
+          val value = trim(s.substring(vs + 1, end), trimValue)
+          if (key.nonEmpty) {
+            val path = targetParts :+ key
+            ev.getParts(path) match {
+              case None => ev.setParts(path, value)
+              case Some(a: mutable.ArrayBuffer[Any @unchecked]) =>
+                if (allowDuplicateValues || !a.contains(value)) a += value
+              case Some(existing) =>
+                if (allowDuplicateValues || existing != value)
+                  ev.setParts(path, mutable.ArrayBuffer[Any](existing, value))
+            }
+          }
+        }
+      }
+      start = end + 1
+    }
+    true
+  }
+
+  private def trim(s: String, chars: String): String = {
+    if (chars.isEmpty) return s.trim
+    var a = 0; var b = s.length
+    while (a < b && (chars.indexOf(s.charAt(a)) >= 0 || s.charAt(a) == ' ')) a += 1
+    while (b > a && (chars.indexOf(s.charAt(b - 1)) >= 0 || s.charAt(b - 1) == ' ')) b -= 1
+    s.substring(a, b)
+  }
+}
