@@ -1,0 +1,176 @@
+package graft.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic synthesis of the transcript input table
+  * `(conv_id string, turn_idx int, role string, text string, tool string,
+  * ts timestamp)` — the BASELINE.json input_hint shape — as a PURE SQL
+  * transformation over the driver-provided `events` parquet table.
+  *
+  * The SQL is written in the portable subset that parses identically in
+  * Spark SQL and DuckDB, so the exact same CTE serves as (a) the engine's
+  * test/bench input and (b) the prefix of every DuckDB oracle query. Each
+  * turn's `text` is a log line in one of the reference's technologies:
+  *
+  *  - palo.alto.fw   — syslog header + PAN-OS CSV (modeled on the TRAFFIC
+  *                     dissect rule, ref: config/processors/
+  *                     syslog_security_palo.alto.fw.conf:59-70 "Rule 3")
+  *  - aws.vpcflow    — space-delimited VPC flow records incl. NODATA drops
+  *                     (ref: config/processors/api_network_aws.vpcflow.conf:14-22)
+  *  - linux.rsyslog  — sshd auth lines, grok-parsed
+  *                     (ref: config/processors/syslog_audit_linux_rsyslog.conf)
+  *  - cef.fw         — CEF header + kv extensions (modeled on "Rule 1",
+  *                     ref: syslog_security_palo.alto.fw.conf:99-122)
+  *  - azure.signin   — Event Hub JSON with a records[] envelope (1 or 2
+  *                     records → cardinality-increasing split path, ref:
+  *                     config/processors/event_hub_audit_azure.event_hub_signin.conf:16-29)
+  *  - unknown        — unparseable junk (failure-tag path)
+  *
+  * `conv_id` is deliberately skewed: every 7th event lands on `conv_hot`
+  * (SURVEY.md §7.4 #5 — skew is a north-rule ask).
+  *
+  * Determinism: everything derives from (event_id, user_id, ts); no
+  * wall-clock, no RNG.
+  */
+object Transcripts {
+
+  /** Month-number → syslog month name, as a SQL CASE (portable). */
+  private val monCase: String =
+    "CASE CAST(EXTRACT(MONTH FROM ts) AS INT) WHEN 1 THEN 'Jan' WHEN 2 THEN 'Feb' WHEN 3 THEN 'Mar' WHEN 4 THEN 'Apr' WHEN 5 THEN 'May' WHEN 6 THEN 'Jun' WHEN 7 THEN 'Jul' WHEN 8 THEN 'Aug' WHEN 9 THEN 'Sep' WHEN 10 THEN 'Oct' WHEN 11 THEN 'Nov' ELSE 'Dec' END"
+
+  /** The shared CTE body. Use as: `WITH <cte> SELECT ... FROM turns`. */
+  val cte: String = s"""
+ge_base AS (
+  SELECT event_id, ts, user_id,
+    (event_id % 10) AS tsel,
+    (event_id % 4) AS rsel,
+    1024 + (event_id % 40000) AS spt,
+    CASE (event_id % 4) WHEN 0 THEN 443 WHEN 1 THEN 80 WHEN 2 THEN 53 ELSE 22 END AS dpt,
+    CASE (event_id % 3) WHEN 0 THEN 6 WHEN 1 THEN 17 ELSE 1 END AS iana,
+    CASE WHEN (event_id % 5) < 3 THEN 'allow' ELSE 'deny' END AS act,
+    (CASE WHEN (event_id % 3) = 0 THEN '8' ELSE '10' END)
+      || '.' || CAST(user_id % 200 AS STRING)
+      || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    (CASE WHEN (event_id % 7) = 0 THEN '192.168' ELSE '172.16' END)
+      || '.' || CAST(event_id % 100 AS STRING)
+      || '.' || CAST(1 + (user_id % 254) AS STRING) AS dip,
+    LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0') || '/'
+      || LPAD(CAST(EXTRACT(MONTH FROM ts) AS STRING), 2, '0') || '/'
+      || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS d1,
+    LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS t1,
+    $monCase AS mon,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dday,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    32 + (event_id % 8) AS pri2,
+    1600000000 + (event_id % 10000000) AS ep1,
+    (event_id % 100000) AS nbytes,
+    1 + (event_id % 1000) AS npkts,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id AS STRING) AS uid_s
+  FROM events
+),
+ge_txt AS (
+  SELECT *,
+    CASE
+      WHEN tsel <= 2 THEN
+        '<' || CAST(pri AS STRING) || '>' || mon || ' ' || dday || ' ' || t1
+        || ' fw' || CAST(user_id % 10 AS STRING)
+        || ' 1,' || d1 || ' ' || t1
+        || ',00' || eid_s
+        || ',TRAFFIC,end,1,' || d1 || ' ' || t1
+        || ',' || sip || ',' || dip || ',0.0.0.0,0.0.0.0,rule-' || act
+        || ',,,'
+        || CASE (event_id % 3) WHEN 0 THEN 'tcp' WHEN 1 THEN 'udp' ELSE 'icmp' END
+        || ',' || act
+        || ',' || CAST(spt AS STRING) || ',' || CAST(dpt AS STRING)
+        || ',' || CAST(nbytes AS STRING) || ',' || CAST(npkts AS STRING)
+        || ',' || CAST(iana AS STRING)
+      WHEN tsel <= 4 THEN
+        CASE WHEN (event_id % 13) = 0 THEN 'NODATA' ELSE
+          '2 ' || LPAD(uid_s, 12, '0') || ' eni-' || eid_s
+          || ' ' || sip || ' ' || dip
+          || ' ' || CAST(spt AS STRING) || ' ' || CAST(dpt AS STRING)
+          || ' ' || CAST(iana AS STRING)
+          || ' ' || CAST(npkts AS STRING) || ' ' || CAST(nbytes AS STRING)
+          || ' ' || CAST(ep1 AS STRING) || ' ' || CAST(ep1 + 60 AS STRING)
+          || ' ' || CASE WHEN act = 'allow' THEN 'ACCEPT' ELSE 'REJECT' END
+          || ' OK'
+        END
+      WHEN tsel <= 6 THEN
+        '<' || CAST(pri2 AS STRING) || '>' || mon || ' ' || dday || ' ' || t1
+        || ' host' || CAST(user_id % 20 AS STRING)
+        || ' sshd[' || CAST(1000 + (event_id % 9000) AS STRING) || ']: '
+        || CASE WHEN (event_id % 3) = 0
+             THEN 'Accepted password for ' || uname
+             ELSE 'Failed password for invalid user ' || uname END
+        || ' from ' || sip || ' port ' || CAST(spt AS STRING) || ' ssh2'
+      WHEN tsel = 7 THEN
+        'CEF:0|PaloAlto|Fw|9.1|' || CAST(100 + (event_id % 20) AS STRING)
+        || '|rule ' || CAST(event_id % 20 AS STRING)
+        || '|' || CAST(event_id % 10 AS STRING)
+        || '|src=' || CASE WHEN (event_id % 17) = 0 THEN 'badhost.example' ELSE sip END
+        || ' dst=' || dip
+        || ' spt=' || CAST(spt AS STRING) || ' dpt=' || CAST(dpt AS STRING)
+        || ' act=' || act
+        || ' smac=AA-BB-CC-DD-' || LPAD(CAST(event_id % 100 AS STRING), 2, '0')
+        || '-' || LPAD(CAST(user_id % 100 AS STRING), 2, '0')
+        || ' request=https://www.app' || CAST(event_id % 30 AS STRING)
+        || '.co.uk/p/' || eid_s || '?q=' || CAST(event_id % 7 AS STRING)
+        || ' cs2=' || CASE WHEN (event_id % 5) = 4 THEN 'TA9999'
+                           ELSE 'TA000' || CAST(1 + (event_id % 3) AS STRING) END
+      WHEN tsel = 8 THEN
+        '{"records":[{"resultType":"' || CAST(event_id % 2 AS STRING)
+        || '","callerIpAddress":"' || sip
+        || '","identity":"User ' || uid_s
+        || '","properties":{"userPrincipalName":"' || uname
+        || '@example.com","appDisplayName":"App' || CAST(event_id % 5 AS STRING)
+        || '","conditionalAccessStatus":"'
+        || CASE WHEN (event_id % 4) = 0 THEN 'failure' ELSE 'success' END
+        || '"}}'
+        || CASE WHEN (event_id % 2) = 0 THEN
+             ',{"resultType":"50126","callerIpAddress":"' || dip
+             || '","identity":"User ' || uid_s
+             || 'b","properties":{"userPrincipalName":"' || uname
+             || 'b@example.com","appDisplayName":"App' || CAST(event_id % 5 AS STRING)
+             || '","conditionalAccessStatus":"failure"}}'
+           ELSE '' END
+        || ']}'
+      ELSE 'garbage ' || MD5(eid_s)
+    END AS text,
+    CASE WHEN tsel <= 2 THEN 'palo.alto.fw'
+         WHEN tsel <= 4 THEN 'aws.vpcflow'
+         WHEN tsel <= 6 THEN 'linux.rsyslog'
+         WHEN tsel = 7 THEN 'cef.fw'
+         WHEN tsel = 8 THEN 'azure.signin'
+         ELSE 'unknown' END AS tool,
+    CASE (event_id % 4) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+         WHEN 2 THEN 'tool' ELSE 'system' END AS role,
+    CASE WHEN (event_id % 7) = 0 THEN 'conv_hot'
+         ELSE 'conv_' || CAST(((user_id * 73) + (event_id % 37)) % 499 AS STRING)
+    END AS conv_id
+  FROM ge_base
+),
+turns AS (
+  SELECT conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY event_id) AS INT) AS turn_idx,
+         role, text, tool, ts, event_id
+  FROM ge_txt
+)"""
+
+  /** Spark-side materialization: registers `events` from `sfDir` and returns
+    * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
+    * `event_id` rides along for deterministic re-derivation in oracles; the
+    * engine itself only consumes the 6 input_hint columns. */
+  def df(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $cte SELECT * FROM turns")
+  }
+
+  /** The 6-column input exactly as input_hint specifies. */
+  def input(spark: SparkSession, sfDir: String): DataFrame =
+    df(spark, sfDir).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+}
