@@ -1,0 +1,256 @@
+package graft.enrich
+
+import graft.model.Event
+import graft.parse.{Dates, Kv, Mutate, Net, SyslogPri}
+import graft.rules.TechnologyConfig
+import scala.collection.mutable
+
+/** The shared, ORDERED enrichment chain — mirrors the lexical-order
+  * concatenation of config/enrichments/ (00→97, SURVEY.md §3.1). Each step is
+  * a pure function `(Event, Dicts, ctx) => Unit`, gated exactly like the
+  * reference: a per-technology disable set (settings.json ignore_enrichments
+  * → input-stamped tags, ref: build_scripts/README.md:177-199) and/or
+  * `disable_<name>_enrichment` tags consumed-and-stripped as they are
+  * checked (ref: every enrichment header, e.g. 91_geoip.conf:4-8).
+  */
+object Enrich {
+
+  final case class Ctx(tsMillis: Long, tsYear: Int)
+
+  /** One enrichment: (name, fn). Order is the contract. */
+  type Step = (String, (Event, Dicts, Ctx) => Unit)
+
+  /** Skip-gate shared by every step (ref: enrichment header idiom). */
+  private def gated(name: String)(f: (Event, Dicts, Ctx) => Unit): (Event, Dicts, Ctx) => Unit = {
+    (ev, d, ctx) =>
+      val tag = s"disable_${name}_enrichment"
+      if (ev.hasTag(tag) || ev.hasTag("disable_enrichments")) ev.removeTag(tag)
+      else f(ev, d, ctx)
+  }
+
+  // 01_log_original.conf:4-10 — copy message before anything mutates it
+  private def e01LogOriginal(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    ev.getString("message").foreach(m => ev.set("[log][original]", m))
+
+  // 02_ecs_data_type.conf — late type coercion: enumerated long fields
+  // coerce-or-remove (:110-120); ip-validity migration (:130-287)
+  private val longFields = Vector(
+    "[source][port]", "[destination][port]", "[network][bytes]",
+    "[network][packets]", "[event][severity]", "[process][pid]")
+  private def e02Coerce(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    longFields.foreach { f =>
+      ev.get(f) match {
+        case Some(s: String) =>
+          s.trim.toLongOption match {
+            case Some(l) => ev.set(f, l)
+            case None => ev.remove(f) // coerce-or-remove (:110-120)
+          }
+        case _ => ()
+      }
+    }
+    // invalid IPs migrate to the paired address/hostname field (:130-287)
+    Seq(("[source][ip]", "[source][address]"),
+      ("[destination][ip]", "[destination][address]")).foreach { case (ipF, addrF) =>
+      ev.getString(ipF).foreach { v =>
+        if (!Net.isValidIpv4(v)) { ev.remove(ipF); ev.set(addrF, v) }
+      }
+    }
+  }
+
+  // 03 — [event][created] default: deterministic injected clock (input ts),
+  // replacing the reference's Time.now (04_timestamp.conf:14-18 — documented
+  // deviation, SURVEY.md §7.4 #4)
+  private def e03EventCreated(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    if (!ev.has("[event][created_ms]")) ev.set("[event][created_ms]", ctx.tsMillis)
+
+  // 04_syslog_pri_ecs.conf:11-30
+  private def e04SyslogPriEcs(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    SyslogPri.toEcs(ev)
+
+  // 06_url.conf — url split + tld (:82-85)
+  private def e06Url(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    ev.getString("[url][original]").foreach { u =>
+      val noScheme = u.indexOf("://") match {
+        case -1 => u
+        case i => u.substring(i + 3)
+      }
+      val slash = noScheme.indexOf('/')
+      val hostPort = if (slash < 0) noScheme else noScheme.substring(0, slash)
+      val pathQ = if (slash < 0) "" else noScheme.substring(slash)
+      val host = hostPort.indexOf(':') match {
+        case -1 => hostPort
+        case i =>
+          hostPort.substring(i + 1).toLongOption.foreach(p => ev.set("[url][port]", p))
+          hostPort.substring(0, i)
+      }
+      ev.set("[url][domain]", host)
+      val q = pathQ.indexOf('?')
+      if (q >= 0) {
+        ev.set("[url][path]", pathQ.substring(0, q))
+        ev.set("[url][query]", pathQ.substring(q + 1))
+      } else if (pathQ.nonEmpty) ev.set("[url][path]", pathQ)
+      Net.splitDomain(host).foreach { case (tld, registered, _) =>
+        ev.set("[url][top_level_domain]", tld)
+        ev.set("[url][registered_domain]", registered)
+      }
+    }
+  }
+
+  // 07_lowercase.conf — enumerated-path lowercase (subset relevant to the
+  // ported processors; the reference enumerates ~700 paths)
+  private val lowercasePaths = Vector(
+    "[event][category]", "[event][type]", "[event][action]", "[event][outcome]",
+    "[network][transport]", "[network][protocol]", "[host][name]",
+    "[user][name]", "[user][email]", "[url][domain]", "[source][mac]")
+  private def e07Lowercase(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    lowercasePaths.foreach(p => Mutate.lowercase(ev, p))
+
+  // 08_add_hash.conf:11-16 — md5(message) → [event][hash]
+  private def e08Hash(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    ev.getString("message").foreach { m =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(m.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ev.set("[event][hash]", hex)
+    }
+
+  // 12_related_user.conf idiom — collect user identifiers, dedup
+  private def e12RelatedUser(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    Seq("[user][name]", "[user][email]").foreach { f =>
+      ev.getString(f).foreach(v => ev.mergeInto("[related][user]", v))
+    }
+    Mutate.dedupArray(ev, "[related][user]")
+  }
+
+  // related.ip (14/16/19/20 family) — collect source/destination ips, dedup
+  private def e14RelatedIp(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    Seq("[source][ip]", "[destination][ip]").foreach { f =>
+      ev.getString(f).foreach(v => ev.mergeInto("[related][ip]", v))
+    }
+    Mutate.dedupArray(ev, "[related][ip]")
+  }
+
+  // 15_standardize_mac.conf:13-18 — '-'→':' + lowercase
+  private def e15Mac(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    Seq("[source][mac]", "[destination][mac]").foreach { f =>
+      if (ev.has(f)) { Mutate.gsub(ev, f, "-", ":"); Mutate.lowercase(ev, f) }
+    }
+
+  // 17_dns.conf — reverse lookup via broadcast PTR table (the cache-first
+  // design already makes live DNS a lookup table in practice; :47-52)
+  private def e17Dns(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    ev.getString("[destination][ip]").foreach { ip =>
+      d.ptr.get(ip).foreach(h => ev.set("[destination][domain]", h))
+    }
+
+  // 90_lookup_iana_protocol.conf — transport from iana number (:10-19);
+  // protocol from port/transport or port-only dict (:21-47)
+  private def e90Iana(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    if (ev.has("[network][iana_number]") && !ev.has("[network][transport]"))
+      ev.getString("[network][iana_number]").flatMap(d.ianaTransport.get)
+        .foreach(t => ev.set("[network][transport]", t))
+    if (!ev.has("[network][protocol]") && ev.has("[destination][port]")) {
+      val port = ev.getString("[destination][port]").getOrElse("")
+      val proto = ev.getString("[network][transport]") match {
+        case Some(t) => d.ianaProtocols.get(s"$port/$t")
+        case None => d.ianaProtocolsPort.get(port)
+      }
+      proto.foreach(p => ev.set("[network][protocol]", p))
+    }
+  }
+
+  // 91_geoip.conf — cidr private tags (:10-15) + geo range lookup (:20-36);
+  // private ips get the "private database" (country 'internal')
+  private def e91CidrGeo(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    Seq(("[destination][ip]", "dip", "[destination][geo]"),
+      ("[source][ip]", "sip", "[source][geo]")).foreach { case (f, pfx, geoF) =>
+      ev.getString(f).foreach { ip =>
+        if (Net.isPrivate(ip)) {
+          ev.addTag(s"${pfx}_private")
+          ev.set(s"$geoF[country_iso_code]", "internal")
+        } else {
+          ev.addTag(s"${pfx}_public")
+          val ipl = Net.ipv4ToLong(ip)
+          if (ipl >= 0) Dicts.geoLookup(d.geoRanges, ipl) match {
+            case Some(g) =>
+              ev.set(s"$geoF[country_iso_code]", g.country)
+              ev.set(s"$geoF[city_name]", g.city)
+            case None => ev.addTag("_geoip_lookup_failure")
+          }
+        }
+      }
+    }
+  }
+
+  // 92_misp.conf idiom — IOC set membership on destination.ip → threat tag
+  private def e92Misp(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    ev.getString("[destination][ip]").foreach { ip =>
+      if (d.iocIps.contains(ip)) {
+        ev.addTag("log_enriched_by_misp")
+        ev.set("[threat][indicator][ip]", ip)
+      }
+    }
+
+  // 93_mitre.conf:21-30 — translate with fallback; id lowercased first
+  private def e93Mitre(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    ev.getString("[threat][tactic][id]").foreach { raw =>
+      val id = raw.toLowerCase
+      d.mitreTactics.get(id) match {
+        case Some(name) =>
+          ev.set("[threat][tactic][name]", name)
+          ev.set("[threat][tactic][reference]", s"https://attack.mitre.org/tactics/${id.toUpperCase}/")
+        case None => ev.set("[threat][tactic][name]", "unknown tactic") // fallback
+      }
+    }
+
+  // 94_remove_empty_n_truncate.conf — whole-event walk: drop ""/"-"/"null"/
+  // "n/a" leaves (:12-63), truncate >1023 chars (:80-119); [log][original]
+  // and message are excluded from truncation (exclusion list)
+  private def e94RemoveEmptyTruncate(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    ev.walk { (path, v) =>
+      v match {
+        case s: String =>
+          val t = s
+          if (t.isEmpty || t == "-" || t == "null" || t == "n/a") None
+          else if (t.length > 1023 && path.head != "log" && path.head != "message")
+            Some(t.substring(0, 1023))
+          else Some(t)
+        case other => Some(other)
+      }
+    }
+
+  // 95_remove_tags.conf:4-13 — strip control tags before output
+  private def e95StripTags(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    val toDrop = ev.tags.filter(t => t.startsWith("disable_") || t == "ignore_enrichments").toVector
+    toDrop.foreach(ev.removeTag)
+  }
+
+  // 96 = re-run of 02 (the reference duplicates the coercion pass)
+  private def e96Coerce(ev: Event, d: Dicts, ctx: Ctx): Unit = e02Coerce(ev, d, ctx)
+
+  val chain: Vector[Step] = Vector(
+    ("log_original", gated("log_original")(e01LogOriginal)),
+    ("ecs_data_type", (ev, d, c) => e02Coerce(ev, d, c)), // coercion is not optional
+    ("event_created", gated("event_created")(e03EventCreated)),
+    ("syslog_pri_ecs", gated("syslog_pri_ecs")(e04SyslogPriEcs)),
+    ("url", gated("url")(e06Url)),
+    ("lowercase", gated("lowercase")(e07Lowercase)),
+    ("add_hash", gated("add_hash")(e08Hash)),
+    ("related_user", gated("related_user")(e12RelatedUser)),
+    ("related_ip", gated("related_ip")(e14RelatedIp)),
+    ("standardize_mac", gated("standardize_mac")(e15Mac)),
+    ("dns", gated("dns")(e17Dns)),
+    ("lookup_iana_protocol", gated("lookup_iana_protocol")(e90Iana)),
+    ("geoip", gated("geoip")(e91CidrGeo)),
+    ("misp", gated("misp")(e92Misp)),
+    ("mitre", gated("mitre")(e93Mitre)),
+    ("remove_empty_n_truncate", (ev, d, c) => e94RemoveEmptyTruncate(ev, d, c)),
+    ("remove_tags", (ev, d, c) => e95StripTags(ev, d, c)),
+    ("ecs_data_type_2", (ev, d, c) => e96Coerce(ev, d, c)))
+
+  /** Run the chain. Technology opt-outs arrive as input-stamped disable tags
+    * (the 00_input analogue). */
+  def apply(ev: Event, cfg: TechnologyConfig, d: Dicts, ctx: Ctx): Unit = {
+    cfg.disabledEnrichments.foreach(n => ev.addTag(s"disable_${n}_enrichment"))
+    chain.foreach { case (_, f) => f(ev, d, ctx) }
+  }
+}

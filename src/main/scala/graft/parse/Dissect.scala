@@ -22,9 +22,10 @@ final case class CompiledDissect(tokens: Array[Dissect.Token]) {
   import Dissect._
 
   def extract(ev: Event, input: String): Boolean = {
-    // staged writes: only commit to the event if the whole mapping matches
-    val staged = mutable.ArrayBuffer.empty[(Seq[String], String)]
-    val appended = mutable.HashMap.empty[Seq[String], StringBuilder]
+    // staged writes: only commit to the event if the whole mapping matches.
+    // `%{+f}` appends to any earlier capture of f (plain or +), joined by
+    // ' ' (Logstash dissect append_separator default).
+    val staged = mutable.LinkedHashMap.empty[Seq[String], String]
     var pos = 0
     var i = 0
     while (i < tokens.length) {
@@ -45,18 +46,15 @@ final case class CompiledDissect(tokens: Array[Dissect.Token]) {
           val v = input.substring(pos, end)
           pos = end
           if (!skip) {
-            if (append) appended.getOrElseUpdate(path, new StringBuilder) // join below
-            if (append) {
-              val sb = appended(path)
-              if (sb.nonEmpty) sb.append(' ')
-              sb.append(v)
-            } else staged += ((path, v))
+            if (append) staged.get(path) match {
+              case Some(prev) => staged.put(path, prev + " " + v)
+              case None => staged.put(path, v)
+            } else staged.put(path, v)
           }
       }
       i += 1
     }
     staged.foreach { case (p, v) => ev.setParts(p, v) }
-    appended.foreach { case (p, sb) => ev.setParts(p, sb.toString) }
     true
   }
 }

@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import java.time.{Instant, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import graft.enrich.{Dicts, Enrich}
+import graft.model.{Event, ParsedTurn, Turn}
+import graft.rules.{Dropped, Parsed, ParseCtx, Registry, TechnologyConfig}
+
+/** The fused parse→enrich kernel: one Turn in, 0..N ParsedTurn out. Runs
+  * entirely inside a single mapPartitions — one serialization boundary for
+  * the whole record-level pipeline (SURVEY.md §2.7/§4). Pure function of
+  * (turn, dicts): no wall-clock, no network, no mutable global state beyond
+  * per-JVM compiled-pattern caches.
+  */
+object Engine {
+
+  private val dayFmt = DateTimeFormatter.ofPattern("yyyy.MM.dd").withZone(ZoneOffset.UTC)
+
+  def processTurn(t: Turn, dicts: Dicts): Seq[ParsedTurn] = {
+    val cfg = Registry.configs.getOrElse(t.tool, Registry.configs("unknown"))
+    val program = Registry.programs.getOrElse(t.tool, Registry.programs("unknown"))
+    val tsMillis = t.ts.getTime
+    val tsYear = Instant.ofEpochMilli(tsMillis).atZone(ZoneOffset.UTC).getYear
+    val ctx = ParseCtx(tsMillis, tsYear)
+
+    val ev = new Event
+    ev.set("message", if (t.text == null) "" else t.text)
+
+    program(ev, ctx) match {
+      case Dropped => Nil
+      case Parsed(events) =>
+        val ectx = Enrich.Ctx(tsMillis, tsYear)
+        events.zipWithIndex.map { case (e, i) =>
+          Enrich(e, cfg, dicts, ectx)
+          flatten(t, e, i, cfg, tsMillis)
+        }
+    }
+  }
+
+  /** Elastic-style dated index (ref: config/outputs/elastic_output.conf:6-15
+    * `%{[@metadata][output]}` with `%{+xxxx.MM.dd}` date pattern) — derived
+    * from event time, deterministic. */
+  private def routeIndex(cfg: TechnologyConfig, tsMillis: Long): String =
+    cfg.indexName + "_" + dayFmt.format(Instant.ofEpochMilli(tsMillis))
+
+  private def flatten(t: Turn, ev: Event, subIdx: Int, cfg: TechnologyConfig,
+                      tsMillis: Long): ParsedTurn = {
+    def s(p: String): Option[String] = ev.getString(p)
+    def l(p: String): Option[Long] = ev.get(p).flatMap {
+      case x: Long => Some(x)
+      case x: String => x.toLongOption
+      case x: Double => Some(x.toLong)
+      case _ => None
+    }
+    def arr(p: String): Seq[String] = ev.get(p) match {
+      case Some(a: scala.collection.mutable.ArrayBuffer[Any @unchecked]) =>
+        a.collect { case x: String => x }.toVector
+      case Some(x: String) => Vector(x)
+      case _ => Vector.empty
+    }
+    val parseOk = !ev.hasTag("_parse_failure") &&
+      !ev.tags.exists(tag => tag.startsWith("_dissectfailure") || tag.startsWith("_grokparsefailure") || tag == "dissect_failure_1")
+
+    ParsedTurn(
+      conv_id = t.conv_id,
+      turn_idx = t.turn_idx,
+      sub_idx = subIdx,
+      role = t.role,
+      tool = t.tool,
+      ts = t.ts,
+      text = t.text,
+      technology = cfg.tech,
+      parse_rule = s("[agent][parse_rule]").getOrElse("not parsed"),
+      parse_ok = parseOk,
+      tags = ev.tags.toVector.sorted,
+      route_index = routeIndex(cfg, tsMillis),
+      route_outputs = cfg.outputs,
+      message = s("message"),
+      log_original = s("[log][original]"),
+      event_module = s("[event][module]"),
+      event_dataset = s("[event][dataset]"),
+      event_kind = s("[event][kind]"),
+      event_category = s("[event][category]"),
+      event_type = s("[event][type]"),
+      event_action = s("[event][action]"),
+      event_outcome = s("[event][outcome]"),
+      event_provider = s("[event][provider]"),
+      event_severity = l("[event][severity]"),
+      event_created_ms = l("[event][created_ms]"),
+      event_end_ms = l("[event][end_ms]"),
+      event_hash = s("[event][hash]"),
+      source_ip = s("[source][ip]"),
+      source_address = s("[source][address]"),
+      source_port = l("[source][port]"),
+      source_mac = s("[source][mac]"),
+      source_ip_private =
+        if (ev.hasTag("sip_private")) Some(true)
+        else if (ev.hasTag("sip_public")) Some(false) else None,
+      source_geo_country = s("[source][geo][country_iso_code]"),
+      source_geo_city = s("[source][geo][city_name]"),
+      destination_ip = s("[destination][ip]"),
+      destination_port = l("[destination][port]"),
+      destination_ip_private =
+        if (ev.hasTag("dip_private")) Some(true)
+        else if (ev.hasTag("dip_public")) Some(false) else None,
+      destination_geo_country = s("[destination][geo][country_iso_code]"),
+      destination_geo_city = s("[destination][geo][city_name]"),
+      destination_domain = s("[destination][domain]"),
+      network_transport = s("[network][transport]"),
+      network_protocol = s("[network][protocol]"),
+      network_iana_number = s("[network][iana_number]"),
+      network_bytes = l("[network][bytes]"),
+      network_packets = l("[network][packets]"),
+      log_syslog_facility_code = l("[log][syslog][facility][code]"),
+      log_syslog_facility_name = s("[log][syslog][facility][name]"),
+      log_syslog_severity_code = l("[log][syslog][severity][code]"),
+      log_syslog_severity_name = s("[log][syslog][severity][name]"),
+      log_source_hostname = s("[log][source][hostname]"),
+      rule_name = s("[rule][name]"),
+      rule_description = s("[rule][description]"),
+      rule_category = s("[rule][category]"),
+      rule_version = s("[rule][version]"),
+      host_name = s("[host][name]"),
+      host_id = s("[host][id]"),
+      user_name = s("[user][name]"),
+      user_email = s("[user][email]"),
+      user_full_name = s("[user][full_name]"),
+      url_original = s("[url][original]"),
+      url_domain = s("[url][domain]"),
+      url_path = s("[url][path]"),
+      url_query = s("[url][query]"),
+      url_tld = s("[url][top_level_domain]"),
+      url_registered_domain = s("[url][registered_domain]"),
+      service_name = s("[service][name]"),
+      service_version = s("[service][version]"),
+      cloud_provider = s("[cloud][provider]"),
+      cloud_account_id = s("[cloud][account][id]"),
+      observer_vendor = s("[observer][vendor]"),
+      observer_product = s("[observer][product]"),
+      observer_egress_interface_id = s("[observer][egress][interface][id]"),
+      error_code = s("[error][code]"),
+      threat_tactic_name = s("[threat][tactic][name]"),
+      threat_tactic_reference = s("[threat][tactic][reference]"),
+      process_pid = l("[process][pid]"),
+      related_ip = arr("[related][ip]"),
+      related_user = arr("[related][user]"))
+  }
+}

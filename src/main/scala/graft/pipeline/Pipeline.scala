@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.enrich.Dicts
+import graft.model.{ParsedTurn, Turn}
+
+/** Spark wiring of the engine (SURVEY.md §3.1 "Spark equivalent of the whole
+  * of A"): read → ONE fused mapPartitions (parse+enrich with broadcasts) →
+  * per-sink filtered writes → grouped counts. The record-level stages are
+  * narrow (no shuffle); the only shuffles in the whole job are the final
+  * aggregations — by design, that plan shape survives a 100× scale-up
+  * unchanged (parallelism is purely input-partition-bound).
+  */
+object Pipeline {
+
+  @volatile private var cachedBc: Option[(SparkSession, Broadcast[Dicts])] = None
+
+  /** Broadcast the dictionaries once per session (translate/geoip/dns/misp
+    * tables; SURVEY.md §2.4). */
+  def dictsBroadcast(spark: SparkSession): Broadcast[Dicts] = synchronized {
+    cachedBc match {
+      case Some((s, bc)) if s eq spark => bc
+      case _ =>
+        val bc = spark.sparkContext.broadcast(Dicts.build())
+        cachedBc = Some((spark, bc))
+        bc
+    }
+  }
+
+  /** The fused parse+enrich stage: Dataset[Turn] → Dataset[ParsedTurn].
+    * flatMap because cardinality can go DOWN (drop {}) or UP (records[]
+    * split). Pattern compilation happens lazily per executor JVM; only
+    * dictionary data crosses the wire. */
+  def parse(spark: SparkSession, input: Dataset[Turn]): Dataset[ParsedTurn] = {
+    import spark.implicits._
+    val bc = dictsBroadcast(spark)
+    input.mapPartitions { it =>
+      val dicts = bc.value
+      it.flatMap(t => Engine.processTurn(t, dicts))
+    }
+  }
+
+  /** Convenience: input DataFrame with the 6 input_hint columns → parsed. */
+  def parseDf(spark: SparkSession, df: DataFrame): Dataset[ParsedTurn] = {
+    import spark.implicits._
+    parse(spark, df.select("conv_id", "turn_idx", "role", "text", "tool", "ts").as[Turn])
+  }
+
+  /** North-rule aggregate: per-sink grouped counts by
+    * (technology, role, tool, event-time bucket) — Catalyst-native
+    * partial+final hash aggregation (SURVEY.md §2.6). The sink dimension
+    * comes from exploding route_outputs (a row routed to 2 sinks counts in
+    * both, mirroring the reference's sequential multi-sink fan-out). */
+  def sinkCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .select(explode(col("route_outputs")).as("sink"),
+        col("technology"), col("role"), col("tool"), col("ts"))
+      .groupBy(col("sink"), col("technology"), col("role"), col("tool"),
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Same result via an explicit two-phase SALTED aggregation — the skew
+    * defusal the north rule asks for on conv_id/technology-skewed keys
+    * (SURVEY.md §2.6 salted agg row). Phase 1 groups on (key, salt) so a hot
+    * key spreads over `salts` reducers; phase 2 sums the partials. */
+  def sinkCountsSalted(parsed: DataFrame, salts: Int = 16): DataFrame =
+    parsed
+      .select(explode(col("route_outputs")).as("sink"),
+        col("technology"), col("role"), col("tool"), col("ts"),
+        pmod(hash(col("conv_id")), lit(salts)).as("salt"))
+      .groupBy(col("sink"), col("technology"), col("role"), col("tool"),
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"), col("salt"))
+      .agg(count(lit(1)).as("pcnt"))
+      .groupBy(col("sink"), col("technology"), col("role"), col("tool"),
+        col("y"), col("m"), col("d"), col("h"))
+      .agg(sum(col("pcnt")).as("cnt"))
+}

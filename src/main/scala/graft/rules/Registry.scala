@@ -1,0 +1,254 @@
+package graft.rules
+
+import graft.model.Event
+import graft.parse._
+import scala.collection.mutable
+
+/** Per-technology pipeline compilation config — the Spark analogue of the
+  * reference's settings.json entry per log source (elastic index name, output
+  * list, enrichments opt-out; ref: build_scripts/README.md:121-137,177-199). */
+final case class TechnologyConfig(
+  tech: String,
+  indexName: String,
+  outputs: Vector[String],
+  disabledEnrichments: Set[String],
+  volumeClass: String // high|medium|low — maps to the 8/4/2-worker classes
+)
+
+/** Outcome of a parse program. `Dropped` mirrors the `drop {}` filter;
+  * `Parsed` carries 1..N events (N>1 only on envelope splits). */
+sealed trait ParseOutcome
+case object Dropped extends ParseOutcome
+final case class Parsed(events: Seq[Event]) extends ParseOutcome
+
+/** Context handed to programs: deterministic clock material (no Time.now —
+  * SURVEY.md §7.4 #4). */
+final case class ParseCtx(tsMillis: Long, tsYear: Int)
+
+/** Technology-keyed registry of parse programs (SURVEY.md §2.5 "rule
+  * registry"): an ordered ladder per technology, with cheap substring
+  * pre-filters before regex dispatch — mirroring the reference's
+  * most-common-first if/else-if ladders with `break` on first match
+  * (ref: config/processors/syslog_security_palo.alto.fw.conf:26-110).
+  */
+object Registry {
+
+  val configs: Map[String, TechnologyConfig] = Map(
+    "palo.alto.fw" -> TechnologyConfig("palo.alto.fw", "logs-palo.alto.fw",
+      Vector("elastic", "s3"), Set.empty, "high"),
+    "aws.vpcflow" -> TechnologyConfig("aws.vpcflow", "logs-aws.vpcflow",
+      Vector("s3"), Set("dns"), "high"),
+    "linux.rsyslog" -> TechnologyConfig("linux.rsyslog", "logs-linux.rsyslog",
+      Vector("elastic"), Set.empty, "medium"),
+    "cef.fw" -> TechnologyConfig("cef.fw", "logs-cef.fw",
+      Vector("elastic", "s3"), Set.empty, "medium"),
+    "azure.signin" -> TechnologyConfig("azure.signin", "logs-azure.signin",
+      Vector("elastic"), Set.empty, "low"),
+    "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
+      Vector("failed"), Set.empty, "low"))
+
+  /** The shared syslog header grok
+    * (ref: syslog_security_palo.alto.fw.conf:13-17). */
+  private val HeaderGrok =
+    "(^(.*?)(<(?<pri>\\d+)>)(\\s)?(?<actual_msg>.*$))|(^(?<actual_msg>.*)$)"
+
+  /** palo.alto.fw — semantic port of the TRAFFIC path ("Rule 3",
+    * ref: syslog_security_palo.alto.fw.conf:59-70), sized to the synthesized
+    * PAN-OS-style CSV. Header grok + syslog_pri + substring-prefiltered
+    * dissect + multi-format date. */
+  private val paloTrafficDissect =
+    "%{?mon} %{?day} %{?time} %{[host][name]} %{?ver},%{date} %{+date},%{?serial}," +
+      "%{[event][category]},%{[event][type]},%{?seq},%{gentime} %{+gentime}," +
+      "%{[source][ip]},%{[destination][ip]},%{?natsip},%{?natdip},%{[rule][name]}," +
+      "%{?f1},%{?f2},%{[network][protocol]},%{[event][action]}," +
+      "%{[source][port]},%{[destination][port]},%{[network][bytes]}," +
+      "%{[network][packets]},%{[network][iana_number]}"
+
+  def paloAlto(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    Mutate.gsub(ev, "message", "\\\\\"", "\"") // ref :9-12
+    Grok(ev, "message", Seq(HeaderGrok), Seq("_parsefailure_header"))
+    SyslogPri(ev) // ref :18-21
+    ev.set("[event][module]", "palo.alto")
+    ev.set("[event][dataset]", "palo.alto.fw")
+    val msg = ev.getString("message").getOrElse("")
+    // cheap substring pre-filter BEFORE any further regex/dissect dispatch
+    if (msg.contains(",TRAFFIC,")) {
+      ev.set("[event][kind]", "palo.alto.fw_traffic")
+      ev.set("[agent][parse_rule]", "Rule 3")
+      if (Dissect(ev, "actual_msg", paloTrafficDissect, Seq("_dissectfailure_1"))) {
+        Dates(ev, "date", Seq("yyyy/MM/dd HH:mm:ss", "MMM d HH:mm:ss yyyy"),
+          "[event][created_ms]", timezone = "GMT",
+          tagOnFailure = Seq("_dateparsefailure_ec"), defaultYear = ctx.tsYear)
+        ev.remove("date"); ev.remove("gentime")
+      }
+    } else {
+      ev.set("[agent][parse_rule]", "not parsed") // ref :449
+      ev.addTag("_parse_failure")
+    }
+    Parsed(Seq(ev))
+  }
+
+  /** aws.vpcflow — semantic port of
+    * config/processors/api_network_aws.vpcflow.conf:9-56 (drop, dissect,
+    * sprintf add_field, UNIX date ×2 with remove-on-failure). */
+  private val vpcflowDissect =
+    "%{[[service][version]]} %{[[cloud][account][id]]} %{[[observer][egress][interface][id]]} " +
+      "%{[[source][ip]]} %{[[destination][ip]]} %{[[source][port]]} %{[[destination][port]]} " +
+      "%{[[network][iana_number]]} %{[[network][packets]]} %{[[network][bytes]]} " +
+      "%{[[event][created]]} %{[[event][end]]} %{[[event][action]]} %{[[event][outcome]]}"
+
+  def vpcflow(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[cloud][provider]", "aws")
+    ev.set("[event][module]", "aws")
+    ev.set("[event][dataset]", "aws.vpcflow")
+    val msg = ev.getString("message").getOrElse("")
+    if (msg.startsWith("version") || msg.contains("NODATA") || msg.isEmpty)
+      return Dropped // ref :14-16
+    ev.set("[agent][parse_rule]", "Rule 1")
+    if (Dissect(ev, "message", vpcflowDissect, Seq("_dissectfailure_1"))) {
+      Mutate.addField(ev, "[log][source][hostname]", "%{[cloud][account][id]}") // ref :24-26
+      if (Dates(ev, "[event][created]", Seq("UNIX"), "[event][created_ms]",
+        timezone = "GMT", tagOnFailure = Seq("_dateparsefailure_ec")))
+        ev.remove("[event][created]")
+      else ev.remove("[event][created]") // ref :36-40
+      if (Dates(ev, "[event][end]", Seq("UNIX"), "[event][end_ms]",
+        timezone = "GMT", tagOnFailure = Seq("_dateparsefailure_ee")))
+        ev.remove("[event][end]")
+      else ev.remove("[event][end]")
+    } else {
+      ev.set("[agent][parse_rule]", "not parsed")
+      ev.addTag("_parse_failure")
+    }
+    Parsed(Seq(ev))
+  }
+
+  /** linux.rsyslog — sshd auth ladder, grok-primary (semantic port of the
+    * auth rules in config/processors/syslog_audit_linux_rsyslog.conf:44-80).
+    * Rule order: Accepted (most common first per ladder convention), Failed. */
+  private val sshdAccepted =
+    "^%{SYSLOGTIMESTAMP:[tmp][ts]} %{NOTSPACE:[host][name]} sshd\\[%{INT:[process][pid]}\\]: " +
+      "Accepted password for %{USERNAME:[user][name]} from %{IPV4:[source][ip]} port %{INT:[source][port]} ssh2"
+  private val sshdFailed =
+    "^%{SYSLOGTIMESTAMP:[tmp][ts]} %{NOTSPACE:[host][name]} sshd\\[%{INT:[process][pid]}\\]: " +
+      "Failed password for invalid user %{USERNAME:[user][name]} from %{IPV4:[source][ip]} port %{INT:[source][port]} ssh2"
+
+  def rsyslog(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    Grok(ev, "message", Seq(HeaderGrok), Seq("_parsefailure_header"))
+    SyslogPri(ev)
+    ev.set("[event][module]", "linux")
+    ev.set("[event][dataset]", "linux.rsyslog")
+    ev.set("[event][kind]", "event")
+    ev.set("[event][category]", "authentication")
+    val msg = ev.getString("actual_msg").getOrElse("")
+    // keyword pre-filter: dispatch on cheap contains before regex
+    if (msg.contains("Accepted password") &&
+      Grok(ev, "actual_msg", Seq(sshdAccepted), Seq("_grokparsefailure"))) {
+      ev.set("[agent][parse_rule]", "Rule 1")
+      ev.set("[event][action]", "logged-in")
+      ev.set("[event][outcome]", "success")
+    } else if (msg.contains("Failed password") &&
+      Grok(ev, "actual_msg", Seq(sshdFailed), Seq("_grokparsefailure"))) {
+      ev.set("[agent][parse_rule]", "Rule 2")
+      ev.set("[event][action]", "logon-failed")
+      ev.set("[event][outcome]", "failure")
+    } else {
+      ev.set("[agent][parse_rule]", "not parsed")
+      ev.addTag("_parse_failure")
+    }
+    if (ev.has("[tmp][ts]")) {
+      Dates(ev, "[tmp][ts]", Seq("MMM d HH:mm:ss", "MMM dd HH:mm:ss"),
+        "[event][created_ms]", timezone = "GMT",
+        tagOnFailure = Seq("_dateparsefailure_ec"), defaultYear = ctx.tsYear)
+      ev.remove("tmp")
+    }
+    Parsed(Seq(ev))
+  }
+
+  /** cef.fw — CEF header dissect + kv extensions (semantic port of "Rule 1",
+    * ref: syslog_security_palo.alto.fw.conf:99-122 and the rename block that
+    * follows it). */
+  private val cefDissect =
+    "CEF:%{?v}|%{[observer][vendor]}|%{[observer][product]}|%{[rule][version]}|" +
+      "%{[rule][category]}|%{[rule][name]}|%{[event][severity]}|%{somedata}"
+
+  def cef(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "cef")
+    ev.set("[event][dataset]", "cef.fw")
+    ev.set("[event][kind]", "firewall")
+    if (Dissect(ev, "message", cefDissect, Seq("dissect_failure_1"))) {
+      ev.set("[agent][parse_rule]", "Rule 1")
+      Kv(ev, "somedata", ' ', '=', target = "fw", trimKey = "$ ")
+      ev.rename("[fw][src]", "[source][ip]")
+      ev.rename("[fw][dst]", "[destination][ip]")
+      ev.rename("[fw][spt]", "[source][port]")
+      ev.rename("[fw][dpt]", "[destination][port]")
+      ev.rename("[fw][act]", "[event][action]")
+      ev.rename("[fw][smac]", "[source][mac]")
+      ev.rename("[fw][request]", "[url][original]")
+      ev.rename("[fw][cs2]", "[threat][tactic][id]")
+      ev.remove("somedata")
+    } else {
+      ev.set("[agent][parse_rule]", "not parsed")
+      ev.addTag("_parse_failure")
+    }
+    Parsed(Seq(ev))
+  }
+
+  /** azure.signin — Event Hub records[] envelope: json → split → json_encode
+    * → per-record ECS renames (semantic port of
+    * config/processors/event_hub_audit_azure.event_hub_signin.conf:16-60).
+    * The ONLY cardinality-increasing path (SURVEY.md §3.2). */
+  def azureSignin(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "azure")
+    ev.set("[event][dataset]", "azure.eventhub.signin")
+    ev.set("[agent][name]", "azure.eventhub")
+    ev.set("[log][source][hostname]", "api_azure_eventhub_signin")
+    if (!JsonOps.parse(ev, "message", "azure")) {
+      ev.set("[agent][parse_rule]", "not parsed")
+      ev.addTag("_parse_failure")
+      return Parsed(Seq(ev))
+    }
+    ev.set("[agent][parse_rule]", "Rule 1")
+    val records = ev.get("[azure][records]") match {
+      case Some(a: mutable.ArrayBuffer[Any @unchecked]) if a.nonEmpty => a.toVector
+      case _ => Vector(ev.get("[azure]").getOrElse(mutable.LinkedHashMap.empty[String, Any]))
+    }
+    val out = records.map { rec =>
+      val sub = new Event
+      ev.root.foreach { case (k, v) if k != "azure" => sub.root.put(k, Event.deepCopy(v)); case _ => () }
+      ev.tags.foreach(sub.addTag)
+      sub.set("azsign", Event.deepCopy(rec))
+      JsonOps.encode(sub, "azsign", "message") // ref :26-29 json_encode
+      sub.rename("[azsign][resultType]", "[error][code]")
+      sub.rename("[azsign][identity]", "[user][full_name]")
+      sub.rename("[azsign][properties][userPrincipalName]", "[user][email]")
+      sub.rename("[azsign][properties][appDisplayName]", "[service][name]")
+      sub.rename("[azsign][callerIpAddress]", "[source][ip]")
+      val cas = sub.getString("[azsign][properties][conditionalAccessStatus]").getOrElse("")
+      if (cas.contains("success")) sub.set("[event][outcome]", "authentication_successful")
+      else if (cas.contains("failure")) sub.set("[event][outcome]", "authentication_failure")
+      else sub.set("[event][outcome]", "unknown")
+      sub.remove("azsign")
+      sub
+    }
+    Parsed(out)
+  }
+
+  /** unknown technology — nothing matches: stamp "not parsed" + failure tag
+    * (ref: syslog_security_palo.alto.fw.conf:449 else-branch convention). */
+  def unknown(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "unknown")
+    ev.set("[event][dataset]", "unknown")
+    ev.set("[agent][parse_rule]", "not parsed")
+    ev.addTag("_parse_failure")
+    Parsed(Seq(ev))
+  }
+
+  val programs: Map[String, (Event, ParseCtx) => ParseOutcome] = Map(
+    "palo.alto.fw" -> paloAlto,
+    "aws.vpcflow" -> vpcflow,
+    "linux.rsyslog" -> rsyslog,
+    "cef.fw" -> cef,
+    "azure.signin" -> azureSignin,
+    "unknown" -> unknown)
+}

@@ -283,3 +283,13 @@ class NetSpec extends AnyFunSuite {
     assert(Net.splitDomain("localhost").isEmpty)
   }
 }
+
+class DissectAppendSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("plain capture then %{+field} merges with space (palo date idiom)") {
+    val ev = new graft.model.Event
+    ev.set("m", "2020/10/11 22:14:15,rest")
+    assert(graft.parse.Dissect(ev, "m", "%{date} %{+date},%{rest}"))
+    assert(ev.getString("date").contains("2020/10/11 22:14:15"))
+    assert(ev.getString("rest").contains("rest"))
+  }
+}
