@@ -96,7 +96,8 @@ px AS (
   def entry(spark: SparkSession): DataFrame =
     Pipeline.sinkCounts(parsed(spark, "/root/testdata/sf0.001"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // generator parity: proves Spark and DuckDB see the same input table
     "q01_transcripts" -> ((s, dir) =>
       Transcripts.df(s, dir).select("conv_id", "turn_idx", "role", "tool", "text")),
@@ -212,7 +213,9 @@ px AS (
       .filter(col("technology").isin("palo.alto.fw", "aws.vpcflow", "cef.fw"))
       .select(col("conv_id"), col("turn_idx"),
         array_contains(col("tags"), "log_enriched_by_misp").cast("int").as("misp_i")))
-  )
+    )
+    base ++ MlEntry.queries
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_transcripts" ->
@@ -421,5 +424,5 @@ FROM px""",
 SELECT conv_id, turn_idx,
   CASE WHEN (user_id % 254) = 12 THEN 1 ELSE 0 END AS misp_i
 FROM px WHERE tsel <= 4 OR tsel = 7"""
-  )
+  ) ++ MlEntry.oracleSql
 }

@@ -1,0 +1,215 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline operators over the `documents` table:
+  * exact + near deduplication, text analysis, fingerprinting.
+  *
+  * Everything is deterministic (md5-keyed hash families — no seeds, no RNG)
+  * and DataFrame-native where the op is relational (Catalyst handles partial
+  * aggregation and pushdown); per-document scalar kernels (simhash,
+  * winnowing) run typed in mapPartitions.
+  *
+  * Scale notes (100 TB posture):
+  *  - shingle explode → groupBy(doc_id) is a narrow explode + single
+  *    partial+final hash agg; no driver collects anywhere.
+  *  - LSH band join self-joins on (band, signature) — shuffle keyed by the
+  *    bucket, which is exactly the join Spark distributes well; hot buckets
+  *    are bounded by band width.
+  */
+object TextOps {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup: content-hash groups with the kept representative. */
+  def exactDedup(d: DataFrame): DataFrame =
+    d.groupBy(md5(col("text").cast("binary")).as("hash"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
+
+  val NumHashes = 12
+  val Bands = 4 // × 3 rows/band
+
+  /** MinHash signatures: word 3-shingles, hash family h_i(s)=md5(i||':'||s),
+    * signature = per-i min over shingles (lexicographic on hex — portable
+    * across engines). Docs with <3 tokens have no signature. */
+  def minhash(d: DataFrame): DataFrame = {
+    val sh = d
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))")).as("s"))
+    val aggs = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")).cast("binary"))).as(s"m$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: band signature = md5(m_{3b} || m_{3b+1} || m_{3b+2}). */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"m${3 * b}"), col(s"m${3 * b + 1}"), col(s"m${3 * b + 2}"))
+          .cast("binary")).as("sig"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.sig").as("sig"))
+  }
+
+  /** Near-dup candidate pairs: docs sharing ≥1 LSH bucket. */
+  def minhashPairs(d: DataFrame): DataFrame = {
+    val bands = lshBands(minhash(d))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** n-gram (word-set) Jaccard over subsampled same-source candidate pairs;
+    * output in basis points for exact cross-engine comparison. */
+  def jaccardPairs(d: DataFrame): DataFrame = {
+    val c = d.filter(col("doc_id") % 23 === 0)
+      .select(col("source"), col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("w"))
+    c.as("a").join(c.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.w"), col("b.w"))).as("i"),
+        (size(col("a.w")) + size(col("b.w"))).as("ab"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("i") * 10000.0 / (col("ab") - col("i")) + 0.5).cast("int").as("jac_bp"))
+  }
+
+  /** SimHash (64-bit, hex-encoded): per word occurrence take the first 64
+    * bits of md5, majority-vote each bit (strict majority → 1). */
+  def simhashHex(text: String): String = {
+    val words = text.split(' ')
+    val ones = new Array[Int](64)
+    var n = 0
+    val mdInst = java.security.MessageDigest.getInstance("MD5")
+    words.foreach { w =>
+      if (w.nonEmpty) {
+        n += 1
+        val h = mdInst.digest(w.getBytes("UTF-8"))
+        // first 8 bytes = first 16 hex chars; bit j lives in hex char 15-j/4
+        var j = 0
+        while (j < 64) {
+          val hexIdx = 15 - (j >> 2) // 0-based index into the 16 hex chars
+          val byteIdx = hexIdx >> 1
+          val nibble = if ((hexIdx & 1) == 0) (h(byteIdx) >> 4) & 0xf else h(byteIdx) & 0xf
+          ones(j) += (nibble >> (j & 3)) & 1
+          j += 1
+        }
+      }
+    }
+    val sb = new java.lang.StringBuilder(16)
+    var k = 15
+    while (k >= 0) { // char position 16-k encodes bits [4k+3..4k]
+      var v = 0
+      var b = 0
+      while (b < 4) {
+        val j = 4 * k + b
+        if (ones(j) * 2 > n) v |= (1 << b)
+        b += 1
+      }
+      sb.append(Character.forDigit(v, 16))
+      k -= 1
+    }
+    sb.toString
+  }
+
+  def simhash(spark: SparkSession, d: DataFrame): DataFrame = {
+    import spark.implicits._
+    d.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhashHex(t)) })
+      .toDF("doc_id", "simhash_hex")
+  }
+
+  /** Winnowing fingerprints (rolling 8-gram md5, window 4): distinct
+    * fingerprint count + global min per doc. Docs shorter than 11 chars
+    * have no complete window and are excluded. */
+  def winnow(text: String): (Long, String) = {
+    val k = 8; val w = 4
+    val n = text.length - k + 1
+    val mdInst = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      hashes(i) = mdInst.digest(text.substring(i, i + k).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      i += 1
+    }
+    val fps = scala.collection.mutable.HashSet.empty[String]
+    i = 0
+    while (i <= n - w) {
+      var mn = hashes(i)
+      var j = i + 1
+      while (j < i + w) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
+      fps += mn
+      i += 1
+    }
+    (fps.size.toLong, fps.min)
+  }
+
+  def fingerprints(spark: SparkSession, d: DataFrame): DataFrame = {
+    import spark.implicits._
+    d.filter(length(col("text")) >= 11)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val (nfp, mn) = winnow(t); (id, nfp, mn)
+      })
+      .toDF("doc_id", "n_fp", "min_fp")
+  }
+
+  /** Language-ID heuristic: stopword-marker hit counts per language,
+    * deterministic argmax with preference order; all-zero → 'und'. */
+  val LangMarkers: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "a", "of", "and", "in", "to"),
+    "fr" -> Set("le", "la", "et", "les", "des", "une"),
+    "es" -> Set("el", "los", "y", "una", "que", "por"),
+    "de" -> Set("der", "die", "und", "das", "ein", "nicht"),
+    "zh" -> Set("的", "是", "了", "在", "我", "有"))
+
+  def langId(d: DataFrame): DataFrame = {
+    val scored = LangMarkers.foldLeft(
+      d.select(col("doc_id"), split(col("text"), " ").as("w"))) {
+      case (df, (lang, markers)) =>
+        val arr = array(markers.toSeq.sorted.map(lit): _*)
+        // marker hits INCLUDING duplicates (filter, not intersect)
+        df.withColumn(s"s_$lang", size(filter(col("w"), x => array_contains(arr, x))))
+    }
+    val scores = LangMarkers.map { case (l, _) => col(s"s_$l") }
+    val mx = greatest(scores: _*)
+    // argmax with fixed preference order en>fr>es>de>zh; 0 hits → 'und'
+    val pick = LangMarkers.map(_._1).foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case (lang, elseCol) => when(col(s"s_$lang") === mx, lit(lang)).otherwise(elseCol)
+    }
+    scored.select(col("doc_id"),
+      when(mx === 0, lit("und")).otherwise(pick).as("lang_detected"),
+      col("s_en"), col("s_fr"), col("s_es"), col("s_de"), col("s_zh"))
+  }
+
+  /** Quality scoring: token counts, avg word length, stopword ratio — all
+    * integer/bp arithmetic for exact oracles. */
+  def quality(d: DataFrame): DataFrame = {
+    val stop = array(Seq("the", "a", "of", "and", "in", "to").map(lit): _*)
+    d.select(col("doc_id"), split(col("text"), " ").as("w"), length(col("text")).as("n_chars_c"))
+      .select(col("doc_id"), col("n_chars_c"),
+        size(col("w")).as("n_tokens"),
+        size(filter(col("w"), x => array_contains(stop, x))).as("n_stop"),
+        expr("aggregate(w, 0, (acc, x) -> acc + length(x))").as("sum_wlen"))
+      .select(col("doc_id"), col("n_chars_c"), col("n_tokens"),
+        floor(col("sum_wlen") * 10000.0 / col("n_tokens") + 0.5).cast("int").as("avg_wlen_bp"),
+        floor(col("n_stop") * 10000.0 / col("n_tokens") + 0.5).cast("int").as("stop_bp"),
+        (col("n_tokens") >= 10 && col("n_stop") > 0).cast("int").as("quality_ok"))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex pieces + a chars/4
+    * subword estimate. */
+  def tokenCounts(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("bpe_tokens"),
+      floor((length(col("text")) + 3) / 4).cast("int").as("subword_est"))
+}
