@@ -108,9 +108,7 @@ object Enrich {
   // 08_add_hash.conf:11-16 — md5(message) → [event][hash]
   private def e08Hash(ev: Event, d: Dicts, ctx: Ctx): Unit =
     ev.getString("message").foreach { m =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(m.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      ev.set("[event][hash]", hex)
+      ev.set("[event][hash]", graft.util.Md5.hex(m))
     }
 
   // 12_related_user.conf idiom — collect user identifiers, dedup
@@ -206,14 +204,13 @@ object Enrich {
   // "n/a" leaves (:12-63), truncate >1023 chars (:80-119); [log][original]
   // and message are excluded from truncation (exclusion list)
   private def e94RemoveEmptyTruncate(ev: Event, d: Dicts, ctx: Ctx): Unit =
-    ev.walk { (path, v) =>
+    ev.walk { (topKey, v) =>
       v match {
         case s: String =>
-          val t = s
-          if (t.isEmpty || t == "-" || t == "null" || t == "n/a") None
-          else if (t.length > 1023 && path.head != "log" && path.head != "message")
-            Some(t.substring(0, 1023))
-          else Some(t)
+          if (s.isEmpty || s == "-" || s == "null" || s == "n/a") None
+          else if (s.length > 1023 && topKey != "log" && topKey != "message")
+            Some(s.substring(0, 1023))
+          else Some(s)
         case other => Some(other)
       }
     }

@@ -87,11 +87,10 @@ object TextOps {
     val words = text.split(' ')
     val ones = new Array[Int](64)
     var n = 0
-    val mdInst = java.security.MessageDigest.getInstance("MD5")
     words.foreach { w =>
       if (w.nonEmpty) {
         n += 1
-        val h = mdInst.digest(w.getBytes("UTF-8"))
+        val h = graft.util.Md5.digest(w)
         // first 8 bytes = first 16 hex chars; bit j lives in hex char 15-j/4
         var j = 0
         while (j < 64) {
@@ -132,12 +131,10 @@ object TextOps {
   def winnow(text: String): (Long, String) = {
     val k = 8; val w = 4
     val n = text.length - k + 1
-    val mdInst = java.security.MessageDigest.getInstance("MD5")
     val hashes = new Array[String](n)
     var i = 0
     while (i < n) {
-      hashes(i) = mdInst.digest(text.substring(i, i + k).getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
+      hashes(i) = graft.util.Md5.hex(text.substring(i, i + k))
       i += 1
     }
     val fps = scala.collection.mutable.HashSet.empty[String]

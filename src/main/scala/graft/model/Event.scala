@@ -123,33 +123,54 @@ final class Event {
     }
   }
 
-  /** Walk every leaf path (for remove-empty / truncate,
-    * ref: config/enrichments/94_remove_empty_n_truncate.conf:65-77). */
-  def walk(f: (Seq[String], Any) => Option[Any]): Unit = {
-    def rec(m: mutable.LinkedHashMap[String, Any], prefix: List[String]): Unit = {
-      val keys = m.keys.toVector // snapshot: f may remove
-      keys.foreach { k =>
-        m.get(k) match {
-          case Some(child: mutable.LinkedHashMap[String @unchecked, Any @unchecked]) =>
-            rec(child, k :: prefix)
-            if (child.isEmpty) m.remove(k)
-          case Some(a: mutable.ArrayBuffer[Any @unchecked]) =>
-            val kept = a.flatMap(v => f((k :: prefix).reverse, v))
-            if (kept.isEmpty) m.remove(k) else { a.clear(); a ++= kept }
-          case Some(v) =>
-            f((k :: prefix).reverse, v) match {
-              case Some(nv) => if (!nv.equals(v)) m.put(k, nv)
-              case None     => m.remove(k)
+  /** Walk every leaf (for remove-empty / truncate,
+    * ref: config/enrichments/94_remove_empty_n_truncate.conf:65-77).
+    * The callback receives only the TOP-LEVEL key — that is all the
+    * reference's exclusion lists discriminate on — which keeps the walk
+    * allocation-free on the per-leaf path (this runs for every field of
+    * every event). */
+  def walk(f: (String, Any) => Option[Any]): Unit = {
+    // mapValuesInPlace + filterInPlace iterate without snapshot allocations —
+    // this runs for every field of every event, so zero-garbage matters.
+    def rec(m: mutable.LinkedHashMap[String, Any], topKey: String): Unit = {
+      m.mapValuesInPlace { (k, v) =>
+        val top = if (topKey == null) k else topKey
+        v match {
+          case child: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+            rec(child, top); child
+          case a: mutable.ArrayBuffer[Any @unchecked] =>
+            var i = 0
+            while (i < a.length) {
+              f(top, a(i)) match {
+                case Some(nv) => a(i) = nv; i += 1
+                case None => a.remove(i)
+              }
             }
-          case None => ()
+            a
+          case leaf =>
+            f(top, leaf) match {
+              case Some(nv) => nv
+              case None => Event.Tombstone
+            }
+        }
+      }
+      m.filterInPlace { (_, v) =>
+        v match {
+          case Event.Tombstone => false
+          case child: mutable.LinkedHashMap[String @unchecked, Any @unchecked] => child.nonEmpty
+          case a: mutable.ArrayBuffer[Any @unchecked] => a.nonEmpty
+          case _ => true
         }
       }
     }
-    rec(root, Nil)
+    rec(root, null)
   }
 }
 
 object Event {
+  /** Sentinel marking a leaf removed during walk (swept by filterInPlace). */
+  private[model] case object Tombstone
+
   private val pathCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
   def parsePath(path: String): Seq[String] = {

@@ -40,10 +40,28 @@ object Dates {
 
   /** Parse `value` with the first matching format; None if all fail.
     * Returns epoch milliseconds. */
+  // ZoneId.of / Locale.forLanguageTag go through shared JDK caches with
+  // reference-queue housekeeping — measurably contended at 32 threads when
+  // called per event. Memoize here (tiny key space).
+  private val zoneCache = new java.util.concurrent.ConcurrentHashMap[String, ZoneId]()
+  private val localeCache = new java.util.concurrent.ConcurrentHashMap[String, Locale]()
+
+  private def zoneOf(tz: String): ZoneId = {
+    val k = if (tz == "GMT") "UTC" else tz
+    val c = zoneCache.get(k)
+    if (c != null) c else { val z = ZoneId.of(k); zoneCache.putIfAbsent(k, z); z }
+  }
+
+  private def localeOf(tag: String): Locale = {
+    val c = localeCache.get(tag)
+    if (c != null) c
+    else { val l = Locale.forLanguageTag(tag); localeCache.putIfAbsent(tag, l); l }
+  }
+
   def parseMulti(value: String, formats: Seq[String], timezone: String = "UTC",
                  locale: String = "en", defaultYear: Int = 1970): Option[Long] = {
-    val zone = ZoneId.of(timezone match { case "GMT" => "UTC"; case z => z })
-    val loc = Locale.forLanguageTag(locale)
+    val zone = zoneOf(timezone)
+    val loc = localeOf(locale)
     val v = value.trim
     var i = 0
     while (i < formats.length) {

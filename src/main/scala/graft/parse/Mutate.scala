@@ -58,11 +58,19 @@ object Mutate {
     case _ => ()
   }
 
+  /** Allocation-free when the value is already lowercase (the common case
+    * after the first normalization pass). */
+  private def lcFast(s: String): String = {
+    var i = 0
+    while (i < s.length && !Character.isUpperCase(s.charAt(i))) i += 1
+    if (i == s.length) s else s.toLowerCase
+  }
+
   def lowercase(ev: Event, path: String): Unit = ev.get(path).foreach {
-    case s: String => ev.set(path, s.toLowerCase)
+    case s: String => { val l = lcFast(s); if (l ne s) ev.set(path, l) }
     case a: mutable.ArrayBuffer[Any @unchecked] =>
       var i = 0
-      while (i < a.length) { a(i) match { case s: String => a(i) = s.toLowerCase; case _ => () }; i += 1 }
+      while (i < a.length) { a(i) match { case s: String => a(i) = lcFast(s); case _ => () }; i += 1 }
     case _ => ()
   }
 

@@ -32,7 +32,7 @@ class EventSpec extends AnyFunSuite {
     ev.set("[a][dash]", "-")
     ev.set("[a][keep]", "v")
     ev.set("[b][long]", "x" * 2000)
-    ev.walk { (_, v) =>
+    ev.walk { (_: String, v: Any) =>
       v match {
         case s: String if s.isEmpty || s == "-" || s == "null" => None
         case s: String if s.length > 1023 => Some(s.substring(0, 1023))
