@@ -293,3 +293,60 @@ class DissectAppendSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ev.getString("rest").contains("rest"))
   }
 }
+
+class CsvSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.model.Event
+  import graft.parse.Csv
+  test("positional columns + quotes + skip_empty (ref api_security_mcafee.mcp_v5.conf:16-22)") {
+    val ev = new Event
+    ev.set("message", """a,"with, comma",,"doubled "" quote",extra""")
+    assert(Csv(ev, "message", Seq("c1", "[nested][c2]", "c3", "c4"), skipEmptyColumns = true))
+    assert(ev.getString("c1").contains("a"))
+    assert(ev.getString("[nested][c2]").contains("with, comma"))
+    assert(ev.get("c3").isEmpty) // skipped empty
+    assert(ev.getString("c4").contains("doubled \" quote"))
+    assert(ev.getString("column5").contains("extra")) // beyond columns list
+  }
+}
+
+class XmlSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.model.Event
+  import graft.parse.Xml
+  test("nested elements, repeated siblings → array, attributes (ref syslog_audit_trellix.epo.conf:18-22)") {
+    val ev = new Event
+    ev.set("m", """<epo><event id="7"><name>threat</name></event><ip>1.1.1.1</ip><ip>2.2.2.2</ip></epo>""")
+    assert(Xml(ev, "m", "epo"))
+    assert(ev.getString("[epo][event][id]").contains("7"))
+    assert(ev.getString("[epo][event][name]").contains("threat"))
+    assert(ev.getString("[epo][ip][0]").contains("1.1.1.1"))
+    assert(ev.getString("[epo][ip][1]").contains("2.2.2.2"))
+  }
+  test("malformed xml tags _xmlparsefailure") {
+    val ev = new Event
+    ev.set("m", "<broken")
+    assert(!Xml(ev, "m", "t"))
+    assert(ev.hasTag("_xmlparsefailure"))
+  }
+}
+
+class RegistryCompileSpec extends org.scalatest.funsuite.AnyFunSuite {
+  // the analogue of the reference CI's `logstash --config.test_and_exit`
+  // (ref: .github/workflows/main.yml:104-106): every configured technology
+  // has a program and vice versa; every program's patterns compile.
+  test("registry configs and programs are consistent; all patterns compile") {
+    import graft.rules.Registry
+    assert(Registry.configs.keySet == Registry.programs.keySet)
+    Registry.configs.values.foreach { c =>
+      assert(c.outputs.nonEmpty)
+      assert(Set("high", "medium", "low").contains(c.volumeClass))
+    }
+    // exercising each program against a benign line forces pattern compilation
+    import graft.model.Event
+    import graft.rules.ParseCtx
+    Registry.programs.foreach { case (tech, prog) =>
+      val ev = new Event
+      ev.set("message", "compile probe")
+      prog(ev, ParseCtx(0L, 1970)) // must not throw
+    }
+  }
+}
