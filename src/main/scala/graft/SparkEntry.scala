@@ -208,6 +208,14 @@ px AS (
       col("conv_id"), col("turn_idx"), col("sub_idx"), col("route_index"),
       array_join(col("route_outputs"), ",").as("route_outputs_s"))),
 
+    // useragent grok enrichment (ref 10_user_agent_enrichment.conf:10-25)
+    "q20_useragent" -> ((s, dir) => parsed(s, dir)
+      .filter(col("technology") === "azure.signin")
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("user_agent_original"), col("browser_name"), col("browser_version"),
+        col("ua_device_name"), col("ua_os_family"), col("ua_os_platform"),
+        col("ua_os_version"))),
+
     // memcached/MISP-style IOC set membership → tag
     "q19_ioc" -> ((s, dir) => parsed(s, dir)
       .filter(col("technology").isin("palo.alto.fw", "aws.vpcflow", "cef.fw"))
@@ -321,13 +329,21 @@ SELECT conv_id, turn_idx, sub_idx,
       '{"resultType":"' || CAST(event_id % 2 AS STRING)
       || '","callerIpAddress":"' || sip || '","identity":"User ' || uid_s
       || '","properties":{"userPrincipalName":"' || uname
-      || '@example.com","appDisplayName":"App' || CAST(event_id % 5 AS STRING)
+      || '@example.com","userAgent":"'
+      || CASE (event_id % 3) WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537.36 Chrome/120.0 Safari/537.36'
+              WHEN 1 THEN 'Mozilla/4.0 (compatible; MSIE 7.0; Windows NT 6.1)'
+              ELSE 'curl/8.5' END
+      || '","appDisplayName":"App' || CAST(event_id % 5 AS STRING)
       || '","conditionalAccessStatus":"'
       || CASE WHEN (event_id % 4) = 0 THEN 'failure' ELSE 'success' END || '"}}'
     ELSE
       '{"resultType":"50126","callerIpAddress":"' || dip
       || '","identity":"User ' || uid_s || 'b","properties":{"userPrincipalName":"'
-      || uname || 'b@example.com","appDisplayName":"App' || CAST(event_id % 5 AS STRING)
+      || uname || 'b@example.com","userAgent":"'
+      || CASE (event_id % 3) WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537.36 Chrome/120.0 Safari/537.36'
+              WHEN 1 THEN 'Mozilla/4.0 (compatible; MSIE 7.0; Windows NT 6.1)'
+              ELSE 'curl/8.5' END
+      || '","appDisplayName":"App' || CAST(event_id % 5 AS STRING)
       || '","conditionalAccessStatus":"failure"}}'
     END)
   ELSE MD5(text) END AS event_hash
@@ -418,6 +434,21 @@ SELECT conv_id, turn_idx, sub_idx,
        WHEN tsel IN (5,6) OR tsel = 8 THEN 'elastic'
        ELSE 'failed' END AS route_outputs_s
 FROM px""",
+
+    "q20_useragent" ->
+      s"""$pxCte
+SELECT conv_id, turn_idx, sub_idx,
+  CASE (event_id % 3) WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537.36 Chrome/120.0 Safari/537.36'
+       WHEN 1 THEN 'Mozilla/4.0 (compatible; MSIE 7.0; Windows NT 6.1)'
+       ELSE 'curl/8.5' END AS user_agent_original,
+  CASE WHEN (event_id % 3) = 2 THEN NULL ELSE 'Mozilla' END AS browser_name,
+  CASE (event_id % 3) WHEN 0 THEN '5.0' WHEN 1 THEN '4.0' ELSE NULL END AS browser_version,
+  CASE WHEN (event_id % 3) = 2 THEN NULL ELSE 'Windows' END AS ua_device_name,
+  CASE (event_id % 3) WHEN 0 THEN 'NT 10.0; Win64'
+       WHEN 1 THEN 'MSIE 7.0; Windows NT 6.1' ELSE NULL END AS ua_os_family,
+  CASE WHEN (event_id % 3) = 0 THEN 'Safari' ELSE NULL END AS ua_os_platform,
+  CASE WHEN (event_id % 3) = 0 THEN '537.36' ELSE NULL END AS ua_os_version
+FROM px WHERE tsel = 8""",
 
     "q19_ioc" ->
       s"""$pxCte

@@ -111,6 +111,30 @@ object Enrich {
       ev.set("[event][hash]", graft.util.Md5.hex(m))
     }
 
+  // 10_user_agent_enrichment.conf:8-25 — UA parse via grok (not the
+  // useragent plugin), 'compatible' device fixup, failure-field cleanup
+  private val uaMozillaGrok =
+    "^(?<[browser][name]>.*?)\\/(?<[browser][version]>\\d[.]\\d)(\\s\\((?<[user_agent][device][name]>.*?)\\s(?<[user_agent][os][family]>.*?)\\)(.*(\\))?\\s.*\\s(?<[user_agent][os][platform]>.*?)\\/(?<[user_agent][os][version]>[[0-9]*.]+))?)?"
+  private def e10UserAgent(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    val ua = ev.getString("[user_agent][original]").getOrElse("")
+    if (ua.nonEmpty && ua.contains("Mozilla")) {
+      if (graft.parse.Grok(ev, "[user_agent][original]", Seq(uaMozillaGrok),
+        Seq("_grokparsefailure_user_agent_1"))) {
+        val dev = ev.getString("[user_agent][device][name]").getOrElse("")
+        if (dev.contains("compatible")) {
+          val fam = ev.getString("[user_agent][os][family]").getOrElse("")
+          if (fam.contains("Windows")) ev.set("[user_agent][device][name]", "Windows")
+          else ev.remove("[user_agent][device][name]")
+        }
+      } else {
+        // :37-41 — failure removes the partial captures
+        Seq("[browser][name]", "[browser][version]", "[user_agent][device][name]",
+          "[user_agent][os][family]", "[user_agent][os][platform]",
+          "[user_agent][os][version]").foreach(ev.remove)
+      }
+    }
+  }
+
   // 12_related_user.conf idiom — collect user identifiers, dedup
   private def e12RelatedUser(ev: Event, d: Dicts, ctx: Ctx): Unit = {
     Seq("[user][name]", "[user][email]").foreach { f =>
@@ -232,6 +256,7 @@ object Enrich {
     ("url", gated("url")(e06Url)),
     ("lowercase", gated("lowercase")(e07Lowercase)),
     ("add_hash", gated("add_hash")(e08Hash)),
+    ("user_agent", gated("user_agent")(e10UserAgent)),
     ("related_user", gated("related_user")(e12RelatedUser)),
     ("related_ip", gated("related_ip")(e14RelatedIp)),
     ("standardize_mac", gated("standardize_mac")(e15Mac)),

@@ -127,7 +127,7 @@ ge_txt AS (
         || '","callerIpAddress":"' || sip
         || '","identity":"User ' || uid_s
         || '","properties":{"userPrincipalName":"' || uname
-        || '@example.com","appDisplayName":"App' || CAST(event_id % 5 AS STRING)
+        || '@example.com","userAgent":"' || CASE (event_id % 3) WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537.36 Chrome/120.0 Safari/537.36' WHEN 1 THEN 'Mozilla/4.0 (compatible; MSIE 7.0; Windows NT 6.1)' ELSE 'curl/8.5' END || '","appDisplayName":"App' || CAST(event_id % 5 AS STRING)
         || '","conditionalAccessStatus":"'
         || CASE WHEN (event_id % 4) = 0 THEN 'failure' ELSE 'success' END
         || '"}}'
@@ -135,7 +135,7 @@ ge_txt AS (
              ',{"resultType":"50126","callerIpAddress":"' || dip
              || '","identity":"User ' || uid_s
              || 'b","properties":{"userPrincipalName":"' || uname
-             || 'b@example.com","appDisplayName":"App' || CAST(event_id % 5 AS STRING)
+             || 'b@example.com","userAgent":"' || CASE (event_id % 3) WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537.36 Chrome/120.0 Safari/537.36' WHEN 1 THEN 'Mozilla/4.0 (compatible; MSIE 7.0; Windows NT 6.1)' ELSE 'curl/8.5' END || '","appDisplayName":"App' || CAST(event_id % 5 AS STRING)
              || '","conditionalAccessStatus":"failure"}}'
            ELSE '' END
         || ']}'

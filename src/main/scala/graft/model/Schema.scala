@@ -97,5 +97,12 @@ final case class ParsedTurn(
   threat_tactic_name: Option[String],
   threat_tactic_reference: Option[String],
   process_pid: Option[Long],
+  user_agent_original: Option[String],
+  browser_name: Option[String],
+  browser_version: Option[String],
+  ua_device_name: Option[String],
+  ua_os_family: Option[String],
+  ua_os_platform: Option[String],
+  ua_os_version: Option[String],
   related_ip: Seq[String],
   related_user: Seq[String])

@@ -142,6 +142,13 @@ object Engine {
       threat_tactic_name = s("[threat][tactic][name]"),
       threat_tactic_reference = s("[threat][tactic][reference]"),
       process_pid = l("[process][pid]"),
+      user_agent_original = s("[user_agent][original]"),
+      browser_name = s("[browser][name]"),
+      browser_version = s("[browser][version]"),
+      ua_device_name = s("[user_agent][device][name]"),
+      ua_os_family = s("[user_agent][os][family]"),
+      ua_os_platform = s("[user_agent][os][platform]"),
+      ua_os_version = s("[user_agent][os][version]"),
       related_ip = arr("[related][ip]"),
       related_user = arr("[related][user]"))
   }

@@ -222,6 +222,7 @@ object Registry {
       sub.rename("[azsign][resultType]", "[error][code]")
       sub.rename("[azsign][identity]", "[user][full_name]")
       sub.rename("[azsign][properties][userPrincipalName]", "[user][email]")
+      sub.rename("[azsign][properties][userAgent]", "[user_agent][original]") // ref :44
       sub.rename("[azsign][properties][appDisplayName]", "[service][name]")
       sub.rename("[azsign][callerIpAddress]", "[source][ip]")
       val cas = sub.getString("[azsign][properties][conditionalAccessStatus]").getOrElse("")
