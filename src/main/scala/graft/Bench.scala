@@ -30,7 +30,7 @@ object Bench {
 
   /** Replicate the input REP× (distinct conv_ids per replica) so the
     * scaling measurement is compute-dominated, not fixed-cost-dominated. */
-  private val Rep = 10
+  private val Rep = 20
 
   private def repInput(spark: SparkSession, sfDir: String) = {
     import org.apache.spark.sql.functions._
@@ -94,7 +94,7 @@ object Bench {
     spark.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val levels = Seq(2, 8, 32)
     val samples = scala.collection.mutable.Map[Int, List[(Double, Long)]]().withDefaultValue(Nil)
-    for (round <- 1 to 3; c <- levels)
+    for (round <- 1 to 4; c <- levels)
       samples(c) = runAt(c, inputPath, warm = round == 1) :: samples(c)
     def best(c: Int): (Double, Long) = samples(c).minBy(_._1)
     val (t2, n2) = best(2)
@@ -103,8 +103,15 @@ object Bench {
     val tput2 = n2 / t2
     val tput8 = n8 / t8
     val tput32 = n32 / t32
-    val eff = (tput8 / tput2) / (8.0 / 2.0)
-    val eff832 = (tput32 / tput8) / (32.0 / 8.0)
+    // Efficiency from per-ROUND ratios: the three legs of one round are
+    // temporally adjacent, so bursty host noise hits them together and
+    // cancels in the ratio; the median over rounds rejects the remainder.
+    def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    val rounds = samples(2).size
+    def ratio(ca: Int, cb: Int): Seq[Double] = // t_a / t_b per round (lists are LIFO-aligned)
+      samples(ca).map(_._1).zip(samples(cb).map(_._1)).map { case (a, b) => a / b }
+    val eff = med(ratio(2, 8)) / (8.0 / 2.0)
+    val eff832 = med(ratio(8, 32)) / (32.0 / 8.0)
 
     // ---- headline query timings at the driver-requested level ----
     spark = session(cpus.toInt)
@@ -119,11 +126,19 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
+    // ANN quality: recall of the IVF approximate top-k vs exact brute force
+    val exact = graft.ml.Similarity.bruteTopK(spark, sfDir)
+      .select("query_id", "neighbor_id")
+    val approx = graft.ml.Similarity.ivfTopK(spark, sfDir)
+      .select("query_id", "neighbor_id")
+    val exactN = exact.count()
+    val hit = exact.intersect(approx).count()
+    val recall = if (exactN == 0) 0.0 else hit.toDouble / exactN
     spark.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$n32,"turns_per_sec_2":$tput2%.0f,"turns_per_sec_8":$tput8%.0f,"turns_per_sec_32":$tput32%.0f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff832%.3f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$n32,"turns_per_sec_2":$tput2%.0f,"turns_per_sec_8":$tput8%.0f,"turns_per_sec_32":$tput32%.0f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff832%.3f,"ann_recall":$recall%.3f}""")
   }
 }

@@ -47,6 +47,29 @@ object MlEntry {
     // multimodal plumbing: opaque binary payload + stubbed decode kernel
     "m01_multimodal" -> ((s, dir) => Similarity.multimodal(s, dir)),
 
+    // embedding-cosine near-dup scoring over a deterministic subsample
+    "d11_embed_neardup" -> ((s, dir) => {
+      val e = Similarity.embeddings(s, dir).filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), col("embedding"))
+      e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          expr("""CAST(FLOOR(aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+            / (SQRT(aggregate(a.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+             * SQRT(aggregate(b.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * 10000.0 + 0.5) AS INT)""").as("sim_bp"))
+        .withColumn("is_dup", (col("sim_bp") >= 9000).cast("int"))
+    }),
+
+    // sort/rank: top-3 events by value per type (stable tiebreak)
+    "r05_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_cents"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    }),
+
     // relational: TPC-H Q1-flavor aggregation (cents-exact money math)
     "r01_lineitem_agg" -> ((s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -193,6 +216,24 @@ FROM w WHERE i <= n - 3 GROUP BY 1""",
   CAST(64 + (strlen(text) * 7) % 512 AS BIGINT) AS height,
   CAST(1 + strlen(text) % 7 AS BIGINT) AS n_frames
 FROM documents""",
+
+    "d11_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE (vec_id % 20) = 0)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  CAST(FLOOR(list_dot_product(a.emb, b.emb)
+    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) * 10000.0 + 0.5) AS INT) AS sim_bp,
+  CASE WHEN CAST(FLOOR(list_dot_product(a.emb, b.emb)
+    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) * 10000.0 + 0.5) AS INT) >= 9000
+       THEN 1 ELSE 0 END AS is_dup
+FROM e a JOIN e b ON a.vec_id < b.vec_id""",
+
+    "r05_rank" ->
+      """WITH r AS (SELECT event_type, event_id,
+        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+      FROM events)
+SELECT event_type, event_id, value_cents, rn FROM r WHERE rn <= 3""",
 
     "r01_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,

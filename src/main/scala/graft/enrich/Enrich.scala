@@ -158,10 +158,19 @@ object Enrich {
     }
 
   // 17_dns.conf — reverse lookup via broadcast PTR table (the cache-first
-  // design already makes live DNS a lookup table in practice; :47-52)
+  // design already makes live DNS a lookup table in practice; :47-52).
+  // Scalar⇄array: on multi-valued ip fields only the FIRST TWO are looked
+  // up (ref: 17_dns.conf:40-46 take-first-2-IPs ruby idiom).
   private def e17Dns(ev: Event, d: Dicts, ctx: Ctx): Unit =
-    ev.getString("[destination][ip]").foreach { ip =>
-      d.ptr.get(ip).foreach(h => ev.set("[destination][domain]", h))
+    ev.get("[destination][ip]").foreach {
+      case ip: String =>
+        d.ptr.get(ip).foreach(h => ev.set("[destination][domain]", h))
+      case a: mutable.ArrayBuffer[Any @unchecked] =>
+        val hits = a.iterator.take(2).collect { case ip: String => d.ptr.get(ip) }
+          .flatten.toVector
+        if (hits.nonEmpty)
+          ev.set("[destination][domain]", mutable.ArrayBuffer[Any](hits: _*))
+      case _ => ()
     }
 
   // 90_lookup_iana_protocol.conf — transport from iana number (:10-19);
@@ -212,16 +221,28 @@ object Enrich {
       }
     }
 
-  // 93_mitre.conf:21-30 — translate with fallback; id lowercased first
-  private def e93Mitre(ev: Event, d: Dicts, ctx: Ctx): Unit =
-    ev.getString("[threat][tactic][id]").foreach { raw =>
-      val id = raw.toLowerCase
-      d.mitreTactics.get(id) match {
-        case Some(name) =>
-          ev.set("[threat][tactic][name]", name)
+  // 93_mitre.conf:21-30 — translate with fallback; id lowercased first;
+  // `iterate_on` semantics for array-valued ids (ref: 93_mitre.conf:26)
+  private def mitreOne(ev: Event, d: Dicts, raw: String, scalar: Boolean): Unit = {
+    val id = raw.toLowerCase
+    d.mitreTactics.get(id) match {
+      case Some(name) =>
+        if (scalar) ev.set("[threat][tactic][name]", name)
+        else ev.mergeInto("[threat][tactic][name]", name)
+        if (scalar)
           ev.set("[threat][tactic][reference]", s"https://attack.mitre.org/tactics/${id.toUpperCase}/")
-        case None => ev.set("[threat][tactic][name]", "unknown tactic") // fallback
-      }
+        else ev.mergeInto("[threat][tactic][reference]", s"https://attack.mitre.org/tactics/${id.toUpperCase}/")
+      case None =>
+        if (scalar) ev.set("[threat][tactic][name]", "unknown tactic") // fallback
+        else ev.mergeInto("[threat][tactic][name]", "unknown tactic")
+    }
+  }
+  private def e93Mitre(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    ev.get("[threat][tactic][id]").foreach {
+      case raw: String => mitreOne(ev, d, raw, scalar = true)
+      case a: mutable.ArrayBuffer[Any @unchecked] =>
+        a.foreach { case raw: String => mitreOne(ev, d, raw, scalar = false); case _ => () }
+      case _ => ()
     }
 
   // 94_remove_empty_n_truncate.conf — whole-event walk: drop ""/"-"/"null"/

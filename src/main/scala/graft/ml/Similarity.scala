@@ -50,7 +50,7 @@ object Similarity {
   /** IVF-style approximate top-k: centroids = vec_id % 97 = 0 (deterministic
     * coarse codebook); every vector assigned to nearest centroid; queries
     * probe their `nprobe` nearest centroid buckets only. */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nprobe: Int = 8): DataFrame = {
     val e = embeddings(spark, dir)
     val cent = e.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))

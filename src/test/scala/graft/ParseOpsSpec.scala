@@ -350,3 +350,48 @@ class RegistryCompileSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class EnrichArraySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.model.Event
+  import graft.enrich.{Dicts, Enrich}
+  import graft.rules.Registry
+  import scala.collection.mutable
+  private val dicts = Dicts.build()
+  private val cfg = Registry.configs("cef.fw")
+  private val ctx = Enrich.Ctx(1704067200000L, 2024)
+
+  test("dns on multi-valued ip looks up only first two (ref 17_dns.conf:40-46)") {
+    val ev = new Event
+    ev.set("message", "m")
+    ev.set("[destination][ip]", mutable.ArrayBuffer[Any]("192.168.1.5", "172.16.2.7", "192.168.3.9"))
+    Enrich(ev, cfg, dicts, ctx)
+    assert(ev.getString("[destination][domain][0]").contains("ptr-192-168-1-5.internal"))
+    assert(ev.getString("[destination][domain][1]").contains("ptr-172-16-2-7.internal"))
+    assert(ev.get("[destination][domain][2]").isEmpty) // third ip NOT looked up
+  }
+
+  test("mitre translate iterate_on over array ids with fallback (ref 93_mitre.conf:21-30)") {
+    val ev = new Event
+    ev.set("message", "m")
+    ev.set("[threat][tactic][id]", mutable.ArrayBuffer[Any]("TA0001", "TA9999", "ta0002"))
+    Enrich(ev, cfg, dicts, ctx)
+    assert(ev.getString("[threat][tactic][name][0]").contains("initial access"))
+    assert(ev.getString("[threat][tactic][name][1]").contains("unknown tactic"))
+    assert(ev.getString("[threat][tactic][name][2]").contains("execution"))
+    assert(ev.getString("[threat][tactic][reference][0]").contains("https://attack.mitre.org/tactics/TA0001/"))
+  }
+
+  test("ECS nested projection exposes struct families") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    val parsed = SparkEntry.parsed(spark, "/root/testdata/sf0.001")
+    val ecs = graft.pipeline.Ecs.project(parsed)
+    val f = ecs.schema.fieldNames.toSet
+    assert(Set("event", "source", "destination", "network", "log", "user",
+      "url", "related", "@timestamp").subsetOf(f))
+    assert(ecs.schema("event").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("dataset"))
+    assert(ecs.count() > 0)
+  }
+}
