@@ -21,11 +21,28 @@ import scala.collection.mutable
 final case class CompiledDissect(tokens: Array[Dissect.Token]) {
   import Dissect._
 
+  // per-thread scratch for staged captures (tokens.length bound) — avoids a
+  // LinkedHashMap allocation per event in the hottest parse operator
+  @transient private lazy val scratch: ThreadLocal[(Array[Seq[String]], Array[String])] =
+    ThreadLocal.withInitial(() => (new Array[Seq[String]](tokens.length), new Array[String](tokens.length)))
+
   def extract(ev: Event, input: String): Boolean = {
     // staged writes: only commit to the event if the whole mapping matches.
     // `%{+f}` appends to any earlier capture of f (plain or +), joined by
     // ' ' (Logstash dissect append_separator default).
-    val staged = mutable.LinkedHashMap.empty[Seq[String], String]
+    val (paths, values) = scratch.get()
+    var n = 0
+    def stage(path: Seq[String], v: String, append: Boolean): Unit = {
+      var j = 0
+      while (j < n) {
+        if (paths(j) == path) { // content equality: "date" and "[date]" parse to equal paths
+          values(j) = if (append) values(j) + " " + v else v
+          return
+        }
+        j += 1
+      }
+      paths(n) = path; values(n) = v; n += 1
+    }
     var pos = 0
     var i = 0
     while (i < tokens.length) {
@@ -45,16 +62,12 @@ final case class CompiledDissect(tokens: Array[Dissect.Token]) {
             }
           val v = input.substring(pos, end)
           pos = end
-          if (!skip) {
-            if (append) staged.get(path) match {
-              case Some(prev) => staged.put(path, prev + " " + v)
-              case None => staged.put(path, v)
-            } else staged.put(path, v)
-          }
+          if (!skip) stage(path, v, append)
       }
       i += 1
     }
-    staged.foreach { case (p, v) => ev.setParts(p, v) }
+    var j = 0
+    while (j < n) { ev.setParts(paths(j), values(j)); j += 1 }
     true
   }
 }

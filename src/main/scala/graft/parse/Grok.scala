@@ -24,11 +24,17 @@ import scala.collection.mutable
   * strings, compile in mapPartitions).
   */
 final case class CompiledGrok(pattern: Pattern, groupToPath: Array[(String, Seq[String])]) {
+  // Matcher is reused per thread (reset per input) — a fresh Matcher per
+  // event is measurable allocation pressure at 32 kernel threads.
+  @transient private lazy val localMatcher: ThreadLocal[Matcher] =
+    ThreadLocal.withInitial(() => pattern.matcher(""))
+
   /** Apply to `input`; on match write captures into `ev`, return true. */
   def extract(ev: Event, input: String, timeoutMillis: Long = 500L): Boolean = {
     val cs: CharSequence =
       if (timeoutMillis <= 0) input else new Grok.DeadlineCharSequence(input, timeoutMillis)
-    val m = pattern.matcher(cs)
+    val m = localMatcher.get()
+    m.reset(cs)
     try {
       if (!m.find()) return false
     } catch { case _: Grok.GrokTimeoutException => return false }
