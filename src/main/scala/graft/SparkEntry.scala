@@ -216,6 +216,21 @@ px AS (
         col("ua_device_name"), col("ua_os_family"), col("ua_os_platform"),
         col("ua_os_version"))),
 
+    // csv filter end-to-end (mcafee.mcp technology)
+    "qc01_csv" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.csvInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("technology"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("user_name"),
+        col("source_nat_ip"), col("http_request_method"),
+        col("source_bytes"), col("destination_bytes"), col("url_domain"),
+        col("url_path"), col("event_action"), col("rule_name"))),
+
+    // xml filter end-to-end (trellix.epo technology)
+    "qx01_xml" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.xmlInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("technology"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("host_name"),
+        col("host_ip"), col("user_name"), col("event_severity"),
+        col("error_code"), col("event_id_s"))),
+
     // memcached/MISP-style IOC set membership → tag
     "q19_ioc" -> ((s, dir) => parsed(s, dir)
       .filter(col("technology").isin("palo.alto.fw", "aws.vpcflow", "cef.fw"))
@@ -449,6 +464,29 @@ SELECT conv_id, turn_idx, sub_idx,
   CASE WHEN (event_id % 3) = 0 THEN 'Safari' ELSE NULL END AS ua_os_platform,
   CASE WHEN (event_id % 3) = 0 THEN '537.36' ELSE NULL END AS ua_os_version
 FROM px WHERE tsel = 8""",
+
+    "qc01_csv" ->
+      s"""WITH ${Transcripts.csvCte}
+SELECT conv_id, turn_idx, 'mcafee.mcp' AS technology, 1 AS parse_ok_i,
+  uname AS user_name, natip AS source_nat_ip,
+  CASE WHEN (event_id % 9) = 0 THEN NULL
+       WHEN (event_id % 2) = 0 THEN 'GET' ELSE 'POST' END AS http_request_method,
+  sbytes AS source_bytes, dbytes AS destination_bytes,
+  'www.app' || CAST(event_id % 30 AS STRING) || '.co.uk' AS url_domain,
+  '/p/' || eid_s AS url_path, act AS event_action,
+  'rule-' || CAST(event_id % 20 AS STRING) AS rule_name
+FROM csv_turns JOIN csv_base USING (event_id)""",
+
+    "qx01_xml" ->
+      s"""WITH ${Transcripts.xmlCte}
+SELECT conv_id, turn_idx, 'trellix.epo' AS technology, 1 AS parse_ok_i,
+  'host' || CAST(user_id % 20 AS STRING) AS host_name,
+  '10.0.' || CAST(event_id % 250 AS STRING) || '.' || CAST(1 + (user_id % 254) AS STRING) AS host_ip,
+  'u' || CAST(user_id % 50 AS STRING) AS user_name,
+  (event_id % 8) AS event_severity,
+  CAST(event_id % 100 AS STRING) AS error_code,
+  'ev' || CAST(event_id AS STRING) AS event_id_s
+FROM xml_turns JOIN events USING (event_id)""",
 
     "q19_ioc" ->
       s"""$pxCte

@@ -161,6 +161,64 @@ turns AS (
   FROM ge_txt
 )"""
 
+  /** Additive side tables for the csv/xml technologies (separate small
+    * corpora so the main 6-technology table and its oracles are untouched).
+    * Same portability rules as `cte`. */
+  val csvCte: String = s"""
+csv_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS natip,
+    (event_id % 100000) AS dbytes,
+    10 * (1 + (event_id % 1000)) AS sbytes,
+    CASE WHEN (event_id % 5) < 3 THEN 'allow' ELSE 'deny' END AS act
+  FROM events WHERE (event_id % 5) = 0
+),
+csv_turns AS (
+  SELECT 'csv_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    eid_s || ',' || uname || ',' || natip || ','
+      || CASE WHEN (event_id % 9) = 0 THEN '' ELSE (CASE WHEN (event_id % 2) = 0 THEN 'GET' ELSE 'POST' END) END
+      || ',' || CAST(dbytes AS STRING) || ',' || CAST(sbytes AS STRING)
+      || ',www.app' || CAST(event_id % 30 AS STRING) || '.co.uk,/p/' || eid_s
+      || ',' || act || ',rule-' || CAST(event_id % 20 AS STRING) AS text,
+    'mcafee.mcp' AS tool, ts, event_id
+  FROM csv_base
+)"""
+
+  val xmlCte: String = s"""
+xml_turns AS (
+  SELECT 'xml_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    'epoevents hdr' || CAST(event_id AS STRING) || ' srv' || CAST(user_id AS STRING)
+      || ' <?xml version="1.0" encoding="UTF-8"?><epo><machineinfo><machinename>host'
+      || CAST(user_id % 20 AS STRING) || '</machinename><ipaddress>10.0.'
+      || CAST(event_id % 250 AS STRING) || '.' || CAST(1 + (user_id % 254) AS STRING)
+      || '</ipaddress><username>u' || CAST(user_id % 50 AS STRING)
+      || '</username></machineinfo><mcafeecommonupdater><updateevent><severity>'
+      || CAST(event_id % 8 AS STRING) || '</severity><error>'
+      || CAST(event_id % 100 AS STRING) || '</error><eventid>ev'
+      || CAST(event_id AS STRING)
+      || '</eventid></updateevent></mcafeecommonupdater></epo>' AS text,
+    'trellix.epo' AS tool, ts, event_id
+  FROM events WHERE (event_id % 7) = 3
+)"""
+
+  /** Spark-side csv/xml corpora (input_hint shape). */
+  def csvInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $csvCte SELECT conv_id, turn_idx, role, text, tool, ts FROM csv_turns")
+  }
+
+  def xmlInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $xmlCte SELECT conv_id, turn_idx, role, text, tool, ts FROM xml_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -97,6 +97,12 @@ final case class ParsedTurn(
   threat_tactic_name: Option[String],
   threat_tactic_reference: Option[String],
   process_pid: Option[Long],
+  source_nat_ip: Option[String],
+  http_request_method: Option[String],
+  source_bytes: Option[Long],
+  destination_bytes: Option[Long],
+  host_ip: Option[String],
+  event_id_s: Option[String],
   user_agent_original: Option[String],
   browser_name: Option[String],
   browser_version: Option[String],

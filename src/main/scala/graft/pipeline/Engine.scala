@@ -142,6 +142,12 @@ object Engine {
       threat_tactic_name = s("[threat][tactic][name]"),
       threat_tactic_reference = s("[threat][tactic][reference]"),
       process_pid = l("[process][pid]"),
+      source_nat_ip = s("[source][nat][ip]"),
+      http_request_method = s("[http][request][method]"),
+      source_bytes = l("[source][bytes]"),
+      destination_bytes = l("[destination][bytes]"),
+      host_ip = s("[host][ip]"),
+      event_id_s = s("[event][id]"),
       user_agent_original = s("[user_agent][original]"),
       browser_name = s("[browser][name]"),
       browser_version = s("[browser][version]"),

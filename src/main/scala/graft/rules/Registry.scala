@@ -44,6 +44,10 @@ object Registry {
       Vector("elastic", "s3"), Set.empty, "medium"),
     "azure.signin" -> TechnologyConfig("azure.signin", "logs-azure.signin",
       Vector("elastic"), Set.empty, "low"),
+    "mcafee.mcp" -> TechnologyConfig("mcafee.mcp", "logs-mcafee.mcp",
+      Vector("s3"), Set.empty, "low"),
+    "trellix.epo" -> TechnologyConfig("trellix.epo", "logs-trellix.epo",
+      Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -235,6 +239,58 @@ object Registry {
     Parsed(out)
   }
 
+  /** mcafee.mcp — positional CSV parse (semantic port of
+    * config/processors/api_security_mcafee.mcp_v5.conf:10-27: strip, drop
+    * empty, csv with skip_empty_columns, integer converts; column list is
+    * the leading subset of the reference's). */
+  private val mcafeeColumns = Vector("num", "usr", "[source][nat][ip]",
+    "[http][request][method]", "[destination][bytes]", "[source][bytes]",
+    "[url][domain]", "[url][path]", "[event][action]", "[rule][name]")
+
+  def mcafeeMcp(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    Mutate.strip(ev, "message")
+    val msg = ev.getString("message").getOrElse("")
+    if (msg.isEmpty) return Dropped // ref :13-15
+    ev.set("[event][module]", "mcafee")
+    ev.set("[event][dataset]", "mcafee.mcp")
+    ev.set("[agent][parse_rule]", "Rule 1")
+    if (Csv(ev, "message", mcafeeColumns, skipEmptyColumns = true)) {
+      Mutate.convert(ev, "[destination][bytes]", "integer") // ref :19-22
+      Mutate.convert(ev, "[source][bytes]", "integer")
+      ev.rename("usr", "[user][name]")
+      ev.remove("num")
+    } else {
+      ev.set("[agent][parse_rule]", "not parsed")
+      ev.addTag("_parse_failure")
+    }
+    Parsed(Seq(ev))
+  }
+
+  /** trellix.epo — header/xml split grok + xml parse + ECS renames
+    * (semantic port of config/processors/syslog_audit_trellix.epo.conf:8-45). */
+  private val epoSplitGrok =
+    "^(?<[tmp][header]>epoevents.*?) .*?(?<[tmp][xml]><" + "\\?xml.*)$"
+
+  def trellixEpo(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "trellix")
+    ev.set("[event][dataset]", "trellix.epo")
+    if (Grok(ev, "message", Seq(epoSplitGrok), Seq("_grokparsefailure_to_tmp")) &&
+      Xml(ev, "[tmp][xml]", "xmlt")) {
+      ev.set("[agent][parse_rule]", "Rule 1")
+      ev.rename("[xmlt][machineinfo][machinename]", "[host][name]")
+      ev.rename("[xmlt][machineinfo][ipaddress]", "[host][ip]")
+      ev.rename("[xmlt][machineinfo][username]", "[user][name]")
+      ev.rename("[xmlt][mcafeecommonupdater][updateevent][severity]", "[event][severity]")
+      ev.rename("[xmlt][mcafeecommonupdater][updateevent][error]", "[error][code]")
+      ev.rename("[xmlt][mcafeecommonupdater][updateevent][eventid]", "[event][id]")
+      ev.remove("tmp"); ev.remove("xmlt")
+    } else {
+      ev.set("[agent][parse_rule]", "not parsed")
+      ev.addTag("_parse_failure")
+    }
+    Parsed(Seq(ev))
+  }
+
   /** unknown technology — nothing matches: stamp "not parsed" + failure tag
     * (ref: syslog_security_palo.alto.fw.conf:449 else-branch convention). */
   def unknown(ev: Event, ctx: ParseCtx): ParseOutcome = {
@@ -251,5 +307,7 @@ object Registry {
     "linux.rsyslog" -> rsyslog,
     "cef.fw" -> cef,
     "azure.signin" -> azureSignin,
+    "mcafee.mcp" -> mcafeeMcp,
+    "trellix.epo" -> trellixEpo,
     "unknown" -> unknown)
 }
