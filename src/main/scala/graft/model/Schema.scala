@@ -19,6 +19,11 @@ final case class Turn(
   * Timestamps derived by parsing are carried as epoch millis (Long) to keep
   * cross-engine comparisons exact; multi-valued fields are arrays (scalar
   * inputs become 1-element arrays — SURVEY.md §1.4 duality rule).
+  *
+  * Nullable fields use `null`-able types (String / boxed java.lang numerics)
+  * rather than Option: the encoder emits the same nullable columns either
+  * way, and dropping ~75 Option wrappers per row measurably reduces the
+  * allocation pressure of the serialization boundary at high thread counts.
   */
 final case class ParsedTurn(
   conv_id: String,
@@ -34,81 +39,81 @@ final case class ParsedTurn(
   tags: Seq[String],
   route_index: String,
   route_outputs: Seq[String],
-  message: Option[String], // working copy (post gsub/json_encode)
-  log_original: Option[String],
-  event_module: Option[String],
-  event_dataset: Option[String],
-  event_kind: Option[String],
-  event_category: Option[String],
-  event_type: Option[String],
-  event_action: Option[String],
-  event_outcome: Option[String],
-  event_provider: Option[String],
-  event_severity: Option[Long],
-  event_created_ms: Option[Long],
-  event_end_ms: Option[Long],
-  event_hash: Option[String],
-  source_ip: Option[String],
-  source_address: Option[String],
-  source_port: Option[Long],
-  source_mac: Option[String],
-  source_ip_private: Option[Boolean],
-  source_geo_country: Option[String],
-  source_geo_city: Option[String],
-  destination_ip: Option[String],
-  destination_port: Option[Long],
-  destination_ip_private: Option[Boolean],
-  destination_geo_country: Option[String],
-  destination_geo_city: Option[String],
-  destination_domain: Option[String],
-  network_transport: Option[String],
-  network_protocol: Option[String],
-  network_iana_number: Option[String],
-  network_bytes: Option[Long],
-  network_packets: Option[Long],
-  log_syslog_facility_code: Option[Long],
-  log_syslog_facility_name: Option[String],
-  log_syslog_severity_code: Option[Long],
-  log_syslog_severity_name: Option[String],
-  log_source_hostname: Option[String],
-  rule_name: Option[String],
-  rule_description: Option[String],
-  rule_category: Option[String],
-  rule_version: Option[String],
-  host_name: Option[String],
-  host_id: Option[String],
-  user_name: Option[String],
-  user_email: Option[String],
-  user_full_name: Option[String],
-  url_original: Option[String],
-  url_domain: Option[String],
-  url_path: Option[String],
-  url_query: Option[String],
-  url_tld: Option[String],
-  url_registered_domain: Option[String],
-  service_name: Option[String],
-  service_version: Option[String],
-  cloud_provider: Option[String],
-  cloud_account_id: Option[String],
-  observer_vendor: Option[String],
-  observer_product: Option[String],
-  observer_egress_interface_id: Option[String],
-  error_code: Option[String],
-  threat_tactic_name: Option[String],
-  threat_tactic_reference: Option[String],
-  process_pid: Option[Long],
-  source_nat_ip: Option[String],
-  http_request_method: Option[String],
-  source_bytes: Option[Long],
-  destination_bytes: Option[Long],
-  host_ip: Option[String],
-  event_id_s: Option[String],
-  user_agent_original: Option[String],
-  browser_name: Option[String],
-  browser_version: Option[String],
-  ua_device_name: Option[String],
-  ua_os_family: Option[String],
-  ua_os_platform: Option[String],
-  ua_os_version: Option[String],
+  message: String, // working copy (post gsub/json_encode)
+  log_original: String,
+  event_module: String,
+  event_dataset: String,
+  event_kind: String,
+  event_category: String,
+  event_type: String,
+  event_action: String,
+  event_outcome: String,
+  event_provider: String,
+  event_severity: java.lang.Long,
+  event_created_ms: java.lang.Long,
+  event_end_ms: java.lang.Long,
+  event_hash: String,
+  source_ip: String,
+  source_address: String,
+  source_port: java.lang.Long,
+  source_mac: String,
+  source_ip_private: java.lang.Boolean,
+  source_geo_country: String,
+  source_geo_city: String,
+  destination_ip: String,
+  destination_port: java.lang.Long,
+  destination_ip_private: java.lang.Boolean,
+  destination_geo_country: String,
+  destination_geo_city: String,
+  destination_domain: String,
+  network_transport: String,
+  network_protocol: String,
+  network_iana_number: String,
+  network_bytes: java.lang.Long,
+  network_packets: java.lang.Long,
+  log_syslog_facility_code: java.lang.Long,
+  log_syslog_facility_name: String,
+  log_syslog_severity_code: java.lang.Long,
+  log_syslog_severity_name: String,
+  log_source_hostname: String,
+  rule_name: String,
+  rule_description: String,
+  rule_category: String,
+  rule_version: String,
+  host_name: String,
+  host_id: String,
+  user_name: String,
+  user_email: String,
+  user_full_name: String,
+  url_original: String,
+  url_domain: String,
+  url_path: String,
+  url_query: String,
+  url_tld: String,
+  url_registered_domain: String,
+  service_name: String,
+  service_version: String,
+  cloud_provider: String,
+  cloud_account_id: String,
+  observer_vendor: String,
+  observer_product: String,
+  observer_egress_interface_id: String,
+  error_code: String,
+  threat_tactic_name: String,
+  threat_tactic_reference: String,
+  process_pid: java.lang.Long,
+  source_nat_ip: String,
+  http_request_method: String,
+  source_bytes: java.lang.Long,
+  destination_bytes: java.lang.Long,
+  host_ip: String,
+  event_id_s: String,
+  user_agent_original: String,
+  browser_name: String,
+  browser_version: String,
+  ua_device_name: String,
+  ua_os_family: String,
+  ua_os_platform: String,
+  ua_os_version: String,
   related_ip: Seq[String],
   related_user: Seq[String])

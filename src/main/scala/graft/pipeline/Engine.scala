@@ -45,12 +45,12 @@ object Engine {
 
   private def flatten(t: Turn, ev: Event, subIdx: Int, cfg: TechnologyConfig,
                       tsMillis: Long): ParsedTurn = {
-    def s(p: String): Option[String] = ev.getString(p)
-    def l(p: String): Option[Long] = ev.get(p).flatMap {
-      case x: Long => Some(x)
-      case x: String => x.toLongOption
-      case x: Double => Some(x.toLong)
-      case _ => None
+    def s(p: String): String = ev.getString(p).orNull
+    def l(p: String): java.lang.Long = ev.get(p) match {
+      case Some(x: Long) => java.lang.Long.valueOf(x)
+      case Some(x: String) => x.toLongOption.map(java.lang.Long.valueOf(_)).orNull
+      case Some(x: Double) => java.lang.Long.valueOf(x.toLong)
+      case _ => null
     }
     def arr(p: String): Seq[String] = ev.get(p) match {
       case Some(a: scala.collection.mutable.ArrayBuffer[Any @unchecked]) =>
@@ -70,7 +70,7 @@ object Engine {
       ts = t.ts,
       text = t.text,
       technology = cfg.tech,
-      parse_rule = s("[agent][parse_rule]").getOrElse("not parsed"),
+      parse_rule = { val pr = s("[agent][parse_rule]"); if (pr == null) "not parsed" else pr },
       parse_ok = parseOk,
       tags = ev.tags.toVector.sorted,
       route_index = routeIndex(cfg, tsMillis),
@@ -94,15 +94,15 @@ object Engine {
       source_port = l("[source][port]"),
       source_mac = s("[source][mac]"),
       source_ip_private =
-        if (ev.hasTag("sip_private")) Some(true)
-        else if (ev.hasTag("sip_public")) Some(false) else None,
+        if (ev.hasTag("sip_private")) java.lang.Boolean.TRUE
+        else if (ev.hasTag("sip_public")) java.lang.Boolean.FALSE else null,
       source_geo_country = s("[source][geo][country_iso_code]"),
       source_geo_city = s("[source][geo][city_name]"),
       destination_ip = s("[destination][ip]"),
       destination_port = l("[destination][port]"),
       destination_ip_private =
-        if (ev.hasTag("dip_private")) Some(true)
-        else if (ev.hasTag("dip_public")) Some(false) else None,
+        if (ev.hasTag("dip_private")) java.lang.Boolean.TRUE
+        else if (ev.hasTag("dip_public")) java.lang.Boolean.FALSE else null,
       destination_geo_country = s("[destination][geo][country_iso_code]"),
       destination_geo_city = s("[destination][geo][city_name]"),
       destination_domain = s("[destination][domain]"),
