@@ -208,6 +208,23 @@ px AS (
       col("conv_id"), col("turn_idx"), col("sub_idx"), col("route_index"),
       array_join(col("route_outputs"), ",").as("route_outputs_s"))),
 
+    // translate at the Catalyst layer: dict as broadcast DataFrame join
+    // (SURVEY §2.4 alternative to the kernel Map lookup) — must agree with
+    // the kernel's e90 result on every row
+    "q21_translate_join" -> ((s, dir) => {
+      import s.implicits._
+      val dictDf = graft.enrich.Dicts.IanaTransport.toSeq
+        .toDF("iana_no", "transport_joined")
+      parsed(s, dir)
+        .filter(col("technology").isin("palo.alto.fw", "aws.vpcflow"))
+        .select(col("conv_id"), col("turn_idx"), col("network_iana_number"),
+          col("network_transport"))
+        .join(broadcast(dictDf), col("network_iana_number") === col("iana_no"), "left")
+        .select(col("conv_id"), col("turn_idx"), col("network_transport"),
+          col("transport_joined"),
+          (col("network_transport") === col("transport_joined")).cast("int").as("agree_i"))
+    }),
+
     // useragent grok enrichment (ref 10_user_agent_enrichment.conf:10-25)
     "q20_useragent" -> ((s, dir) => parsed(s, dir)
       .filter(col("technology") === "azure.signin")
@@ -449,6 +466,14 @@ SELECT conv_id, turn_idx, sub_idx,
        WHEN tsel IN (5,6) OR tsel = 8 THEN 'elastic'
        ELSE 'failed' END AS route_outputs_s
 FROM px""",
+
+    "q21_translate_join" ->
+      s"""$pxCte
+SELECT conv_id, turn_idx,
+  $oTransport AS network_transport,
+  $oTransport AS transport_joined,
+  1 AS agree_i
+FROM px WHERE tsel <= 4""",
 
     "q20_useragent" ->
       s"""$pxCte
