@@ -208,6 +208,11 @@ px AS (
       col("conv_id"), col("turn_idx"), col("sub_idx"), col("route_index"),
       array_join(col("route_outputs"), ",").as("route_outputs_s"))),
 
+    // related.hosts family (host.name + destination.domain + url.domain)
+    "q22_related_hosts" -> ((s, dir) => parsed(s, dir).select(
+      col("conv_id"), col("turn_idx"), col("sub_idx"),
+      array_join(array_sort(col("related_hosts")), ",").as("related_hosts_s"))),
+
     // translate at the Catalyst layer: dict as broadcast DataFrame join
     // (SURVEY §2.4 alternative to the kernel Map lookup) — must agree with
     // the kernel's e90 result on every row
@@ -465,6 +470,15 @@ SELECT conv_id, turn_idx, sub_idx,
        WHEN tsel IN (3,4) THEN 's3'
        WHEN tsel IN (5,6) OR tsel = 8 THEN 'elastic'
        ELSE 'failed' END AS route_outputs_s
+FROM px""",
+
+    "q22_related_hosts" ->
+      s"""$pxCte
+SELECT conv_id, turn_idx, sub_idx,
+  CASE WHEN tsel <= 2 THEN 'fw' || CAST(user_id % 10 AS STRING) || ',ptr-' || REPLACE(dip, '.', '-') || '.internal'
+       WHEN tsel IN (5,6) THEN 'host' || CAST(user_id % 20 AS STRING)
+       WHEN tsel = 7 THEN 'ptr-' || REPLACE(dip, '.', '-') || '.internal,www.app' || CAST(event_id % 30 AS STRING) || '.co.uk'
+       ELSE '' END AS related_hosts_s
 FROM px""",
 
     "q21_translate_join" ->

@@ -173,6 +173,15 @@ object Enrich {
       case _ => ()
     }
 
+  // related.hosts (the 18/19/20 family companion to related.ip/user):
+  // collect host-name-ish identifiers, dedup
+  private def e20RelatedHosts(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    Seq("[host][name]", "[destination][domain]", "[url][domain]").foreach { f =>
+      ev.getString(f).foreach(v => ev.mergeInto("[related][hosts]", v))
+    }
+    Mutate.dedupArray(ev, "[related][hosts]")
+  }
+
   // 90_lookup_iana_protocol.conf — transport from iana number (:10-19);
   // protocol from port/transport or port-only dict (:21-47)
   private def e90Iana(ev: Event, d: Dicts, ctx: Ctx): Unit = {
@@ -282,6 +291,7 @@ object Enrich {
     ("related_ip", gated("related_ip")(e14RelatedIp)),
     ("standardize_mac", gated("standardize_mac")(e15Mac)),
     ("dns", gated("dns")(e17Dns)),
+    ("related_hosts", gated("related_hosts")(e20RelatedHosts)),
     ("lookup_iana_protocol", gated("lookup_iana_protocol")(e90Iana)),
     ("geoip", gated("geoip")(e91CidrGeo)),
     ("misp", gated("misp")(e92Misp)),

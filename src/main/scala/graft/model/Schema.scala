@@ -116,4 +116,5 @@ final case class ParsedTurn(
   ua_os_platform: String,
   ua_os_version: String,
   related_ip: Seq[String],
+  related_hosts: Seq[String],
   related_user: Seq[String])

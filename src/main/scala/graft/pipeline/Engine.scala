@@ -156,6 +156,7 @@ object Engine {
       ua_os_platform = s("[user_agent][os][platform]"),
       ua_os_version = s("[user_agent][os][version]"),
       related_ip = arr("[related][ip]"),
+      related_hosts = arr("[related][hosts]"),
       related_user = arr("[related][user]"))
   }
 }
