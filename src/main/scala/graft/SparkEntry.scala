@@ -208,6 +208,12 @@ px AS (
       col("conv_id"), col("turn_idx"), col("sub_idx"), col("route_index"),
       array_join(col("route_outputs"), ",").as("route_outputs_s"))),
 
+    // translate at reference dictionary scale (100k-entry broadcast)
+    "q23_mnemonic" -> ((s, dir) => parsed(s, dir)
+      .filter(col("technology") === "cef.fw")
+      .select(col("conv_id"), col("turn_idx"), col("rule_category"),
+        col("rule_ruleset"))),
+
     // related.hosts family (host.name + destination.domain + url.domain)
     "q22_related_hosts" -> ((s, dir) => parsed(s, dir).select(
       col("conv_id"), col("turn_idx"), col("sub_idx"),
@@ -471,6 +477,13 @@ SELECT conv_id, turn_idx, sub_idx,
        WHEN tsel IN (5,6) OR tsel = 8 THEN 'elastic'
        ELSE 'failed' END AS route_outputs_s
 FROM px""",
+
+    "q23_mnemonic" ->
+      s"""$pxCte
+SELECT conv_id, turn_idx,
+  CAST(100 + (event_id % 20) AS STRING) AS rule_category,
+  'category' || CAST((100 + (event_id % 20)) % 37 AS STRING) AS rule_ruleset
+FROM px WHERE tsel = 7""",
 
     "q22_related_hosts" ->
       s"""$pxCte

@@ -13,6 +13,7 @@ package graft.enrich
   */
 final case class Dicts(
   ianaTransport: Map[String, String],
+  mnemonics: Map[String, String], // 100k-entry translate dict (reference scale)
   ianaProtocols: Map[String, String], // "port/transport" → protocol keyword
   ianaProtocolsPort: Map[String, String], // "port" → protocol keyword
   mitreTactics: Map[String, String], // "ta0001" → tactic name
@@ -100,8 +101,21 @@ object Dicts {
     b.result()
   }
 
+  /** Synthetic 100,000-entry mnemonic dictionary — the scale the reference
+    * documents for `translate` ("tested with up to 100,000 key/values",
+    * ref: config/processors/syslog_audit_cisco.switch.conf:87). Exercises a
+    * realistically sized broadcast (~6 MB). */
+  def buildMnemonics(): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    b.sizeHint(100000)
+    var i = 0
+    while (i < 100000) { b += (s"MNEM-$i" -> s"category${i % 37}"); i += 1 }
+    b.result()
+  }
+
   def build(): Dicts = Dicts(
     ianaTransport = IanaTransport,
+    mnemonics = buildMnemonics(),
     ianaProtocols = IanaProtocols,
     ianaProtocolsPort = IanaProtocolsPort,
     mitreTactics = MitreTactics,

@@ -230,6 +230,14 @@ object Enrich {
       }
     }
 
+  // cisco-mnemonic-style translate at reference dictionary scale
+  // (ref: syslog_audit_cisco.switch.conf:90-107, 100k-entry dict note :87):
+  // rule.category keys into the mnemonic dict → rule.ruleset
+  private def e22Mnemonic(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    ev.getString("[rule][category]").foreach { c =>
+      d.mnemonics.get(s"MNEM-$c").foreach(v => ev.set("[rule][ruleset]", v))
+    }
+
   // 93_mitre.conf:21-30 — translate with fallback; id lowercased first;
   // `iterate_on` semantics for array-valued ids (ref: 93_mitre.conf:26)
   private def mitreOne(ev: Event, d: Dicts, raw: String, scalar: Boolean): Unit = {
@@ -296,6 +304,7 @@ object Enrich {
     ("geoip", gated("geoip")(e91CidrGeo)),
     ("misp", gated("misp")(e92Misp)),
     ("mitre", gated("mitre")(e93Mitre)),
+    ("mnemonic", gated("mnemonic")(e22Mnemonic)),
     ("remove_empty_n_truncate", (ev, d, c) => e94RemoveEmptyTruncate(ev, d, c)),
     ("remove_tags", (ev, d, c) => e95StripTags(ev, d, c)),
     ("ecs_data_type_2", (ev, d, c) => e96Coerce(ev, d, c)))

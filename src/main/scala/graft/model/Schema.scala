@@ -80,6 +80,7 @@ final case class ParsedTurn(
   rule_description: String,
   rule_category: String,
   rule_version: String,
+  rule_ruleset: String,
   host_name: String,
   host_id: String,
   user_name: String,

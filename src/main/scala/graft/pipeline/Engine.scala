@@ -120,6 +120,7 @@ object Engine {
       rule_description = s("[rule][description]"),
       rule_category = s("[rule][category]"),
       rule_version = s("[rule][version]"),
+      rule_ruleset = s("[rule][ruleset]"),
       host_name = s("[host][name]"),
       host_id = s("[host][id]"),
       user_name = s("[user][name]"),
