@@ -134,6 +134,40 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
+    // Kernel-only thread-scaling (no Spark layer): cache-local and far less
+    // sensitive to co-tenant memory pressure — the noise-robust signal that
+    // the ENGINE scales, reported alongside the environment-dependent full
+    // path. Uses a driver-side sample (bench-only; not a data path).
+    val sampleTurns: Array[graft.model.Turn] =
+      spark.read.parquet(inputPath)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .limit(96000)
+        .as[graft.model.Turn](org.apache.spark.sql.Encoders.product[graft.model.Turn])
+        .collect()
+    def kernelRun(threads: Int): Double = {
+      val dicts = graft.enrich.Dicts.build()
+      val per = sampleTurns.length / threads
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ts = (0 until threads).map { t =>
+          new Thread(() => {
+            var i = t * per
+            val end = i + per
+            var acc = 0L
+            while (i < end) { acc += graft.pipeline.Engine.processTurn(sampleTurns(i), dicts).size; i += 1 }
+            if (acc < 0) println("?")
+          })
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }
+      (per.toLong * threads) / times.min
+    }
+    kernelRun(8) // warm
+    val kTput8 = kernelRun(8)
+    val kTput32 = kernelRun(32)
+    val kEff = math.min(1.0, (kTput32 / kTput8) / 4.0)
+
     // ANN quality: recall of the IVF approximate top-k vs exact brute force
     val exact = graft.ml.Similarity.bruteTopK(spark, sfDir)
       .select("query_id", "neighbor_id")
@@ -147,6 +181,6 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$n32,"turns_per_sec_2":$tput2%.0f,"turns_per_sec_8":$tput8%.0f,"turns_per_sec_32":$tput32%.0f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff832%.3f,"ann_recall":$recall%.3f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$n32,"turns_per_sec_2":$tput2%.0f,"turns_per_sec_8":$tput8%.0f,"turns_per_sec_32":$tput32%.0f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff832%.3f,"kernel_turns_per_sec_32":$kTput32%.0f,"kernel_scaling_efficiency_8_32":$kEff%.3f,"ann_recall":$recall%.3f}""")
   }
 }
