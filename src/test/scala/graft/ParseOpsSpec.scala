@@ -395,3 +395,42 @@ class EnrichArraySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ecs.count() > 0)
   }
 }
+
+class IdempotenceSpec extends org.scalatest.funsuite.AnyFunSuite {
+  // SURVEY §5 property (ii): normalization enrichments are idempotent —
+  // re-running the chain on an already-enriched event is a no-op for
+  // mac standardize / lowercase / truncate
+  import graft.model.Event
+  import graft.parse.Mutate
+  test("mac standardize and lowercase are idempotent") {
+    val ev = new Event
+    ev.set("[source][mac]", "AA-BB-CC-DD-01-02")
+    ev.set("[event][category]", "TRAFFIC")
+    def pass(): Unit = {
+      Mutate.gsub(ev, "[source][mac]", "-", ":")
+      Mutate.lowercase(ev, "[source][mac]")
+      Mutate.lowercase(ev, "[event][category]")
+    }
+    pass()
+    val m1 = ev.getString("[source][mac]")
+    val c1 = ev.getString("[event][category]")
+    pass()
+    assert(ev.getString("[source][mac]") == m1)
+    assert(ev.getString("[event][category]") == c1)
+    assert(m1.contains("aa:bb:cc:dd:01:02") && c1.contains("traffic"))
+  }
+  test("truncate walk is idempotent") {
+    val ev = new Event
+    ev.set("[a][long]", "x" * 5000)
+    def walkOnce(): Unit = ev.walk { (_: String, v: Any) =>
+      v match {
+        case s: String if s.length > 1023 => Some(s.substring(0, 1023))
+        case o => Some(o)
+      }
+    }
+    walkOnce()
+    val v1 = ev.getString("[a][long]")
+    walkOnce()
+    assert(ev.getString("[a][long]") == v1 && v1.get.length == 1023)
+  }
+}
