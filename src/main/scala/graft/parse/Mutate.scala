@@ -101,6 +101,14 @@ object Mutate {
     case _ => ()
   }
 
+  /** mutate.update: set only if the field already exists (20 uses). */
+  def update(ev: Event, path: String, template: String): Unit =
+    if (ev.get(path).isDefined) ev.set(path, sprintf(ev, template))
+
+  /** mutate.replace: set unconditionally, sprintf-interpolated (18 uses). */
+  def replace(ev: Event, path: String, template: String): Unit =
+    ev.set(path, sprintf(ev, template))
+
   /** mutate.convert: "integer" | "float" | "string" | "boolean". */
   def convert(ev: Event, path: String, typ: String): Unit = ev.get(path).foreach { v =>
     val out: Any = (typ, v) match {

@@ -434,3 +434,18 @@ class IdempotenceSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ev.getString("[a][long]") == v1 && v1.get.length == 1023)
   }
 }
+
+class MutateUpdateReplaceSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.model.Event
+  import graft.parse.Mutate
+  test("update only touches existing fields; replace always sets") {
+    val ev = new Event
+    ev.set("a", "1")
+    Mutate.update(ev, "a", "v-%{a}")
+    Mutate.update(ev, "missing", "x")
+    Mutate.replace(ev, "b", "w-%{a}")
+    assert(ev.getString("a").contains("v-1"))
+    assert(ev.get("missing").isEmpty)
+    assert(ev.getString("b").contains("w-v-1"))
+  }
+}
