@@ -20,10 +20,11 @@ object Enrich {
   /** One enrichment: (name, fn). Order is the contract. */
   type Step = (String, (Event, Dicts, Ctx) => Unit)
 
-  /** Skip-gate shared by every step (ref: enrichment header idiom). */
+  /** Skip-gate shared by every step (ref: enrichment header idiom). The tag
+    * string is built once at chain construction — not per event per step. */
   private def gated(name: String)(f: (Event, Dicts, Ctx) => Unit): (Event, Dicts, Ctx) => Unit = {
+    val tag = s"disable_${name}_enrichment"
     (ev, d, ctx) =>
-      val tag = s"disable_${name}_enrichment"
       if (ev.hasTag(tag) || ev.hasTag("disable_enrichments")) ev.removeTag(tag)
       else f(ev, d, ctx)
   }
@@ -37,10 +38,13 @@ object Enrich {
   private val longFields = Vector(
     "[source][port]", "[destination][port]", "[network][bytes]",
     "[network][packets]", "[event][severity]", "[process][pid]")
+  private val ipMigrations = Vector( // hoisted: no per-event tuple churn
+    ("[source][ip]", "[source][address]"),
+    ("[destination][ip]", "[destination][address]"))
   private def e02Coerce(ev: Event, d: Dicts, ctx: Ctx): Unit = {
     longFields.foreach { f =>
-      ev.get(f) match {
-        case Some(s: String) =>
+      ev.valueOrNull(f) match {
+        case s: String =>
           s.trim.toLongOption match {
             case Some(l) => ev.set(f, l)
             case None => ev.remove(f) // coerce-or-remove (:110-120)
@@ -49,11 +53,9 @@ object Enrich {
       }
     }
     // invalid IPs migrate to the paired address/hostname field (:130-287)
-    Seq(("[source][ip]", "[source][address]"),
-      ("[destination][ip]", "[destination][address]")).foreach { case (ipF, addrF) =>
-      ev.getString(ipF).foreach { v =>
-        if (!Net.isValidIpv4(v)) { ev.remove(ipF); ev.set(addrF, v) }
-      }
+    ipMigrations.foreach { case (ipF, addrF) =>
+      val v = ev.stringOrNull(ipF)
+      if (v != null && !Net.isValidIpv4(v)) { ev.remove(ipF); ev.set(addrF, v) }
     }
   }
 
@@ -113,6 +115,10 @@ object Enrich {
 
   // 10_user_agent_enrichment.conf:8-25 — UA parse via grok (not the
   // useragent plugin), 'compatible' device fixup, failure-field cleanup
+  private val uaCleanupFields = Vector(
+    "[browser][name]", "[browser][version]", "[user_agent][device][name]",
+    "[user_agent][os][family]", "[user_agent][os][platform]",
+    "[user_agent][os][version]")
   private val uaMozillaGrok =
     "^(?<[browser][name]>.*?)\\/(?<[browser][version]>\\d[.]\\d)(\\s\\((?<[user_agent][device][name]>.*?)\\s(?<[user_agent][os][family]>.*?)\\)(.*(\\))?\\s.*\\s(?<[user_agent][os][platform]>.*?)\\/(?<[user_agent][os][version]>[[0-9]*.]+))?)?"
   private def e10UserAgent(ev: Event, d: Dicts, ctx: Ctx): Unit = {
@@ -128,32 +134,35 @@ object Enrich {
         }
       } else {
         // :37-41 — failure removes the partial captures
-        Seq("[browser][name]", "[browser][version]", "[user_agent][device][name]",
-          "[user_agent][os][family]", "[user_agent][os][platform]",
-          "[user_agent][os][version]").foreach(ev.remove)
+        uaCleanupFields.foreach(ev.remove)
       }
     }
   }
 
   // 12_related_user.conf idiom — collect user identifiers, dedup
+  private val userFields = Vector("[user][name]", "[user][email]")
   private def e12RelatedUser(ev: Event, d: Dicts, ctx: Ctx): Unit = {
-    Seq("[user][name]", "[user][email]").foreach { f =>
-      ev.getString(f).foreach(v => ev.mergeInto("[related][user]", v))
+    userFields.foreach { f =>
+      val v = ev.stringOrNull(f)
+      if (v != null) ev.mergeInto("[related][user]", v)
     }
     Mutate.dedupArray(ev, "[related][user]")
   }
 
   // related.ip (14/16/19/20 family) — collect source/destination ips, dedup
+  private val ipFields = Vector("[source][ip]", "[destination][ip]")
   private def e14RelatedIp(ev: Event, d: Dicts, ctx: Ctx): Unit = {
-    Seq("[source][ip]", "[destination][ip]").foreach { f =>
-      ev.getString(f).foreach(v => ev.mergeInto("[related][ip]", v))
+    ipFields.foreach { f =>
+      val v = ev.stringOrNull(f)
+      if (v != null) ev.mergeInto("[related][ip]", v)
     }
     Mutate.dedupArray(ev, "[related][ip]")
   }
 
   // 15_standardize_mac.conf:13-18 — '-'→':' + lowercase
+  private val macFields = Vector("[source][mac]", "[destination][mac]")
   private def e15Mac(ev: Event, d: Dicts, ctx: Ctx): Unit =
-    Seq("[source][mac]", "[destination][mac]").foreach { f =>
+    macFields.foreach { f =>
       if (ev.has(f)) { Mutate.gsub(ev, f, "-", ":"); Mutate.lowercase(ev, f) }
     }
 
@@ -175,9 +184,11 @@ object Enrich {
 
   // related.hosts (the 18/19/20 family companion to related.ip/user):
   // collect host-name-ish identifiers, dedup
+  private val hostFields = Vector("[host][name]", "[destination][domain]", "[url][domain]")
   private def e20RelatedHosts(ev: Event, d: Dicts, ctx: Ctx): Unit = {
-    Seq("[host][name]", "[destination][domain]", "[url][domain]").foreach { f =>
-      ev.getString(f).foreach(v => ev.mergeInto("[related][hosts]", v))
+    hostFields.foreach { f =>
+      val v = ev.stringOrNull(f)
+      if (v != null) ev.mergeInto("[related][hosts]", v)
     }
     Mutate.dedupArray(ev, "[related][hosts]")
   }
@@ -200,9 +211,11 @@ object Enrich {
 
   // 91_geoip.conf — cidr private tags (:10-15) + geo range lookup (:20-36);
   // private ips get the "private database" (country 'internal')
+  private val geoTargets = Vector(
+    ("[destination][ip]", "dip", "[destination][geo]"),
+    ("[source][ip]", "sip", "[source][geo]"))
   private def e91CidrGeo(ev: Event, d: Dicts, ctx: Ctx): Unit = {
-    Seq(("[destination][ip]", "dip", "[destination][geo]"),
-      ("[source][ip]", "sip", "[source][geo]")).foreach { case (f, pfx, geoF) =>
+    geoTargets.foreach { case (f, pfx, geoF) =>
       ev.getString(f).foreach { ip =>
         if (Net.isPrivate(ip)) {
           ev.addTag(s"${pfx}_private")
@@ -269,11 +282,11 @@ object Enrich {
     ev.walk { (topKey, v) =>
       v match {
         case s: String =>
-          if (s.isEmpty || s == "-" || s == "null" || s == "n/a") None
+          if (s.isEmpty || s == "-" || s == "null" || s == "n/a") Event.Drop
           else if (s.length > 1023 && topKey != "log" && topKey != "message")
-            Some(s.substring(0, 1023))
-          else Some(s)
-        case other => Some(other)
+            s.substring(0, 1023)
+          else s
+        case other => other
       }
     }
 

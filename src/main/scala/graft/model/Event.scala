@@ -15,53 +15,68 @@ import scala.collection.mutable
   *    (ref: config/enrichments/91_geoip.conf:4)
   *
   * Values are: String | Long | Double | Boolean | null |
-  * mutable.ArrayBuffer[Any] | mutable.LinkedHashMap[String, Any].
-  * LinkedHashMap keeps deterministic insertion order for replayable output.
+  * mutable.ArrayBuffer[Any] | Event.FMap (java.util.LinkedHashMap).
+  * The map type is java.util's — its `get` returns value-or-null with ZERO
+  * allocation, where scala's returns a fresh `Some` per probe. The kernel
+  * probes paths hundreds of times per event (21 enrichment steps + a
+  * 93-field flatten), so Option-per-probe was several KB of garbage per
+  * turn — measured as the main DRAM-bandwidth driver behind the N-vs-4N
+  * scaling obligation. LinkedHashMap keeps deterministic insertion order
+  * for replayable output.
   */
 final class Event {
-  val root: mutable.LinkedHashMap[String, Any] = mutable.LinkedHashMap.empty
+  val root: Event.FMap = new Event.FMap()
   val tags: mutable.LinkedHashSet[String] = mutable.LinkedHashSet.empty
 
   def addTag(t: String): Unit = tags += t
   def removeTag(t: String): Unit = tags -= t
   def hasTag(t: String): Boolean = tags.contains(t)
 
-  /** "[a][b][c]" or bare "a" → Seq("a","b","c"). Cached per-thread upstream. */
+  /** "[a][b][c]" or bare "a" → Seq("a","b","c"). Cached per-JVM upstream. */
   def get(path: String): Option[Any] = getParts(Event.parsePath(path))
 
-  def getParts(parts: Seq[String]): Option[Any] = {
+  def getParts(parts: Seq[String]): Option[Any] = Option(partsOrNull(parts))
+
+  /** Allocation-free core lookup: the raw value or null when absent (a
+    * stored JSON null is reported the same way — every consumer treats the
+    * two identically). */
+  def valueOrNull(path: String): Any = partsOrNull(Event.parsePath(path))
+
+  def partsOrNull(parts: Seq[String]): Any = {
     var cur: Any = root
     var i = 0
     while (i < parts.length) {
       cur match {
-        case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
-          m.get(parts(i)) match {
-            case Some(v) => cur = v
-            case None    => return None
-          }
+        case m: Event.FMap =>
+          cur = m.get(parts(i))
+          if (cur == null) return null
         case a: mutable.ArrayBuffer[Any @unchecked] =>
           // array-index probe, e.g. [client][ip][0] (ref: 02_ecs_data_type.conf:131)
           val idx = Event.asIndex(parts(i))
-          if (idx < 0 || idx >= a.length) return None
+          if (idx < 0 || idx >= a.length) return null
           cur = a(idx)
-        case _ => return None
+        case _ => return null
       }
       i += 1
     }
-    Some(cur)
+    cur
   }
 
-  def getString(path: String): Option[String] = get(path).collect {
+  /** Allocation-free variant of `getString` (null when absent/non-scalar). */
+  def stringOrNull(path: String): String = valueOrNull(path) match {
     case s: String => s
-    case l: Long   => l.toString
+    case l: Long => l.toString
     case d: Double => Event.numToString(d)
     case b: Boolean => b.toString
+    case _ => null
   }
+
+  def getString(path: String): Option[String] = Option(stringOrNull(path))
 
   def has(path: String): Boolean = {
     // Logstash truthiness: absent, null and false are falsy; "" is truthy-present
-    get(path) match {
-      case None | Some(null) | Some(false) => false
+    valueOrNull(path) match {
+      case null | false => false
       case _ => true
     }
   }
@@ -74,9 +89,9 @@ final class Event {
     while (i < parts.length - 1) {
       val k = parts(i)
       cur.get(k) match {
-        case Some(m: mutable.LinkedHashMap[String @unchecked, Any @unchecked]) => cur = m
+        case m: Event.FMap => cur = m
         case _ =>
-          val m = mutable.LinkedHashMap.empty[String, Any]
+          val m = new Event.FMap()
           cur.put(k, m)
           cur = m
       }
@@ -88,10 +103,9 @@ final class Event {
   def remove(path: String): Option[Any] = {
     val parts = Event.parsePath(path)
     if (parts.isEmpty) return None
-    if (parts.length == 1) return root.remove(parts.head)
-    getParts(parts.dropRight(1)) match {
-      case Some(m: mutable.LinkedHashMap[String @unchecked, Any @unchecked]) =>
-        m.remove(parts.last)
+    if (parts.length == 1) return Option(root.remove(parts.head))
+    partsOrNull(parts.dropRight(1)) match {
+      case m: Event.FMap => Option(m.remove(parts.last))
       case _ => None
     }
   }
@@ -106,14 +120,14 @@ final class Event {
   /** Append to a field, promoting scalar→array (mutate.merge idiom,
     * ref: config/enrichments/12_related_user.conf:17-26). */
   def mergeInto(path: String, value: Any): Unit = {
-    get(path) match {
-      case None => set(path, value)
-      case Some(a: mutable.ArrayBuffer[Any @unchecked]) =>
+    valueOrNull(path) match {
+      case null => set(path, value)
+      case a: mutable.ArrayBuffer[Any @unchecked] =>
         value match {
           case vs: mutable.ArrayBuffer[Any @unchecked] => a ++= vs
           case v => a += v
         }
-      case Some(existing) =>
+      case existing =>
         val a = mutable.ArrayBuffer[Any](existing)
         value match {
           case vs: mutable.ArrayBuffer[Any @unchecked] => a ++= vs
@@ -126,40 +140,34 @@ final class Event {
   /** Walk every leaf (for remove-empty / truncate,
     * ref: config/enrichments/94_remove_empty_n_truncate.conf:65-77).
     * The callback receives only the TOP-LEVEL key — that is all the
-    * reference's exclusion lists discriminate on — which keeps the walk
-    * allocation-free on the per-leaf path (this runs for every field of
-    * every event). */
-  def walk(f: (String, Any) => Option[Any]): Unit = {
-    // mapValuesInPlace + filterInPlace iterate without snapshot allocations —
-    // this runs for every field of every event, so zero-garbage matters.
-    def rec(m: mutable.LinkedHashMap[String, Any], topKey: String): Unit = {
-      m.mapValuesInPlace { (k, v) =>
-        val top = if (topKey == null) k else topKey
-        v match {
-          case child: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
-            rec(child, top); child
+    * reference's exclusion lists discriminate on. It returns the (possibly
+    * replaced) value, or `Event.Drop` to remove the leaf — a sentinel, not
+    * an Option, so the per-leaf hot path allocates nothing. Emptied
+    * containers are swept. */
+  def walk(f: (String, Any) => Any): Unit = {
+    def rec(m: Event.FMap, topKey: String): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val top = if (topKey == null) e.getKey else topKey
+        e.getValue match {
+          case child: Event.FMap =>
+            rec(child, top)
+            if (child.isEmpty) it.remove()
           case a: mutable.ArrayBuffer[Any @unchecked] =>
             var i = 0
             while (i < a.length) {
               f(top, a(i)) match {
-                case Some(nv) => a(i) = nv; i += 1
-                case None => a.remove(i)
+                case Event.Drop => a.remove(i)
+                case nv => a(i) = nv; i += 1
               }
             }
-            a
+            if (a.isEmpty) it.remove()
           case leaf =>
             f(top, leaf) match {
-              case Some(nv) => nv
-              case None => Event.Tombstone
+              case Event.Drop => it.remove()
+              case nv => if (nv.asInstanceOf[AnyRef] ne leaf.asInstanceOf[AnyRef]) e.setValue(nv)
             }
-        }
-      }
-      m.filterInPlace { (_, v) =>
-        v match {
-          case Event.Tombstone => false
-          case child: mutable.LinkedHashMap[String @unchecked, Any @unchecked] => child.nonEmpty
-          case a: mutable.ArrayBuffer[Any @unchecked] => a.nonEmpty
-          case _ => true
         }
       }
     }
@@ -168,8 +176,12 @@ final class Event {
 }
 
 object Event {
-  /** Sentinel marking a leaf removed during walk (swept by filterInPlace). */
-  private[model] case object Tombstone
+  /** The nested-map type of in-flight events (see class doc for why
+    * java.util and not scala.collection.mutable). */
+  type FMap = java.util.LinkedHashMap[String, Any]
+
+  /** Sentinel returned by a walk callback to remove the leaf. */
+  case object Drop
 
   private val pathCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
@@ -213,9 +225,9 @@ object Event {
     else d.toString
 
   def deepCopy(v: Any): Any = v match {
-    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
-      val c = mutable.LinkedHashMap.empty[String, Any]
-      m.foreach { case (k, x) => c.put(k, deepCopy(x)) }
+    case m: FMap =>
+      val c = new FMap()
+      m.forEach((k, x) => c.put(k, deepCopy(x)))
       c
     case a: mutable.ArrayBuffer[Any @unchecked] => a.map(deepCopy)
     case other => other

@@ -29,14 +29,14 @@ final case class CompiledDissect(tokens: Array[Dissect.Token]) {
   def extract(ev: Event, input: String): Boolean = {
     // staged writes: only commit to the event if the whole mapping matches.
     // `%{+f}` appends to any earlier capture of f (plain or +), joined by
-    // ' ' (Logstash dissect append_separator default).
+    // the token's compile-time append separator.
     val (paths, values) = scratch.get()
     var n = 0
-    def stage(path: Seq[String], v: String, append: Boolean): Unit = {
+    def stage(path: Seq[String], v: String, append: Boolean, sep: String): Unit = {
       var j = 0
       while (j < n) {
         if (paths(j) == path) { // content equality: "date" and "[date]" parse to equal paths
-          values(j) = if (append) values(j) + " " + v else v
+          values(j) = if (append) values(j) + sep + v else v
           return
         }
         j += 1
@@ -50,7 +50,7 @@ final case class CompiledDissect(tokens: Array[Dissect.Token]) {
         case Lit(s) =>
           if (!input.startsWith(s, pos)) return false
           pos += s.length
-        case Cap(path, skip, append) =>
+        case Cap(path, skip, append, sep) =>
           // capture runs until the next literal (or end of input)
           val next = if (i + 1 < tokens.length) tokens(i + 1).asInstanceOf[Lit] else null
           val end =
@@ -62,7 +62,7 @@ final case class CompiledDissect(tokens: Array[Dissect.Token]) {
             }
           val v = input.substring(pos, end)
           pos = end
-          if (!skip) stage(path, v, append)
+          if (!skip) stage(path, v, append, sep)
       }
       i += 1
     }
@@ -75,12 +75,20 @@ final case class CompiledDissect(tokens: Array[Dissect.Token]) {
 object Dissect {
   sealed trait Token
   final case class Lit(s: String) extends Token
-  final case class Cap(path: Seq[String], skip: Boolean, append: Boolean) extends Token
+  /** `appendSep` — Logstash dissect joins `%{+f}` values with the literal
+    * delimiter PRECEDING the append token (or the configured
+    * append_separator), not a hardcoded space. Recorded at compile time. */
+  final case class Cap(path: Seq[String], skip: Boolean, append: Boolean,
+                       appendSep: String = " ") extends Token
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, CompiledDissect]()
 
-  def compile(mapping: String): CompiledDissect = {
-    val c = cache.get(mapping)
+  /** `appendSeparator`: explicit override of the `%{+f}` join string
+    * (Logstash `append_separator` option); null → the delimiter preceding
+    * each append token (Logstash default behavior). */
+  def compile(mapping: String, appendSeparator: String = null): CompiledDissect = {
+    val key = if (appendSeparator == null) mapping else s"$appendSeparator $mapping"
+    val c = cache.get(key)
     if (c != null) return c
     val toks = mutable.ArrayBuffer.empty[Token]
     var i = 0
@@ -97,7 +105,14 @@ object Dissect {
         if (body.isEmpty) skip = true
         // normalize double-bracket form [[a][b]] → [a][b]
         if (body.startsWith("[[") && body.endsWith("]]")) body = body.substring(1, body.length - 1)
-        toks += Cap(Event.parsePath(body), skip, append)
+        val sep =
+          if (!append) " "
+          else if (appendSeparator != null) appendSeparator
+          else toks.lastOption match { // delimiter preceding the append token
+            case Some(Lit(s)) => s
+            case _ => " "
+          }
+        toks += Cap(Event.parsePath(body), skip, append, sep)
         i = j + 1
       } else { lit.append(mapping.charAt(i)); i += 1 }
     }
@@ -111,7 +126,7 @@ object Dissect {
       k += 1
     }
     val built = CompiledDissect(toks.toArray)
-    cache.putIfAbsent(mapping, built)
+    cache.putIfAbsent(key, built)
     built
   }
 

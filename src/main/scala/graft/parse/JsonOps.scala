@@ -22,7 +22,7 @@ object JsonOps {
 
   private def toEventValue(n: JsonNode): Any = n.getNodeType match {
     case JsonNodeType.OBJECT =>
-      val m = mutable.LinkedHashMap.empty[String, Any]
+      val m = new Event.FMap()
       n.properties().asScala.foreach(e => m.put(e.getKey, toEventValue(e.getValue)))
       m
     case JsonNodeType.ARRAY =>
@@ -47,8 +47,8 @@ object JsonOps {
           val v = toEventValue(node)
           if (target.nonEmpty) ev.set(target, v)
           else v match {
-            case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
-              m.foreach { case (k, x) => ev.root.put(k, x) }
+            case m: Event.FMap =>
+              m.forEach((k, x) => ev.root.put(k, x))
             case _ => ev.addTag("_jsonparsefailure"); return false
           }
           true
@@ -62,9 +62,9 @@ object JsonOps {
   }
 
   private def toJson(v: Any): JsonNode = v match {
-    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+    case m: Event.FMap =>
       val o = mapper.createObjectNode()
-      m.foreach { case (k, x) => o.set[JsonNode](k, toJson(x)) }
+      m.forEach((k, x) => o.set[JsonNode](k, toJson(x)))
       o
     case a: mutable.ArrayBuffer[Any @unchecked] =>
       val arr = mapper.createArrayNode()

@@ -21,9 +21,16 @@ object Xml {
     f
   }
 
+  /** JAXP gives no thread-safety guarantee for DocumentBuilderFactory, and
+    * the parse kernel runs this under mapPartitions with up to 32 threads —
+    * one builder per thread, `reset()` per parse (also removes the
+    * per-event newDocumentBuilder allocation from the hot path). */
+  private val builders = ThreadLocal.withInitial[javax.xml.parsers.DocumentBuilder](
+    () => factory.synchronized(factory.newDocumentBuilder()))
+
   private def elementToValue(el: Element): Any = {
     val children = el.getChildNodes
-    val childMap = mutable.LinkedHashMap.empty[String, Any]
+    val childMap = new Event.FMap()
     val text = new java.lang.StringBuilder
     var i = 0
     while (i < children.getLength) {
@@ -31,9 +38,9 @@ object Xml {
         case e: Element =>
           val v = elementToValue(e)
           childMap.get(e.getTagName) match {
-            case Some(a: mutable.ArrayBuffer[Any @unchecked]) => a += v
-            case Some(prev) => childMap.put(e.getTagName, mutable.ArrayBuffer[Any](prev, v))
-            case None => childMap.put(e.getTagName, v)
+            case a: mutable.ArrayBuffer[Any @unchecked] => a += v
+            case null => childMap.put(e.getTagName, v)
+            case prev => childMap.put(e.getTagName, mutable.ArrayBuffer[Any](prev, v))
           }
         case n if n.getNodeType == Node.TEXT_NODE || n.getNodeType == Node.CDATA_SECTION_NODE =>
           text.append(n.getNodeValue)
@@ -62,8 +69,9 @@ object Xml {
       case None => false
       case Some(s) =>
         try {
-          val doc = factory.newDocumentBuilder()
-            .parse(new org.xml.sax.InputSource(new java.io.StringReader(s)))
+          val b = builders.get()
+          b.reset()
+          val doc = b.parse(new org.xml.sax.InputSource(new java.io.StringReader(s)))
           ev.set(target, elementToValue(doc.getDocumentElement))
           true
         } catch { case _: Exception => ev.addTag("_xmlparsefailure"); false }

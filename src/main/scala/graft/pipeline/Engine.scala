@@ -16,35 +16,58 @@ object Engine {
 
   private val dayFmt = DateTimeFormatter.ofPattern("yyyy.MM.dd").withZone(ZoneOffset.UTC)
 
-  def processTurn(t: Turn, dicts: Dicts): Seq[ParsedTurn] = {
-    val cfg = Registry.configs.getOrElse(t.tool, Registry.configs("unknown"))
-    val program = Registry.programs.getOrElse(t.tool, Registry.programs("unknown"))
-    val tsMillis = t.ts.getTime
+  /** parse-STAGE failure predicate. Evaluated after the parse program but
+    * BEFORE the enrichment chain runs, so enrichment-stage grok tags (e.g.
+    * `_grokparsefailure_user_agent_1` from 10_user_agent_enrichment.conf,
+    * which only triggers field cleanup in the reference) can never flip a
+    * successfully parsed event to failed. */
+  private def parseOkOf(ev: Event): Boolean =
+    !ev.hasTag("_parse_failure") &&
+      !ev.tags.exists(tag => tag.startsWith("_dissectfailure") ||
+        tag.startsWith("_grokparsefailure") || tag == "dissect_failure_1")
+
+  /** Shared kernel core: run the technology's parse program, stamp parse_ok
+    * per produced event, then run the enrichment chain. Returns null when the
+    * turn was dropped (`drop {}`), else (event, parse_ok) pairs in sub_idx
+    * order. Pure function of (tool, text, tsMillis, dicts). */
+  def parseAndEnrich(cfg: TechnologyConfig, program: (Event, ParseCtx) => graft.rules.ParseOutcome,
+                     text: String, tsMillis: Long, dicts: Dicts): Seq[(Event, Boolean)] = {
     val tsYear = Instant.ofEpochMilli(tsMillis).atZone(ZoneOffset.UTC).getYear
     val ctx = ParseCtx(tsMillis, tsYear)
-
     val ev = new Event
-    ev.set("message", if (t.text == null) "" else t.text)
-
+    ev.set("message", if (text == null) "" else text)
     program(ev, ctx) match {
-      case Dropped => Nil
+      case Dropped => null
       case Parsed(events) =>
         val ectx = Enrich.Ctx(tsMillis, tsYear)
-        events.zipWithIndex.map { case (e, i) =>
+        events.map { e =>
+          val ok = parseOkOf(e)
           Enrich(e, cfg, dicts, ectx)
-          flatten(t, e, i, cfg, tsMillis)
+          (e, ok)
         }
     }
+  }
+
+  def techOf(tool: String): (TechnologyConfig, (Event, ParseCtx) => graft.rules.ParseOutcome) =
+    (Registry.configs.getOrElse(tool, Registry.configs("unknown")),
+      Registry.programs.getOrElse(tool, Registry.programs("unknown")))
+
+  def processTurn(t: Turn, dicts: Dicts): Seq[ParsedTurn] = {
+    val (cfg, program) = techOf(t.tool)
+    val tsMillis = t.ts.getTime
+    val out = parseAndEnrich(cfg, program, t.text, tsMillis, dicts)
+    if (out == null) Nil
+    else out.zipWithIndex.map { case ((e, ok), i) => flatten(t, e, ok, i, cfg, tsMillis) }
   }
 
   /** Elastic-style dated index (ref: config/outputs/elastic_output.conf:6-15
     * `%{[@metadata][output]}` with `%{+xxxx.MM.dd}` date pattern) — derived
     * from event time, deterministic. */
-  private def routeIndex(cfg: TechnologyConfig, tsMillis: Long): String =
+  def routeIndex(cfg: TechnologyConfig, tsMillis: Long): String =
     cfg.indexName + "_" + dayFmt.format(Instant.ofEpochMilli(tsMillis))
 
-  private def flatten(t: Turn, ev: Event, subIdx: Int, cfg: TechnologyConfig,
-                      tsMillis: Long): ParsedTurn = {
+  private def flatten(t: Turn, ev: Event, parseOk: Boolean, subIdx: Int,
+                      cfg: TechnologyConfig, tsMillis: Long): ParsedTurn = {
     def s(p: String): String = ev.getString(p).orNull
     def l(p: String): java.lang.Long = ev.get(p) match {
       case Some(x: Long) => java.lang.Long.valueOf(x)
@@ -58,9 +81,6 @@ object Engine {
       case Some(x: String) => Vector(x)
       case _ => Vector.empty
     }
-    val parseOk = !ev.hasTag("_parse_failure") &&
-      !ev.tags.exists(tag => tag.startsWith("_dissectfailure") || tag.startsWith("_grokparsefailure") || tag == "dissect_failure_1")
-
     ParsedTurn(
       conv_id = t.conv_id,
       turn_idx = t.turn_idx,

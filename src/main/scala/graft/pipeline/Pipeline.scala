@@ -42,7 +42,8 @@ object Pipeline {
     }
   }
 
-  /** Convenience: input DataFrame with the 6 input_hint columns → parsed.
+  /** Input DataFrame with the 6 input_hint columns → parsed (the production
+    * path: InternalRow-level kernel, no encoder boundary — see RowKernel).
     *
     * EXPLICIT partitioning (north rule): hash-repartition on conv_id to
     * exactly the executor parallelism before the fused kernel. Without this,
@@ -51,11 +52,29 @@ object Pipeline {
     * parse stage (measured: 8→32 cores gained only 1.03× before the fix).
     * At 100 TB the same line keeps hot conversations co-located and the
     * kernel parallelism pinned to the cluster width. */
-  def parseDf(spark: SparkSession, df: DataFrame): Dataset[ParsedTurn] = {
+  def parseDf(spark: SparkSession, df: DataFrame): DataFrame =
+    parseRows(spark, df, emitDropped = false)
+
+  /** Row-level kernel with optional dropped-turn marker rows (Sink's
+    * single-pass conservation accounting). */
+  def parseRows(spark: SparkSession, df: DataFrame, emitDropped: Boolean): DataFrame = {
+    import org.apache.spark.sql.graft.InternalBridge
+    val p = spark.sparkContext.defaultParallelism
+    val in = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .repartition(p, col("conv_id"))
+    val bc = dictsBroadcast(spark)
+    val rdd = InternalBridge.toRdd(in)
+      .mapPartitions(it => RowKernel.process(it, bc.value, emitDropped))
+    InternalBridge.toDf(spark, rdd, RowKernel.schema)
+  }
+
+  /** Typed variant of parseDf (Dataset encoder path) — kept for the
+    * streaming pipeline and as the parity reference for RowKernel. */
+  def parseTyped(spark: SparkSession, df: DataFrame): Dataset[ParsedTurn] = {
     import spark.implicits._
     val p = spark.sparkContext.defaultParallelism
     parse(spark, df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
-      .repartition(p, org.apache.spark.sql.functions.col("conv_id")).as[Turn])
+      .repartition(p, col("conv_id")).as[Turn])
   }
 
   /** North-rule aggregate: per-sink grouped counts by

@@ -1,0 +1,248 @@
+package graft.pipeline
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+import graft.enrich.Dicts
+import graft.model.Event
+import graft.rules.{ParseCtx, ParseOutcome, TechnologyConfig}
+
+/** InternalRow-level realization of the fused parse→enrich kernel.
+  *
+  * Identical semantics to the typed `Dataset[Turn] → Dataset[ParsedTurn]`
+  * path (proven row-for-row equal by RowParitySpec), but skips the Dataset
+  * encoder boundary on BOTH sides: input fields are read straight from the
+  * Tungsten row (no Turn/Timestamp materialization — pass-through strings
+  * are cloned as UTF8String bytes, never decoded), and output rows are built
+  * directly (no 93-field case class, no generated serializer re-encoding
+  * every string). At ≥8 allocating threads per box this measurably reduces
+  * DRAM pressure — the bottleneck behind the N-vs-4N scaling obligation.
+  *
+  * Row-object contract: every emitted row is a fresh GenericInternalRow
+  * (safe to buffer/cache downstream); input rows are only read inside the
+  * flatMap callback, with retained strings cloned out of the reused buffer.
+  */
+object RowKernel {
+
+  /** Output schema — derived from the ParsedTurn encoder so the row path and
+    * the typed path are the same table by construction. */
+  val schema: StructType = org.apache.spark.sql.Encoders.product[graft.model.ParsedTurn].schema
+  private val numFields = schema.length
+
+  private val emptyArray = new GenericArrayData(Array.empty[Any])
+  private val droppedRule = UTF8String.fromString("dropped")
+  private val notParsed = UTF8String.fromString("not parsed")
+
+  /** Per-partition compiled technology entry: config + program + reusable
+    * constant columns (raw input tool value, technology name, route_outputs
+    * array, dated index cached per epoch-day — log batches are
+    * time-clustered). Emitted UTF8Strings are immutable, so sharing one
+    * instance across all of a partition's rows is safe. */
+  private final class Tech(val toolU8: UTF8String, // raw input value (passthrough column)
+                           val cfg: TechnologyConfig,
+                           val program: (Event, ParseCtx) => ParseOutcome) {
+    val techU8: UTF8String = UTF8String.fromString(cfg.tech)
+    val routeOutputs: GenericArrayData =
+      new GenericArrayData(cfg.outputs.iterator.map(UTF8String.fromString).toArray[Any])
+    private var lastDay: Long = Long.MinValue
+    private var lastIdx: UTF8String = _
+    def routeIndexU8(tsMillis: Long): UTF8String = {
+      val day = Math.floorDiv(tsMillis, 86400000L)
+      if (day != lastDay) {
+        lastDay = day
+        lastIdx = UTF8String.fromString(Engine.routeIndex(cfg, tsMillis))
+      }
+      lastIdx
+    }
+  }
+
+  /** One partition of input rows (conv_id, turn_idx, role, text, tool, ts)
+    * → 0..N output rows each. `emitDropped` additionally materializes one
+    * marker row (parse_rule='dropped', empty route_outputs) per `drop {}`-ed
+    * input turn so a single pass can account for conservation metrics —
+    * used by Sink; the query path filters at the source by not asking. */
+  def process(it: Iterator[InternalRow], dicts: Dicts,
+              emitDropped: Boolean): Iterator[InternalRow] = {
+    val techs = new java.util.HashMap[UTF8String, Tech]()
+    it.flatMap { row =>
+      val toolU8 = if (row.isNullAt(4)) UTF8String.EMPTY_UTF8 else row.getUTF8String(4)
+      var tech = techs.get(toolU8)
+      if (tech == null) {
+        val key = toolU8.clone()
+        val (cfg, program) = Engine.techOf(key.toString)
+        tech = new Tech(key, cfg, program)
+        techs.put(key, tech)
+      }
+      val tsMicros = row.getLong(5)
+      val tsMillis = Math.floorDiv(tsMicros, 1000L)
+      val text = if (row.isNullAt(3)) null else row.getUTF8String(3).toString
+      val results = Engine.parseAndEnrich(tech.cfg, tech.program, text, tsMillis, dicts)
+      if (results == null && !emitDropped) Nil
+      else {
+        val convU8 = if (row.isNullAt(0)) null else row.getUTF8String(0).clone()
+        val turnIdx = row.getInt(1)
+        val roleU8 = if (row.isNullAt(2)) null else row.getUTF8String(2).clone()
+        val textU8 = if (row.isNullAt(3)) null else row.getUTF8String(3).clone()
+        if (results == null)
+          droppedRow(tech, convU8, turnIdx, roleU8, textU8, tsMicros, tsMillis) :: Nil
+        else {
+          var i = -1
+          results.map { case (ev, parseOk) =>
+            i += 1
+            flatten(ev, parseOk, i, tech, convU8, turnIdx, roleU8, textU8, tsMicros, tsMillis)
+          }
+        }
+      }
+    }
+  }
+
+  private def droppedRow(tech: Tech, convU8: UTF8String, turnIdx: Int,
+                         roleU8: UTF8String, textU8: UTF8String,
+                         tsMicros: Long, tsMillis: Long): InternalRow = {
+    val v = new Array[Any](numFields)
+    v(0) = convU8; v(1) = turnIdx; v(2) = 0; v(3) = roleU8; v(4) = tech.toolU8
+    v(5) = tsMicros; v(6) = textU8; v(7) = tech.techU8; v(8) = droppedRule
+    v(9) = false; v(10) = emptyArray; v(11) = tech.routeIndexU8(tsMillis)
+    v(12) = emptyArray
+    v(numFields - 3) = emptyArray; v(numFields - 2) = emptyArray; v(numFields - 1) = emptyArray
+    new GenericInternalRow(v)
+  }
+
+  /** Field-for-field mirror of Engine.flatten (ParsedTurn declaration
+    * order); RowParitySpec proves equality against the typed path. */
+  private def flatten(ev: Event, parseOk: Boolean, subIdx: Int, tech: Tech,
+                      convU8: UTF8String, turnIdx: Int, roleU8: UTF8String,
+                      textU8: UTF8String, tsMicros: Long, tsMillis: Long): InternalRow = {
+    val v = new Array[Any](numFields)
+    var i = 0
+    def put(x: Any): Unit = { v(i) = x; i += 1 }
+    def s(p: String): Unit = {
+      val x = ev.stringOrNull(p)
+      put(if (x == null) null else UTF8String.fromString(x))
+    }
+    def l(p: String): Unit = put(ev.valueOrNull(p) match {
+      case x: Long => x
+      case x: String => x.toLongOption match { case Some(n) => n; case None => null }
+      case x: Double => x.toLong
+      case _ => null
+    })
+    def arr(p: String): Unit = put(ev.valueOrNull(p) match {
+      case a: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
+        val b = Array.newBuilder[Any]
+        b.sizeHint(a.length)
+        a.foreach { case x: String => b += UTF8String.fromString(x); case _ => () }
+        new GenericArrayData(b.result())
+      case x: String => new GenericArrayData(Array[Any](UTF8String.fromString(x)))
+      case _ => emptyArray
+    })
+    def priv(tagTrue: String, tagFalse: String): Unit =
+      put(if (ev.hasTag(tagTrue)) true else if (ev.hasTag(tagFalse)) false else null)
+
+    put(convU8)                       // conv_id
+    put(turnIdx)                      // turn_idx
+    put(subIdx)                       // sub_idx
+    put(roleU8)                       // role
+    put(tech.toolU8)                  // tool — raw input value passthrough
+    put(tsMicros)                     // ts
+    put(textU8)                       // text — UNTOUCHED passthrough
+    put(tech.techU8)                  // technology
+    val pr = ev.stringOrNull("[agent][parse_rule]")
+    put(if (pr == null) notParsed else UTF8String.fromString(pr)) // parse_rule
+    put(parseOk)                      // parse_ok
+    if (ev.tags.isEmpty) put(emptyArray) // tags (sorted)
+    else {
+      val t = ev.tags.toArray
+      java.util.Arrays.sort(t.asInstanceOf[Array[Object]])
+      val o = new Array[Any](t.length)
+      var j = 0
+      while (j < t.length) { o(j) = UTF8String.fromString(t(j)); j += 1 }
+      put(new GenericArrayData(o))
+    }
+    put(tech.routeIndexU8(tsMillis))  // route_index
+    put(tech.routeOutputs)            // route_outputs (shared immutable constant)
+    s("message")
+    s("[log][original]")
+    s("[event][module]")
+    s("[event][dataset]")
+    s("[event][kind]")
+    s("[event][category]")
+    s("[event][type]")
+    s("[event][action]")
+    s("[event][outcome]")
+    s("[event][provider]")
+    l("[event][severity]")
+    l("[event][created_ms]")
+    l("[event][end_ms]")
+    s("[event][hash]")
+    s("[source][ip]")
+    s("[source][address]")
+    l("[source][port]")
+    s("[source][mac]")
+    priv("sip_private", "sip_public")
+    s("[source][geo][country_iso_code]")
+    s("[source][geo][city_name]")
+    s("[destination][ip]")
+    l("[destination][port]")
+    priv("dip_private", "dip_public")
+    s("[destination][geo][country_iso_code]")
+    s("[destination][geo][city_name]")
+    s("[destination][domain]")
+    s("[network][transport]")
+    s("[network][protocol]")
+    s("[network][iana_number]")
+    l("[network][bytes]")
+    l("[network][packets]")
+    l("[log][syslog][facility][code]")
+    s("[log][syslog][facility][name]")
+    l("[log][syslog][severity][code]")
+    s("[log][syslog][severity][name]")
+    s("[log][source][hostname]")
+    s("[rule][name]")
+    s("[rule][description]")
+    s("[rule][category]")
+    s("[rule][version]")
+    s("[rule][ruleset]")
+    s("[host][name]")
+    s("[host][id]")
+    s("[user][name]")
+    s("[user][email]")
+    s("[user][full_name]")
+    s("[url][original]")
+    s("[url][domain]")
+    s("[url][path]")
+    s("[url][query]")
+    s("[url][top_level_domain]")
+    s("[url][registered_domain]")
+    s("[service][name]")
+    s("[service][version]")
+    s("[cloud][provider]")
+    s("[cloud][account][id]")
+    s("[observer][vendor]")
+    s("[observer][product]")
+    s("[observer][egress][interface][id]")
+    s("[error][code]")
+    s("[threat][tactic][name]")
+    s("[threat][tactic][reference]")
+    l("[process][pid]")
+    s("[source][nat][ip]")
+    s("[http][request][method]")
+    l("[source][bytes]")
+    l("[destination][bytes]")
+    s("[host][ip]")
+    s("[event][id]")
+    s("[user_agent][original]")
+    s("[browser][name]")
+    s("[browser][version]")
+    s("[user_agent][device][name]")
+    s("[user_agent][os][family]")
+    s("[user_agent][os][platform]")
+    s("[user_agent][os][version]")
+    arr("[related][ip]")
+    arr("[related][hosts]")
+    arr("[related][user]")
+    assert(i == numFields, s"flatten wrote $i of $numFields fields")
+    new GenericInternalRow(v)
+  }
+}

@@ -14,21 +14,31 @@ import org.apache.spark.sql.functions._
   * §7.1; the manifest layer below is the part Iceberg would otherwise
   * provide, kept so a real catalog can be swapped in):
   *
-  *   sink=<sink>/chunk=<c>/...parquet        routed rows per output pipeline
-  *   _manifests/<snapshotId>/chunk-<c>.json  lineage + metrics per chunk
-  *   _manifests/<snapshotId>/_ledger/<c>     commit marker (atomic rename)
+  *   snapshot=<id>/sink=<s>/chunk=<c>/...parquet  routed rows per output pipeline
+  *   _manifests/<id>/snapshot.json                snapshot config (numChunks)
+  *   _manifests/<id>/chunk-<c>.json               lineage + metrics per chunk
+  *   _manifests/<id>/_ledger/<c>                  commit marker (atomic rename)
+  *
+  * Data paths are SNAPSHOT-SCOPED: two snapshots of the same rootDir never
+  * overwrite each other, so a ledger can never claim rows another snapshot
+  * replaced. `numChunks` is persisted in snapshot.json on the first
+  * invocation and validated on every resume — resuming with a different
+  * chunking (which would silently mis-bucket rows) is rejected.
   *
   * Chunk = deterministic hash bucket of conv_id (`pmod(hash(conv_id), n)`),
   * i.e. the same explicit partitioning the rest of the engine keys on. A
   * chunk is the unit of both failure recovery and lineage: its manifest
   * records input rows, parsed/failed/dropped, and per-sink routed counts.
-  * Re-running a snapshot skips chunks whose ledger marker exists — the
-  * write of marker AFTER data + manifest makes the protocol idempotent
-  * (at-least-once write, exactly-once visibility).
+  * Re-running a snapshot skips chunks whose ledger marker exists.
   *
-  * The multi-sink pass is sequential and non-cloned, mirroring the
-  * reference's memory deliberation (ref: build_scripts/README.md:54-56):
-  * the enriched chunk is persisted once and each sink filters it.
+  * The write is ONE input pass: pending chunks are parsed once
+  * (drop{}-ed turns materialize as marker rows so conservation metrics need
+  * no second scan), persisted, fanned out by exploding route_outputs, and
+  * written with dynamic partition overwrite on (sink, chunk) — the
+  * sequential non-cloned multi-sink strategy of the reference
+  * (ref: build_scripts/README.md:54-56) without re-scanning the input per
+  * chunk or per sink. Ledger markers commit after the write lands, making
+  * the protocol idempotent (at-least-once write, exactly-once visibility).
   */
 object Sink {
 
@@ -61,49 +71,81 @@ object Sink {
     }
   }
 
+  /** Record numChunks at snapshot creation; reject a resume that disagrees. */
+  private def validateSnapshotManifest(rootDir: String, snapshotId: String,
+                                       numChunks: Int): Unit = {
+    val dir = Paths.get(rootDir, "_manifests", snapshotId)
+    Files.createDirectories(dir)
+    val f = dir.resolve("snapshot.json")
+    if (Files.exists(f)) {
+      val txt = Files.readString(f)
+      val recorded = "\"num_chunks\":\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      require(recorded.contains(numChunks),
+        s"snapshot $snapshotId was created with num_chunks=${recorded.orNull}; " +
+          s"resuming with numChunks=$numChunks would mis-bucket rows")
+    } else {
+      val tmp = dir.resolve(".snapshot.json.tmp")
+      Files.writeString(tmp, s"""{"snapshot": "$snapshotId", "num_chunks": $numChunks}""")
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Write one snapshot of the routed pipeline output. Returns metrics for
     * the chunks processed in THIS invocation (resumed chunks are skipped). */
   def writeSnapshot(spark: SparkSession, input: DataFrame, rootDir: String,
                     snapshotId: String, numChunks: Int = 8): Seq[ChunkMetrics] = {
+    validateSnapshotManifest(rootDir, snapshotId, numChunks)
     Files.createDirectories(ledgerDir(rootDir, snapshotId))
     val done = completedChunks(rootDir, snapshotId)
-    val withChunk = input.withColumn("_chunk",
-      pmod(hash(col("conv_id")), lit(numChunks)))
-    val out = Vector.newBuilder[ChunkMetrics]
-    (0 until numChunks).foreach { c =>
-      if (!done.contains(c)) {
-        out += writeChunk(spark, withChunk.filter(col("_chunk") === c).drop("_chunk"),
-          rootDir, snapshotId, c)
-      }
-    }
-    out.result()
-  }
+    val pending = (0 until numChunks).filterNot(done)
+    if (pending.isEmpty) return Nil
 
-  private def writeChunk(spark: SparkSession, chunkInput: DataFrame,
-                         rootDir: String, snapshotId: String, c: Int): ChunkMetrics = {
-    val inputRows = chunkInput.count()
-    val parsedDf = Pipeline.parseDf(spark, chunkInput).toDF()
+    val chunkOf = pmod(hash(col("conv_id")), lit(numChunks))
+    val pendingInput = input.filter(chunkOf.isin(pending: _*))
+    // ONE parse pass over all pending chunks; dropped turns become marker
+    // rows (empty route_outputs) so conservation needs no second input scan.
+    // conv_id passes through the kernel unchanged, so the chunk is
+    // re-derivable on the output side with the same hash expression.
+    val parsed = Pipeline.parseRows(spark, pendingInput, emitDropped = true)
+      .withColumn("chunk", chunkOf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val outputEvents = parsedDf.count()
-      val failed = parsedDf.filter(!col("parse_ok")).count()
-      val droppedRows = inputRows - parsedDf.filter(col("sub_idx") === 0).count()
-      // sequential non-cloned multi-sink pass (ref: README.md:54-56)
-      val sinks = parsedDf.select(explode(col("route_outputs")).as("s"))
-        .distinct().collect().map(_.getString(0)).sorted
-      val routed = sinks.map { s =>
-        val rows = parsedDf.filter(array_contains(col("route_outputs"), s))
-        rows.write.mode(SaveMode.Overwrite)
-          .parquet(s"$rootDir/sink=$s/chunk=$c")
-        s -> rows.count()
-      }.toMap
-      val m = ChunkMetrics(c, inputRows, outputEvents,
-        parsed = outputEvents - failed, failed = failed,
-        dropped = droppedRows, routedPerSink = routed)
-      writeManifest(rootDir, snapshotId, m)
-      commitLedger(rootDir, snapshotId, c)
-      m
-    } finally parsedDf.unpersist()
+      // single write job: explode route fan-out, dynamic overwrite of only
+      // the (sink, chunk) partitions this invocation owns. Marker rows have
+      // no outputs, so the explode drops them from the data files.
+      parsed.withColumn("sink", explode(col("route_outputs")))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("sink", "chunk")
+        .parquet(s"$rootDir/snapshot=$snapshotId")
+
+      // metrics: one aggregation pass over the persisted parse result
+      val marker = col("parse_rule") === "dropped"
+      val baseRows = parsed.groupBy(col("chunk")).agg(
+        count(when(col("sub_idx") === 0, 1)).as("input_rows"),
+        count(when(!marker, 1)).as("output_events"),
+        count(when(marker, 1)).as("dropped"),
+        count(when(!marker && !col("parse_ok"), 1)).as("failed")
+      ).collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val routedRows = parsed
+        .select(col("chunk"), explode(col("route_outputs")).as("s"))
+        .groupBy(col("chunk"), col("s")).agg(count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) => c -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap }
+
+      pending.map { c =>
+        val (inRows, outEvents, dropped, failed) =
+          baseRows.getOrElse(c, (0L, 0L, 0L, 0L))
+        val m = ChunkMetrics(c, inRows, outEvents,
+          parsed = outEvents - failed, failed = failed, dropped = dropped,
+          routedPerSink = routedRows.getOrElse(c, Map.empty))
+        writeManifest(rootDir, snapshotId, m)
+        commitLedger(rootDir, snapshotId, c)
+        m
+      }
+    } finally parsed.unpersist()
   }
 
   private def writeManifest(rootDir: String, snapshotId: String, m: ChunkMetrics): Unit = {
@@ -136,7 +178,11 @@ object Sink {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Read back one sink's routed rows across all chunks. */
-  def readSink(spark: SparkSession, rootDir: String, sink: String): DataFrame =
-    spark.read.parquet(s"$rootDir/sink=$sink")
+  /** Read back one sink's routed rows across all chunks of a snapshot
+    * (same schema as the parsed table). */
+  def readSink(spark: SparkSession, rootDir: String, snapshotId: String,
+               sink: String): DataFrame =
+    spark.read.option("basePath", s"$rootDir/snapshot=$snapshotId")
+      .parquet(s"$rootDir/snapshot=$snapshotId/sink=$sink")
+      .drop("sink", "chunk")
 }

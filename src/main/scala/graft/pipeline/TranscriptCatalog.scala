@@ -16,7 +16,7 @@ trait TranscriptCatalog {
                     snapshotId: String, numChunks: Int): Seq[Sink.ChunkMetrics]
 
   /** Read one routed sink of a committed snapshot. */
-  def readSink(spark: SparkSession, sink: String): DataFrame
+  def readSink(spark: SparkSession, snapshotId: String, sink: String): DataFrame
 
   /** Chunks already committed for a snapshot (the resume ledger). */
   def committed(snapshotId: String): Set[Int]
@@ -28,8 +28,8 @@ final class ParquetCatalog(rootDir: String) extends TranscriptCatalog {
                              snapshotId: String, numChunks: Int): Seq[Sink.ChunkMetrics] =
     Sink.writeSnapshot(spark, turns, rootDir, snapshotId, numChunks)
 
-  override def readSink(spark: SparkSession, sink: String): DataFrame =
-    Sink.readSink(spark, rootDir, sink)
+  override def readSink(spark: SparkSession, snapshotId: String, sink: String): DataFrame =
+    Sink.readSink(spark, rootDir, snapshotId, sink)
 
   override def committed(snapshotId: String): Set[Int] =
     Sink.completedChunks(rootDir, snapshotId)

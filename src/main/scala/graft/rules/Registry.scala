@@ -215,11 +215,11 @@ object Registry {
     ev.set("[agent][parse_rule]", "Rule 1")
     val records = ev.get("[azure][records]") match {
       case Some(a: mutable.ArrayBuffer[Any @unchecked]) if a.nonEmpty => a.toVector
-      case _ => Vector(ev.get("[azure]").getOrElse(mutable.LinkedHashMap.empty[String, Any]))
+      case _ => Vector(ev.get("[azure]").getOrElse(new Event.FMap()))
     }
     val out = records.map { rec =>
       val sub = new Event
-      ev.root.foreach { case (k, v) if k != "azure" => sub.root.put(k, Event.deepCopy(v)); case _ => () }
+      ev.root.forEach((k, v) => if (k != "azure") sub.root.put(k, Event.deepCopy(v)))
       ev.tags.foreach(sub.addTag)
       sub.set("azsign", Event.deepCopy(rec))
       JsonOps.encode(sub, "azsign", "message") // ref :26-29 json_encode

@@ -14,7 +14,7 @@ class EventSpec extends AnyFunSuite {
     assert(ev.get("[a][b][c]").isEmpty)
     assert(ev.getString("[d][e]").contains("x"))
     ev.remove("[d][e]")
-    assert(ev.get("[d]").exists(_.asInstanceOf[mutable.LinkedHashMap[String, Any]].isEmpty))
+    assert(ev.get("[d]").exists(_.asInstanceOf[graft.model.Event.FMap].isEmpty))
   }
 
   test("scalar⇄array duality and [x][0] probe (ref 02_ecs_data_type.conf:131)") {
@@ -34,9 +34,9 @@ class EventSpec extends AnyFunSuite {
     ev.set("[b][long]", "x" * 2000)
     ev.walk { (_: String, v: Any) =>
       v match {
-        case s: String if s.isEmpty || s == "-" || s == "null" => None
-        case s: String if s.length > 1023 => Some(s.substring(0, 1023))
-        case other => Some(other)
+        case s: String if s.isEmpty || s == "-" || s == "null" => Event.Drop
+        case s: String if s.length > 1023 => s.substring(0, 1023)
+        case other => other
       }
     }
     assert(ev.get("[a][empty]").isEmpty)
@@ -292,6 +292,21 @@ class DissectAppendSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ev.getString("date").contains("2020/10/11 22:14:15"))
     assert(ev.getString("rest").contains("rest"))
   }
+
+  test("%{+field} joins with the PRECEDING delimiter, not a hardcoded space") {
+    val ev = new graft.model.Event
+    ev.set("m", "a,b,c rest")
+    assert(graft.parse.Dissect(ev, "m", "%{f},%{+f},%{+f} %{rest}"))
+    assert(ev.getString("f").contains("a,b,c")) // Logstash dissect semantics
+    assert(ev.getString("rest").contains("rest"))
+  }
+
+  test("explicit append_separator overrides the preceding delimiter") {
+    val ev = new graft.model.Event
+    ev.set("m", "a,b")
+    assert(graft.parse.Dissect.compile("%{f},%{+f}", "|").extract(ev, "a,b"))
+    assert(ev.getString("f").contains("a|b"))
+  }
 }
 
 class CsvSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -424,8 +439,8 @@ class IdempotenceSpec extends org.scalatest.funsuite.AnyFunSuite {
     ev.set("[a][long]", "x" * 5000)
     def walkOnce(): Unit = ev.walk { (_: String, v: Any) =>
       v match {
-        case s: String if s.length > 1023 => Some(s.substring(0, 1023))
-        case o => Some(o)
+        case s: String if s.length > 1023 => s.substring(0, 1023)
+        case o => o
       }
     }
     walkOnce()

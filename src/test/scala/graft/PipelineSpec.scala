@@ -73,7 +73,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // delete chunk 1,3 data + ledger to simulate lost work
     import scala.sys.process._
     Seq(1, 3).foreach { c =>
-      Seq("bash", "-c", s"rm -rf '$partial'/sink=*/chunk=$c").!
+      Seq("bash", "-c", s"rm -rf '$partial'/snapshot=snap1/sink=*/chunk=$c").!
       Files.deleteIfExists(Sink.ledgerDir(partial, "snap1").resolve(c.toString))
     }
     // resume writes ONLY the missing chunks
@@ -81,14 +81,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resumed.map(_.chunk).toSet == Set(1, 3))
     // per-sink contents identical to the uninterrupted run
     for (s <- Seq("elastic", "s3", "failed")) {
-      val x = Sink.readSink(spark, full, s).drop("chunk")
-      val y = Sink.readSink(spark, partial, s).drop("chunk")
+      val x = Sink.readSink(spark, full, "snap1", s)
+      val y = Sink.readSink(spark, partial, "snap1", s)
       assert(x.exceptAll(y).count() == 0 && y.exceptAll(x).count() == 0, s"sink $s differs")
     }
     // routed metrics account for every output event (fan-out counted per sink)
     val parsed = Pipeline.parseDf(spark, input).toDF()
     val expectRouted = parsed.select(explode(col("route_outputs"))).count()
     assert(m1.flatMap(_.routedPerSink.values).sum == expectRouted)
+    // a SECOND snapshot of the same root never clobbers the first
+    val m2 = Sink.writeSnapshot(spark,
+      input.filter(col("turn_idx") % 2 === 0), full, "snap2", numChunks = 4)
+    assert(m2.nonEmpty)
+    val s1 = Sink.readSink(spark, full, "snap1", "elastic")
+    val x1 = Sink.readSink(spark, partial, "snap1", "elastic")
+    assert(s1.exceptAll(x1).count() == 0 && x1.exceptAll(s1).count() == 0,
+      "snap2 must not disturb snap1 data")
+    // resuming with a different numChunks is rejected (would mis-bucket rows)
+    assertThrows[IllegalArgumentException] {
+      Sink.writeSnapshot(spark, input, full, "snap1", numChunks = 8)
+    }
   }
 
   test("streaming pipeline: counts equal batch counts; stateful op tracks conversations") {

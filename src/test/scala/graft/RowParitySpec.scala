@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.gen.Transcripts
+import graft.pipeline.Pipeline
+
+/** The InternalRow kernel (RowKernel) must be row-for-row identical to the
+  * typed Dataset encoder path on every corpus — the row path is a pure
+  * serialization-boundary optimization, never a semantic change. */
+class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-rowparity")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private def assertSame(rows: DataFrame, typed: DataFrame, what: String): Unit = {
+    assert(rows.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      typed.schema.fields.map(f => (f.name, f.dataType)).toSeq, s"$what schema differs")
+    assert(rows.exceptAll(typed).count() == 0 && typed.exceptAll(rows).count() == 0,
+      s"$what rows differ between InternalRow and typed kernels")
+  }
+
+  test("row kernel == typed kernel on the main corpus") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val input = Transcripts.input(spark, sf)
+    assertSame(Pipeline.parseDf(spark, input),
+      Pipeline.parseTyped(spark, input).toDF(), "main")
+  }
+
+  test("row kernel == typed kernel on the csv and xml corpora") {
+    assertSame(Pipeline.parseDf(spark, Transcripts.csvInput(spark, sf)),
+      Pipeline.parseTyped(spark, Transcripts.csvInput(spark, sf)).toDF(), "csv")
+    assertSame(Pipeline.parseDf(spark, Transcripts.xmlInput(spark, sf)),
+      Pipeline.parseTyped(spark, Transcripts.xmlInput(spark, sf)).toDF(), "xml")
+  }
+
+  test("emitDropped materializes exactly the drop{}-ed turns as marker rows") {
+    val input = Transcripts.input(spark, sf)
+    val n = input.count()
+    val plain = Pipeline.parseDf(spark, input).cache()
+    val withDropped = Pipeline.parseRows(spark, input, emitDropped = true).cache()
+    val markers = withDropped.filter(col("parse_rule") === "dropped")
+    // markers have empty route_outputs (invisible to the router/explode)
+    assert(markers.filter(size(col("route_outputs")) =!= 0).count() == 0)
+    assert(markers.filter(col("parse_ok")).count() == 0)
+    // input conservation in ONE pass: sub_idx=0 rows (incl. markers) == input
+    assert(withDropped.filter(col("sub_idx") === 0).count() == n)
+    // non-marker rows identical to the plain path
+    val nonMarkers = withDropped.filter(col("parse_rule") =!= "dropped")
+    assert(nonMarkers.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(nonMarkers).count() == 0)
+    plain.unpersist(); withDropped.unpersist()
+  }
+}
