@@ -41,23 +41,18 @@ object MlEntry {
     "d09_fingerprint" -> ((s, dir) => TextOps.fingerprints(s, TextOps.docs(s, dir))),
 
     // IVF-bucketed approximate top-k — the 100 TB scale path for d05.
-    // No SQL oracle (approximate); driver records rows-only.
+    // Deterministic (row-local assignment + fixed nprobe) → exact oracle.
     "d10_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+
+    // the IVF bucketing contract itself (row-local argmax, zero shuffle)
+    "d10_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(s, dir)),
 
     // multimodal plumbing: opaque binary payload + stubbed decode kernel
     "m01_multimodal" -> ((s, dir) => Similarity.multimodal(s, dir)),
 
-    // embedding-cosine near-dup scoring over a deterministic subsample
-    "d11_embed_neardup" -> ((s, dir) => {
-      val e = Similarity.embeddings(s, dir).filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id"), col("embedding"))
-      e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          expr("""CAST(FLOOR(aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
-            / (SQRT(aggregate(a.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
-             * SQRT(aggregate(b.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * 10000.0 + 0.5) AS INT)""").as("sim_bp"))
-        .withColumn("is_dup", (col("sim_bp") >= 9000).cast("int"))
-    }),
+    // embedding-cosine near-dup: IVF-bucket blocking + exact scoring
+    // (bounded by bucket size — no all-pairs, no growing broadcast)
+    "d11_embed_neardup" -> ((s, dir) => Similarity.embedNearDup(s, dir)),
 
     // sort/rank: top-3 events by value per type (stable tiebreak)
     "r05_rank" -> ((s, dir) => {
@@ -111,20 +106,43 @@ object MlEntry {
     })
   )
 
+  /** Shared DuckDB CTE: MinHash-LSH candidate pairs (cap-free — the shingle
+    * index range derives from each doc's own token count via a correlated
+    * list comprehension; the round-1 `range(1, 4096)` join silently capped
+    * long docs). */
+  private val lshCandCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) AS s
+       FROM toks WHERE len(w) >= 3),
+mh AS (SELECT doc_id, h.i2 AS hi, MIN(md5(CAST(h.i2 AS STRING) || ':' || s)) AS m
+       FROM sh CROSS JOIN generate_series(0, 11) AS h(i2) GROUP BY 1, 2),
+bands AS (SELECT doc_id, hi // 3 AS band, md5(string_agg(m, '' ORDER BY hi)) AS sig
+          FROM mh GROUP BY 1, 2),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
+
+  /** Shared DuckDB CTE: embeddings as doubles, the deterministic centroid
+    * codebook, and the nearest-centroid assignment (cosine ties → lower
+    * cent_id) — mirrors Similarity.ivfAssignWithEmbedding exactly. */
+  private val ivfAsgCte: String =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+c AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE (vec_id % 97) = 0),
+asg AS (SELECT vec_id, cent_id, emb FROM (
+          SELECT e.vec_id, c.cent_id, e.emb,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(c.ce, e.emb)
+                     / (sqrt(list_dot_product(c.ce, c.ce)) * sqrt(list_dot_product(e.emb, e.emb))) DESC,
+                   c.cent_id) AS rn
+          FROM e CROSS JOIN c) WHERE rn = 1)"""
+
   def oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" ->
       "SELECT md5(text) AS hash, COUNT(*) AS cnt, MIN(doc_id) AS keep_id FROM documents GROUP BY 1",
 
     "d02_minhash_pairs" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS s
-       FROM toks CROSS JOIN range(1, 4096) t(i) WHERE len(w) >= 3 AND i <= len(w) - 2),
-mh AS (SELECT doc_id, h.i2 AS hi, MIN(md5(CAST(h.i2 AS STRING) || ':' || s)) AS m
-       FROM sh CROSS JOIN generate_series(0, 11) AS h(i2) GROUP BY 1, 2),
-bands AS (SELECT doc_id, hi // 3 AS band, md5(string_agg(m, '' ORDER BY hi)) AS sig
-          FROM mh GROUP BY 1, 2)
-SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id""",
+      s"""WITH $lshCandCte
+SELECT doc_a, doc_b FROM cand""",
 
     "d03_simhash" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
@@ -140,17 +158,16 @@ SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1, 1), '' 
 FROM nib GROUP BY 1""",
 
     "d04_jaccard" ->
-      """WITH c AS (SELECT doc_id, source, text FROM documents WHERE (doc_id % 23) = 0),
-w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM c),
+      s"""WITH $lshCandCte,
+w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
 n AS (SELECT doc_id, COUNT(*) AS nw FROM w GROUP BY 1),
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM c a JOIN c b ON a.source = b.source AND a.doc_id < b.doc_id),
-i AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS iw
-      FROM p JOIN w wa ON wa.doc_id = p.doc_a JOIN w wb ON wb.doc_id = p.doc_b AND wb.word = wa.word
+i AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS iw
+      FROM cand c JOIN w wa ON wa.doc_id = c.doc_a JOIN w wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
       GROUP BY 1, 2)
-SELECT p.doc_a, p.doc_b,
+SELECT c.doc_a, c.doc_b,
   CAST(FLOOR(COALESCE(i.iw, 0) * 10000.0 / (na.nw + nb.nw - COALESCE(i.iw, 0)) + 0.5) AS INT) AS jac_bp
-FROM p LEFT JOIN i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b""",
+FROM cand c LEFT JOIN i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN n na ON na.doc_id = c.doc_a JOIN n nb ON nb.doc_id = c.doc_b""",
 
     "d05_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
@@ -201,9 +218,10 @@ FROM a""",
 FROM documents""",
 
     "d09_fingerprint" ->
-      """WITH g AS (SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 8)) AS h
-           FROM documents CROSS JOIN range(1, 8192) t(i)
-           WHERE LENGTH(text) >= 11 AND i <= LENGTH(text) - 7),
+      """WITH g0 AS (SELECT doc_id, unnest(list_transform(range(1, LENGTH(text) - 6),
+             i -> {'i': i, 'h': md5(substr(text, CAST(i AS INT), 8))})) AS x
+           FROM documents WHERE LENGTH(text) >= 11),
+g AS (SELECT doc_id, x.i AS i, x.h AS h FROM g0),
 w AS (SELECT doc_id, i,
         MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
         COUNT(*) OVER (PARTITION BY doc_id) AS n FROM g)
@@ -217,16 +235,38 @@ FROM w WHERE i <= n - 3 GROUP BY 1""",
   CAST(1 + strlen(text) % 7 AS BIGINT) AS n_frames
 FROM documents""",
 
+    "d10_ivf_assign" ->
+      s"""WITH $ivfAsgCte
+SELECT vec_id, cent_id FROM asg""",
+
+    "d10_ann_ivf" ->
+      s"""WITH $ivfAsgCte,
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE (vec_id % 50) = 0),
+probe AS (SELECT query_id, cent_id, qe FROM (
+            SELECT q.query_id, c.cent_id, q.qe,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(c.ce, q.qe)
+                       / (sqrt(list_dot_product(c.ce, c.ce)) * sqrt(list_dot_product(q.qe, q.qe))) DESC,
+                     c.cent_id) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= 16),
+s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(p.qe, a.emb)
+               / (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(a.emb, a.emb))) AS sim
+      FROM probe p JOIN asg a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id),
+r AS (SELECT query_id, neighbor_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+SELECT query_id, rnk, neighbor_id, CAST(FLOOR(sim * 10000.0 + 0.5) AS INT) AS sim_bp
+FROM r WHERE rnk <= 3""",
+
     "d11_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-           FROM embeddings WHERE (vec_id % 20) = 0)
+      s"""WITH $ivfAsgCte
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   CAST(FLOOR(list_dot_product(a.emb, b.emb)
     / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) * 10000.0 + 0.5) AS INT) AS sim_bp,
   CASE WHEN CAST(FLOOR(list_dot_product(a.emb, b.emb)
     / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) * 10000.0 + 0.5) AS INT) >= 9000
        THEN 1 ELSE 0 END AS is_dup
-FROM e a JOIN e b ON a.vec_id < b.vec_id""",
+FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id""",
 
     "r05_rank" ->
       """WITH r AS (SELECT event_type, event_id,

@@ -118,4 +118,31 @@ final case class ParsedTurn(
   ua_os_version: String,
   related_ip: Seq[String],
   related_hosts: Seq[String],
-  related_user: Seq[String])
+  related_user: Seq[String],
+  // --- appended in round 2 for the cisco.switch / okta / aws.cloudtrail
+  // technologies and the 14/16/18 related.*/host-split enrichments ---
+  host_hostname: String,
+  host_domain: String,
+  event_reason: String,
+  event_recommendation: String,
+  event_start_ms: java.lang.Long,
+  observer_ingress_interface_name: String,
+  log_level: String,
+  source_domain: String,
+  ua_os_name: String,
+  user_id: String,
+  user_roles: String,
+  user_type: String,
+  destination_user_id: String,
+  destination_user_email: String,
+  destination_user_full_name: String,
+  transaction_id: String,
+  cloud_region: String,
+  file_directory: String,
+  file_name: String,
+  service_type: String,
+  error_message: String,
+  threat_indicator_ip: String,
+  threat_indicator_provider: String,
+  related_mac: Seq[String],
+  related_hash: Seq[String])

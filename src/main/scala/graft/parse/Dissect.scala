@@ -15,34 +15,30 @@ import scala.collection.mutable
   *    (ref: syslog_security_palo.alto.fw.conf:39-45 `%{?data}`)
   *  - `%{+field}` append to previously captured field joined by the separator
   *
+  * Every capture token is resolved AT COMPILE TIME to a slot index among the
+  * mapping's distinct target paths, so the per-event path is a plain array
+  * write — profiling showed the previous staged-list design spending most of
+  * the whole kernel's cycles in Vector equality (`Seq.sameElements`) while
+  * matching `%{+f}` appends against earlier captures.
+  *
   * Failure (a separator not found) appends `tag_on_failure`
   * (ref: api_network_aws.vpcflow.conf:19 `_dissectfailure_1`).
   */
-final case class CompiledDissect(tokens: Array[Dissect.Token]) {
+final case class CompiledDissect(tokens: Array[Dissect.Token],
+                                 slotPaths: Array[Seq[String]]) {
   import Dissect._
 
-  // per-thread scratch for staged captures (tokens.length bound) — avoids a
-  // LinkedHashMap allocation per event in the hottest parse operator
-  @transient private lazy val scratch: ThreadLocal[(Array[Seq[String]], Array[String])] =
-    ThreadLocal.withInitial(() => (new Array[Seq[String]](tokens.length), new Array[String](tokens.length)))
+  // per-thread scratch, one cell per distinct target path — avoids any
+  // allocation per event in the hottest parse operator
+  @transient private lazy val scratch: ThreadLocal[Array[String]] =
+    ThreadLocal.withInitial(() => new Array[String](slotPaths.length))
 
   def extract(ev: Event, input: String): Boolean = {
     // staged writes: only commit to the event if the whole mapping matches.
     // `%{+f}` appends to any earlier capture of f (plain or +), joined by
     // the token's compile-time append separator.
-    val (paths, values) = scratch.get()
-    var n = 0
-    def stage(path: Seq[String], v: String, append: Boolean, sep: String): Unit = {
-      var j = 0
-      while (j < n) {
-        if (paths(j) == path) { // content equality: "date" and "[date]" parse to equal paths
-          values(j) = if (append) values(j) + sep + v else v
-          return
-        }
-        j += 1
-      }
-      paths(n) = path; values(n) = v; n += 1
-    }
+    val values = scratch.get()
+    java.util.Arrays.fill(values.asInstanceOf[Array[AnyRef]], null)
     var pos = 0
     var i = 0
     while (i < tokens.length) {
@@ -50,7 +46,7 @@ final case class CompiledDissect(tokens: Array[Dissect.Token]) {
         case Lit(s) =>
           if (!input.startsWith(s, pos)) return false
           pos += s.length
-        case Cap(path, skip, append, sep) =>
+        case Cap(_, skip, append, sep, slot) =>
           // capture runs until the next literal (or end of input)
           val next = if (i + 1 < tokens.length) tokens(i + 1).asInstanceOf[Lit] else null
           val end =
@@ -62,12 +58,18 @@ final case class CompiledDissect(tokens: Array[Dissect.Token]) {
             }
           val v = input.substring(pos, end)
           pos = end
-          if (!skip) stage(path, v, append, sep)
+          if (!skip) {
+            val prev = values(slot)
+            values(slot) = if (append && prev != null) prev + sep + v else v
+          }
       }
       i += 1
     }
     var j = 0
-    while (j < n) { ev.setParts(paths(j), values(j)); j += 1 }
+    while (j < slotPaths.length) {
+      if (values(j) != null) ev.setParts(slotPaths(j), values(j))
+      j += 1
+    }
     true
   }
 }
@@ -77,9 +79,11 @@ object Dissect {
   final case class Lit(s: String) extends Token
   /** `appendSep` — Logstash dissect joins `%{+f}` values with the literal
     * delimiter PRECEDING the append token (or the configured
-    * append_separator), not a hardcoded space. Recorded at compile time. */
+    * append_separator), not a hardcoded space. `slot` — compile-time index
+    * of the token's target path among the mapping's distinct paths
+    * (-1 for skip tokens). */
   final case class Cap(path: Seq[String], skip: Boolean, append: Boolean,
-                       appendSep: String = " ") extends Token
+                       appendSep: String, slot: Int) extends Token
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, CompiledDissect]()
 
@@ -91,6 +95,12 @@ object Dissect {
     val c = cache.get(key)
     if (c != null) return c
     val toks = mutable.ArrayBuffer.empty[Token]
+    val slots = mutable.ArrayBuffer.empty[Seq[String]]
+    def slotOf(path: Seq[String]): Int = {
+      // content equality: "date" and "[date]" parse to equal paths
+      val i = slots.indexOf(path)
+      if (i >= 0) i else { slots += path; slots.length - 1 }
+    }
     var i = 0
     val lit = new StringBuilder
     def flushLit(): Unit = if (lit.nonEmpty) { toks += Lit(lit.toString); lit.clear() }
@@ -112,7 +122,8 @@ object Dissect {
             case Some(Lit(s)) => s
             case _ => " "
           }
-        toks += Cap(Event.parsePath(body), skip, append, sep)
+        val path = Event.parsePath(body)
+        toks += Cap(path, skip, append, sep, if (skip) -1 else slotOf(path))
         i = j + 1
       } else { lit.append(mapping.charAt(i)); i += 1 }
     }
@@ -125,7 +136,7 @@ object Dissect {
         throw new IllegalArgumentException(s"dissect: adjacent captures without separator in: $mapping")
       k += 1
     }
-    val built = CompiledDissect(toks.toArray)
+    val built = CompiledDissect(toks.toArray, slots.toArray)
     cache.putIfAbsent(key, built)
     built
   }
@@ -140,8 +151,8 @@ object Dissect {
 
   def apply(ev: Event, sourceField: String, mapping: String,
             tagOnFailure: Seq[String] = Seq("_dissectfailure")): Boolean = {
-    val in = ev.getString(sourceField)
-    if (in.isEmpty || !compile(mapping).extract(ev, in.get)) {
+    val in = ev.stringOrNull(sourceField)
+    if (in == null || !compile(mapping).extract(ev, in)) {
       tagOnFailure.foreach(ev.addTag); false
     } else true
   }

@@ -178,6 +178,31 @@ object Engine {
       ua_os_version = s("[user_agent][os][version]"),
       related_ip = arr("[related][ip]"),
       related_hosts = arr("[related][hosts]"),
-      related_user = arr("[related][user]"))
+      related_user = arr("[related][user]"),
+      host_hostname = s("[host][hostname]"),
+      host_domain = s("[host][domain]"),
+      event_reason = s("[event][reason]"),
+      event_recommendation = s("[event][recommendation]"),
+      event_start_ms = l("[event][start_ms]"),
+      observer_ingress_interface_name = s("[observer][ingress][interface][name]"),
+      log_level = s("[log][level]"),
+      source_domain = s("[source][domain]"),
+      ua_os_name = s("[user_agent][os][name]"),
+      user_id = s("[user][id]"),
+      user_roles = s("[user][roles]"),
+      user_type = s("[user][type]"),
+      destination_user_id = s("[destination][user][id]"),
+      destination_user_email = s("[destination][user][email]"),
+      destination_user_full_name = s("[destination][user][full_name]"),
+      transaction_id = s("[transaction][id]"),
+      cloud_region = s("[cloud][region]"),
+      file_directory = s("[file][directory]"),
+      file_name = s("[file][name]"),
+      service_type = s("[service][type]"),
+      error_message = s("[error][message]"),
+      threat_indicator_ip = s("[threat][indicator][ip]"),
+      threat_indicator_provider = s("[threat][indicator][provider]"),
+      related_mac = arr("[related][mac]"),
+      related_hash = arr("[related][hash]"))
   }
 }

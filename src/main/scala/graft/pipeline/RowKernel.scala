@@ -34,6 +34,9 @@ object RowKernel {
   private val emptyArray = new GenericArrayData(Array.empty[Any])
   private val droppedRule = UTF8String.fromString("dropped")
   private val notParsed = UTF8String.fromString("not parsed")
+  private val arrayOrdinals: Array[Int] = schema.fields.zipWithIndex.collect {
+    case (f, idx) if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => idx
+  }
 
   /** Per-partition compiled technology entry: config + program + reusable
     * constant columns (raw input tool value, technology name, route_outputs
@@ -102,11 +105,11 @@ object RowKernel {
                          roleU8: UTF8String, textU8: UTF8String,
                          tsMicros: Long, tsMillis: Long): InternalRow = {
     val v = new Array[Any](numFields)
+    var j = 0
+    while (j < arrayOrdinals.length) { v(arrayOrdinals(j)) = emptyArray; j += 1 }
     v(0) = convU8; v(1) = turnIdx; v(2) = 0; v(3) = roleU8; v(4) = tech.toolU8
     v(5) = tsMicros; v(6) = textU8; v(7) = tech.techU8; v(8) = droppedRule
-    v(9) = false; v(10) = emptyArray; v(11) = tech.routeIndexU8(tsMillis)
-    v(12) = emptyArray
-    v(numFields - 3) = emptyArray; v(numFields - 2) = emptyArray; v(numFields - 1) = emptyArray
+    v(9) = false; v(11) = tech.routeIndexU8(tsMillis)
     new GenericInternalRow(v)
   }
 
@@ -242,6 +245,31 @@ object RowKernel {
     arr("[related][ip]")
     arr("[related][hosts]")
     arr("[related][user]")
+    s("[host][hostname]")
+    s("[host][domain]")
+    s("[event][reason]")
+    s("[event][recommendation]")
+    l("[event][start_ms]")
+    s("[observer][ingress][interface][name]")
+    s("[log][level]")
+    s("[source][domain]")
+    s("[user_agent][os][name]")
+    s("[user][id]")
+    s("[user][roles]")
+    s("[user][type]")
+    s("[destination][user][id]")
+    s("[destination][user][email]")
+    s("[destination][user][full_name]")
+    s("[transaction][id]")
+    s("[cloud][region]")
+    s("[file][directory]")
+    s("[file][name]")
+    s("[service][type]")
+    s("[error][message]")
+    s("[threat][indicator][ip]")
+    s("[threat][indicator][provider]")
+    arr("[related][mac]")
+    arr("[related][hash]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

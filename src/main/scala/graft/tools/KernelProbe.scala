@@ -74,6 +74,11 @@ object KernelProbe {
       val dt = (System.nanoTime() - t0) / 1e9
       4L * per * threads / dt
     }
+    if (args.lift(2).contains("spin")) { // long N-thread run for stack sampling
+      val n = args.lift(3).map(_.toInt).getOrElse(32)
+      (1 to 40).foreach { r => val t = runN(n); println(f"spin$r threads=$n: $t%.0f turns/s") }
+      return
+    }
     run1(3, "full")
     run1(3, "noflatten")
     run1(3, "parseonly")
