@@ -259,11 +259,17 @@ px AS (
         col("host_ip"), col("user_name"), col("event_severity"),
         col("error_code"), col("event_id_s"))),
 
-    // memcached/MISP-style IOC set membership → tag
+    // memcached/MISP-style md5-keyed namespace lookups → tag
     "q19_ioc" -> ((s, dir) => parsed(s, dir)
       .filter(col("technology").isin("palo.alto.fw", "aws.vpcflow", "cef.fw"))
       .select(col("conv_id"), col("turn_idx"),
-        array_contains(col("tags"), "log_enriched_by_misp").cast("int").as("misp_i")))
+        array_contains(col("tags"), "log_enriched_by_misp").cast("int").as("misp_i"))),
+
+    // MISP payload merge: which namespace won, and the indicator it carried
+    "q25_misp" -> ((s, dir) => parsed(s, dir)
+      .filter(col("technology").isin("palo.alto.fw", "aws.vpcflow", "cef.fw"))
+      .select(col("conv_id"), col("turn_idx"),
+        col("threat_indicator_provider"), col("threat_indicator_ip")))
     )
     base ++ MlEntry.queries
   }
@@ -395,11 +401,11 @@ FROM px""",
     "q11_mitre" ->
       s"""$pxCte
 SELECT conv_id, turn_idx,
-  CASE WHEN (event_id % 5) = 4 THEN 'unknown tactic'
+  CASE WHEN (event_id % 5) = 4 THEN 'new/deprecated mitre tactic'
        WHEN (event_id % 3) = 0 THEN 'initial access'
        WHEN (event_id % 3) = 1 THEN 'execution'
        ELSE 'persistence' END AS threat_tactic_name,
-  CASE WHEN (event_id % 5) = 4 THEN NULL
+  CASE WHEN (event_id % 5) = 4 THEN 'none'
        ELSE 'https://attack.mitre.org/tactics/TA000' || CAST(1 + (event_id % 3) AS STRING) || '/'
   END AS threat_tactic_reference
 FROM px WHERE tsel = 7""",
@@ -543,7 +549,25 @@ FROM xml_turns JOIN events USING (event_id)""",
     "q19_ioc" ->
       s"""$pxCte
 SELECT conv_id, turn_idx,
-  CASE WHEN (user_id % 254) = 12 THEN 1 ELSE 0 END AS misp_i
+  CASE WHEN (user_id % 254) = 12
+         OR ((event_id % 254) = 12 AND NOT (tsel = 7 AND (event_id % 17) = 0))
+         OR (tsel = 7 AND (event_id % 30) = 7)
+       THEN 1 ELSE 0 END AS misp_i
+FROM px WHERE tsel <= 4 OR tsel = 7""",
+
+    // MISP namespace precedence (last-winning payload): url.domain >
+    // destination.ip > source.ip (conf order :316/:341/:491)
+    "q25_misp" ->
+      s"""$pxCte
+SELECT conv_id, turn_idx,
+  CASE WHEN tsel = 7 AND (event_id % 30) = 7 THEN 'misp-url.domain'
+       WHEN (user_id % 254) = 12 THEN 'misp-destination.ip'
+       WHEN (event_id % 254) = 12 AND NOT (tsel = 7 AND (event_id % 17) = 0) THEN 'misp-source.ip'
+       ELSE NULL END AS threat_indicator_provider,
+  CASE WHEN tsel = 7 AND (event_id % 30) = 7 THEN NULL
+       WHEN (user_id % 254) = 12 THEN dip
+       WHEN (event_id % 254) = 12 AND NOT (tsel = 7 AND (event_id % 17) = 0) THEN sip
+       ELSE NULL END AS threat_indicator_ip
 FROM px WHERE tsel <= 4 OR tsel = 7"""
   ) ++ MlEntry.oracleSql
 }

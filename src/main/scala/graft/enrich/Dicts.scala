@@ -5,21 +5,28 @@ package graft.enrich
   * (SURVEY.md §2.4: every reference correlation is a broadcast-style
   * dictionary lookup — the exact semantic of a Spark broadcast hash join).
   *
-  * All content is deterministic: curated subsets of the reference's public
-  * dictionary files plus synthetic-but-pure-function geo/ptr tables, so that
-  * `sbt -batch test` replays are exact (SURVEY.md §7.4 #4).
+  * Dictionary CONTENT comes from the reference's own public Apache-2.0 data
+  * files (config/iana_*.yml, config/mitre_tactics.json,
+  * config/cisco_ios_facility_categories.csv), shipped under
+  * src/main/resources/dicts and parsed at driver start. The geo/ptr/misp
+  * stores are deterministic synthetic stand-ins for external services
+  * (GeoLite2 mmdb, live DNS, memcached MISP feed) so `sbt -batch test`
+  * replays are exact (SURVEY.md §7.4 #4).
   *
   * Built once on the driver, shipped to executors via `sc.broadcast`.
   */
 final case class Dicts(
-  ianaTransport: Map[String, String],
-  mnemonics: Map[String, String], // 100k-entry translate dict (reference scale)
-  ianaProtocols: Map[String, String], // "port/transport" → protocol keyword
-  ianaProtocolsPort: Map[String, String], // "port" → protocol keyword
-  mitreTactics: Map[String, String], // "ta0001" → tactic name
+  ianaTransport: Map[String, String], // protocol number → transport keyword (139 entries)
+  mnemonics: Map[String, String], // 100k-entry translate dict (reference-documented scale)
+  ianaProtocols: Map[String, String], // "port/transport" → protocol keyword (11.8k entries)
+  ianaProtocolsPort: Map[String, String], // "port" → protocol keyword (6.1k entries)
+  mitreTactics: Map[String, String], // "ta0001" → kv-encoded payload string (ref format)
+  facilityCategories: Map[String, String], // cisco facility → vendor category (1.3k entries)
+  ciscoMnemonicInfo: Map[String, String], // mnemonic → JSON payload (ref file absent; synthetic)
   geoRanges: Array[GeoRange], // sorted by start, binary-searched
   ptr: Map[String, String], // ip → reverse-dns hostname
-  iocIps: Set[String] // MISP-style IOC set (destination.ip namespace)
+  iocIps: Set[String], // destination.ip IOC set (kept for the q19 contract)
+  misp: Map[String, Map[String, String]] // namespace → md5(value) → JSON payload
 ) extends Serializable
 
 final case class GeoRange(start: Long, end: Long, country: String, city: String)
@@ -27,37 +34,69 @@ final case class GeoRange(start: Long, end: Long, country: String, city: String)
 object Dicts {
   import graft.parse.Net.ipv4ToLong
 
-  /** IANA "protocol number → transport keyword"
-    * (subset of config/iana_transport.yml: "1": icmp, "6": tcp, "17": udp). */
-  val IanaTransport: Map[String, String] = Map(
-    "0" -> "hopopt", "1" -> "icmp", "2" -> "igmp", "6" -> "tcp",
-    "17" -> "udp", "41" -> "ipv6", "47" -> "gre", "50" -> "esp",
-    "58" -> "ipv6-icmp", "89" -> "ospfigp", "132" -> "sctp")
+  private def resourceLines(name: String): Vector[String] = {
+    val in = getClass.getResourceAsStream(s"/dicts/$name")
+    require(in != null, s"missing resource dicts/$name")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map(_.stripPrefix("﻿")).toVector finally src.close()
+  }
 
-  /** IANA "port/transport → service keyword"
-    * (subset of config/iana_protocols.yml: 22/tcp: ssh, 53/udp: domain,
-    * 80/tcp: http, 443/tcp: https …). */
-  val IanaProtocols: Map[String, String] = Map(
-    "22/tcp" -> "ssh", "22/udp" -> "ssh",
-    "53/tcp" -> "domain", "53/udp" -> "domain",
-    "80/tcp" -> "http", "80/udp" -> "http",
-    "443/tcp" -> "https", "443/udp" -> "https",
-    "25/tcp" -> "smtp", "123/udp" -> "ntp", "389/tcp" -> "ldap")
+  /** Flat `key: value` YAML (the only shape the reference dict files use).
+    * IANA lists several service names for some ports (e.g. 80/tcp → http,
+    * www, www-http); we keep the FIRST (primary IANA name) — semicolon-joined
+    * alternates in the port file are reduced the same way. */
+  private def loadYamlMap(name: String): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    resourceLines(name).foreach { line =>
+      val t = line.trim
+      if (t.nonEmpty && !t.startsWith("#")) {
+        val i = t.indexOf(':')
+        if (i > 0) {
+          val k = t.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"")
+          val v = t.substring(i + 1).trim.stripPrefix("\"").stripSuffix("\"")
+          val primary = v.indexOf(';') match { case -1 => v; case j => v.substring(0, j) }
+          if (seen.add(k)) b += (k -> primary)
+        }
+      }
+    }
+    b.result()
+  }
 
-  /** port-only fallback dictionary (config/iana_protocols_port.yml). */
-  val IanaProtocolsPort: Map[String, String] = Map(
-    "22" -> "ssh", "53" -> "domain", "80" -> "http", "443" -> "https",
-    "25" -> "smtp", "123" -> "ntp", "389" -> "ldap")
+  /** Flat string→string JSON dictionary (mitre_*.json shape). */
+  private def loadJsonMap(name: String): Map[String, String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(resourceLines(name).mkString("\n"))
+    val b = Map.newBuilder[String, String]
+    node.properties().forEach(e => b += (e.getKey -> e.getValue.asText()))
+    b.result()
+  }
 
-  /** MITRE tactic id → name (from config/mitre_tactics.json values; the
-    * reference encodes them as kv-parseable strings — we keep name +
-    * reference URL derived from the id). */
-  val MitreTactics: Map[String, String] = Map(
-    "ta0001" -> "initial access",
-    "ta0002" -> "execution",
-    "ta0003" -> "persistence",
-    "ta0004" -> "privilege escalation",
-    "ta0005" -> "defense evasion")
+  /** cisco_ios_facility_categories.csv: facility,"vendor category","url". */
+  private def loadFacilityCsv(): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    resourceLines("cisco_ios_facility_categories.csv").drop(1).foreach { line =>
+      val c1 = line.indexOf(',')
+      if (c1 > 0) {
+        val facility = line.substring(0, c1)
+        val rest = line.substring(c1 + 1)
+        val cat =
+          if (rest.startsWith("\"")) rest.substring(1, rest.indexOf('"', 1).max(1))
+          else rest.substring(0, math.max(rest.indexOf(','), rest.length))
+        b += (facility -> cat)
+      }
+    }
+    b.result()
+  }
+
+  lazy val IanaTransport: Map[String, String] = loadYamlMap("iana_transport.yml")
+  lazy val IanaProtocols: Map[String, String] = loadYamlMap("iana_protocols.yml")
+  lazy val IanaProtocolsPort: Map[String, String] = loadYamlMap("iana_protocols_port.yml")
+
+  /** MITRE tactic id → raw payload string, exactly as the reference file
+    * encodes it ("[threat][tactic][name]: X; [threat][tactic][reference]:
+    * URL;" — parsed by the kv step of 93_mitre.conf). */
+  lazy val MitreTactics: Map[String, String] = loadJsonMap("mitre_tactics.json")
 
   /** Synthetic deterministic geo "database": 8.0.0.0/8 sliced by second octet
     * into country bands (stands in for GeoLite2-City.mmdb,
@@ -91,14 +130,49 @@ object Dicts {
     b.result()
   }
 
-  /** Deterministic IOC set (stands in for the memcached MISP store,
-    * ref: config/enrichments/92_misp.conf:14-37): destination IPs whose last
-    * octet is 13 are "known bad". */
+  /** Deterministic IOC set (destination.ip namespace): destination IPs whose
+    * last octet is 13 are "known bad" (stands in for the memcached MISP
+    * store, ref: config/enrichments/92_misp.conf:341). */
   def buildIoc(): Set[String] = {
     val b = Set.newBuilder[String]
     for (prefix <- Seq("192.168", "172.16"); o3 <- 0 until 100)
       b += s"$prefix.$o3.13"
     b.result()
+  }
+
+  /** MISP memcached stand-in, md5-keyed per namespace exactly like the
+    * reference (fingerprint MD5 of the field value is the get key,
+    * ref: 92_misp.conf:14-23). Payloads are JSON strings merged into the
+    * event on hit (ref :30-33). Namespaces ported (in the conf's order):
+    * file.hash.md5 (:71), source.ip (:316), destination.ip (:341),
+    * url.domain (:491). */
+  def buildMisp(): Map[String, Map[String, String]] = {
+    import graft.util.Md5
+    def payload(kind: String, v: String, ns: String) =
+      s"""{"misp":{"$kind":"$v","provider":"misp-$ns"}}"""
+    val dst = Map.newBuilder[String, String]
+    buildIoc().foreach(ip => dst += (Md5.hex(ip) -> payload("ip", ip, "destination.ip")))
+    // source ips: synthesized space is (8|10).(0..199).(0..249).(1+k); last
+    // octet 13 is "known bad" — 100k entries, a realistically sized feed
+    val src = Map.newBuilder[String, String]
+    for (p <- Seq("8", "10"); a <- 0 until 200; b <- 0 until 250) {
+      val ip = s"$p.$a.$b.13"
+      src += (Md5.hex(ip) -> payload("ip", ip, "source.ip"))
+    }
+    // url domains: app7 is "known bad"
+    val dom = Seq("www.app7.co.uk")
+      .map(d => Md5.hex(d) -> payload("domain", d, "url.domain")).toMap
+    // file hashes: md5-of-(k mod 1000) pool, bad when k % 10 == 4
+    val fh = Map.newBuilder[String, String]
+    (0 until 1000).filter(_ % 10 == 4).foreach { k =>
+      val h = Md5.hex(k.toString)
+      fh += (Md5.hex(h) -> payload("hash", h, "file.hash.md5"))
+    }
+    Map(
+      "file.hash.md5" -> fh.result(),
+      "source.ip" -> src.result(),
+      "destination.ip" -> dst.result(),
+      "url.domain" -> dom)
   }
 
   /** Synthetic 100,000-entry mnemonic dictionary — the scale the reference
@@ -113,15 +187,28 @@ object Dicts {
     b.result()
   }
 
+  /** cisco mnemonic → JSON info payload (msg_explanation/msg_recommendation,
+    * ref: syslog_audit_cisco.switch.conf:100-133). The reference's
+    * cisco_ios.json file is NOT shipped in its repo, so the payloads here
+    * are deterministic synthetic stand-ins with the documented shape. */
+  def buildCiscoMnemonicInfo(): Map[String, String] = {
+    Seq("UPDOWN", "ADJCHANGE", "CONFIG_I", "LOGIN_SUCCESS", "LOGIN_FAILED")
+      .map(m => m -> s"""{"msg_explanation":"explanation for $m","msg_recommendation":"recommendation for $m","msg_txt":"format for $m"}""")
+      .toMap
+  }
+
   def build(): Dicts = Dicts(
     ianaTransport = IanaTransport,
     mnemonics = buildMnemonics(),
     ianaProtocols = IanaProtocols,
     ianaProtocolsPort = IanaProtocolsPort,
     mitreTactics = MitreTactics,
+    facilityCategories = loadFacilityCsv(),
+    ciscoMnemonicInfo = buildCiscoMnemonicInfo(),
     geoRanges = buildGeoRanges(),
     ptr = buildPtr(),
-    iocIps = buildIoc())
+    iocIps = buildIoc(),
+    misp = buildMisp())
 
   /** Binary search the geo range table; the per-row analogue of the geoip
     * filter's cached lookup. */

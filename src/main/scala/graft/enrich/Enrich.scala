@@ -159,11 +159,84 @@ object Enrich {
     Mutate.dedupArray(ev, "[related][ip]")
   }
 
+  // 14_related_hash.conf:10-63 — collect hash identifiers across the ECS
+  // hash field families (the subset emitted by ported technologies), dedup
+  private val hashSourceFields = Vector(
+    "[dll][hash][md5]", "[file][hash][md5]", "[file][hash][sha1]",
+    "[file][hash][sha256]", "[file][hash][sha512]", "[hash][sha1]",
+    "[process][hash][md5]", "[process][hash][sha1]", "[process][hash][sha256]",
+    "[process][parent][hash][md5]", "[user][hash]", "[source][user][hash]",
+    "[destination][user][hash]")
+  private def e14bRelatedHash(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    hashSourceFields.foreach { f =>
+      val v = ev.stringOrNull(f)
+      if (v != null) ev.mergeInto("[related][hash]", v)
+    }
+    Mutate.dedupArray(ev, "[related][hash]")
+  }
+
   // 15_standardize_mac.conf:13-18 — '-'→':' + lowercase
   private val macFields = Vector("[source][mac]", "[destination][mac]")
   private def e15Mac(ev: Event, d: Dicts, ctx: Ctx): Unit =
     macFields.foreach { f =>
       if (ev.has(f)) { Mutate.gsub(ev, f, "-", ":"); Mutate.lowercase(ev, f) }
+    }
+
+  // 16_related_mac.conf:9-22 — collect mac identifiers (post-standardize:
+  // 16 runs after 15 in the lexical chain), dedup
+  private val macSourceFields = Vector(
+    "[host][mac]", "[client][mac]", "[destination][mac]", "[observer][mac]",
+    "[server][mac]", "[source][mac]", "[network][mac]")
+  private def e16RelatedMac(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    macSourceFields.foreach { f =>
+      val v = ev.stringOrNull(f)
+      if (v != null) ev.mergeInto("[related][mac]", v)
+    }
+    Mutate.dedupArray(ev, "[related][mac]")
+  }
+
+  // 18_host_split.conf — split "name.domain" / "a.b.c.d.domain" composites:
+  // ip-prefixed values keep the ip and move the rest to the paired domain
+  // field; non-ip FQDNs split at the first dot; pure IPs are left alone.
+  // [log][source][hostname]/[observer][hostname] get only the ip treatment
+  // (ref :96-105 — no domain target for those two).
+  private def isIpPrefixed(s: String): (Boolean, Int) = {
+    // matches ^\d+\.\d+\.\d+\.\d+ — returns (matched, index after 4th octet)
+    var i = 0; var octets = 0
+    while (octets < 4) {
+      val start = i
+      while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+      if (i == start) return (false, -1)
+      octets += 1
+      if (octets < 4) {
+        if (i >= s.length || s.charAt(i) != '.') return (false, -1)
+        i += 1
+      }
+    }
+    (true, i)
+  }
+  private val hostSplitTargets = Vector(
+    ("[client][address]", "[client][domain]"),
+    ("[server][address]", "[server][domain]"),
+    ("[source][address]", "[source][domain]"),
+    ("[host][hostname]", "[host][domain]"),
+    ("[log][source][hostname]", null),
+    ("[destination][address]", "[destination][domain]"),
+    ("[observer][hostname]", null))
+  private def e18HostSplit(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    hostSplitTargets.foreach { case (f, domF) =>
+      val v = ev.stringOrNull(f)
+      if (v != null && v.indexOf('.') >= 0) {
+        val (ipPrefixed, after) = isIpPrefixed(v)
+        if (ipPrefixed && after < v.length && v.charAt(after) == '.') {
+          ev.set(f, v.substring(0, after)) // ip kept, rest is the domain
+          if (domF != null) ev.set(domF, v.substring(after + 1))
+        } else if (domF != null && !(ipPrefixed && after == v.length)) {
+          val dot = v.indexOf('.') // FQDN: name before first dot, domain after
+          ev.set(f, v.substring(0, dot))
+          ev.set(domF, v.substring(dot + 1))
+        }
+      }
     }
 
   // 17_dns.conf — reverse lookup via broadcast PTR table (the cache-first
@@ -234,14 +307,39 @@ object Enrich {
     }
   }
 
-  // 92_misp.conf idiom — IOC set membership on destination.ip → threat tag
-  private def e92Misp(ev: Event, d: Dicts, ctx: Ctx): Unit =
-    ev.getString("[destination][ip]").foreach { ip =>
-      if (d.iocIps.contains(ip)) {
-        ev.addTag("log_enriched_by_misp")
-        ev.set("[threat][indicator][ip]", ip)
+  // 92_misp.conf — md5-keyed namespace lookups against the MISP store, one
+  // per field family, in the conf's order (file.hash.md5 :71, source.ip
+  // :316, destination.ip :341, url.domain :491). On hit: tag + JSON payload
+  // merged into the event (:30-33) — top-level merge, so a later family's
+  // hit replaces an earlier one's payload subtree, exactly like the
+  // reference's repeated `json { source => memcache_value }`.
+  private val mispFamilies = Vector(
+    ("[file][hash][md5]", "file.hash.md5"),
+    ("[source][ip]", "source.ip"),
+    ("[destination][ip]", "destination.ip"),
+    ("[url][domain]", "url.domain"))
+  private def e92Misp(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    mispFamilies.foreach { case (field, ns) =>
+      val v = ev.stringOrNull(field)
+      if (v != null) {
+        val store = d.misp.getOrElse(ns, Map.empty)
+        store.get(graft.util.Md5.hex(v)).foreach { payload =>
+          ev.addTag("log_enriched_by_misp")
+          ev.set("memcache_value", payload) // mirrors the memcached get target
+          graft.parse.JsonOps.parse(ev, "memcache_value", "")
+          ev.remove("memcache_value") // ref :34-36
+        }
       }
     }
+    // map the (last-winning) misp payload onto ECS threat.indicator.*
+    if (ev.has("[misp]")) {
+      ev.rename("[misp][ip]", "[threat][indicator][ip]")
+      ev.rename("[misp][hash]", "[threat][indicator][hash]")
+      ev.rename("[misp][domain]", "[threat][indicator][domain]")
+      ev.rename("[misp][provider]", "[threat][indicator][provider]")
+      ev.remove("misp")
+    }
+  }
 
   // cisco-mnemonic-style translate at reference dictionary scale
   // (ref: syslog_audit_cisco.switch.conf:90-107, 100k-entry dict note :87):
@@ -251,20 +349,32 @@ object Enrich {
       d.mnemonics.get(s"MNEM-$c").foreach(v => ev.set("[rule][ruleset]", v))
     }
 
-  // 93_mitre.conf:21-30 — translate with fallback; id lowercased first;
-  // `iterate_on` semantics for array-valued ids (ref: 93_mitre.conf:26)
+  // 93_mitre.conf:21-42 — translate against the REAL mitre_tactics.json
+  // (values are kv-encoded payload strings), explicit fallback payload
+  // (:31), kv parse of the payload into name/reference (:33-38), name
+  // lowercased (:40); `iterate_on` semantics for array ids (:26)
+  private val mitreFallback =
+    "[threat][tactic][name]: new/deprecated mitre tactic; [threat][tactic][reference]:  none;"
+  private def mitrePayloadField(payload: String, key: String): String = {
+    // kv value_split ":" field_split "; " over the reference's payload shape
+    val k = key + ":"
+    val i = payload.indexOf(k)
+    if (i < 0) return null
+    val start = i + k.length
+    val end = payload.indexOf(';', start) match { case -1 => payload.length; case j => j }
+    payload.substring(start, end).trim
+  }
   private def mitreOne(ev: Event, d: Dicts, raw: String, scalar: Boolean): Unit = {
     val id = raw.toLowerCase
-    d.mitreTactics.get(id) match {
-      case Some(name) =>
-        if (scalar) ev.set("[threat][tactic][name]", name)
-        else ev.mergeInto("[threat][tactic][name]", name)
-        if (scalar)
-          ev.set("[threat][tactic][reference]", s"https://attack.mitre.org/tactics/${id.toUpperCase}/")
-        else ev.mergeInto("[threat][tactic][reference]", s"https://attack.mitre.org/tactics/${id.toUpperCase}/")
-      case None =>
-        if (scalar) ev.set("[threat][tactic][name]", "unknown tactic") // fallback
-        else ev.mergeInto("[threat][tactic][name]", "unknown tactic")
+    val payload = d.mitreTactics.getOrElse(id, mitreFallback)
+    val name = mitrePayloadField(payload, "[threat][tactic][name]").toLowerCase
+    val ref = mitrePayloadField(payload, "[threat][tactic][reference]")
+    if (scalar) {
+      ev.set("[threat][tactic][name]", name)
+      if (ref != null) ev.set("[threat][tactic][reference]", ref)
+    } else {
+      ev.mergeInto("[threat][tactic][name]", name)
+      if (ref != null) ev.mergeInto("[threat][tactic][reference]", ref)
     }
   }
   private def e93Mitre(ev: Event, d: Dicts, ctx: Ctx): Unit =
@@ -309,9 +419,12 @@ object Enrich {
     ("add_hash", gated("add_hash")(e08Hash)),
     ("user_agent", gated("user_agent")(e10UserAgent)),
     ("related_user", gated("related_user")(e12RelatedUser)),
+    ("related_hash", gated("related_hash")(e14bRelatedHash)),
     ("related_ip", gated("related_ip")(e14RelatedIp)),
     ("standardize_mac", gated("standardize_mac")(e15Mac)),
+    ("related_mac", gated("related_mac")(e16RelatedMac)),
     ("dns", gated("dns")(e17Dns)),
+    ("host_split", gated("host_split")(e18HostSplit)),
     ("related_hosts", gated("related_hosts")(e20RelatedHosts)),
     ("lookup_iana_protocol", gated("lookup_iana_protocol")(e90Iana)),
     ("geoip", gated("geoip")(e91CidrGeo)),

@@ -391,7 +391,7 @@ class EnrichArraySpec extends org.scalatest.funsuite.AnyFunSuite {
     ev.set("[threat][tactic][id]", mutable.ArrayBuffer[Any]("TA0001", "TA9999", "ta0002"))
     Enrich(ev, cfg, dicts, ctx)
     assert(ev.getString("[threat][tactic][name][0]").contains("initial access"))
-    assert(ev.getString("[threat][tactic][name][1]").contains("unknown tactic"))
+    assert(ev.getString("[threat][tactic][name][1]").contains("new/deprecated mitre tactic"))
     assert(ev.getString("[threat][tactic][name][2]").contains("execution"))
     assert(ev.getString("[threat][tactic][reference][0]").contains("https://attack.mitre.org/tactics/TA0001/"))
   }
