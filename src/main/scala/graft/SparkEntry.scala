@@ -259,6 +259,13 @@ px AS (
         col("host_ip"), col("user_name"), col("event_severity"),
         col("error_code"), col("event_id_s"))),
 
+    // 14_related_hash + misp file.hash.md5 namespace (trellix filehash)
+    "qx02_related_hash" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.xmlInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        array_join(array_sort(col("related_hash")), ",").as("related_hash_s"),
+        array_contains(col("tags"), "log_enriched_by_misp").cast("int").as("misp_i"),
+        col("threat_indicator_provider"))),
+
     // memcached/MISP-style md5-keyed namespace lookups → tag
     "q19_ioc" -> ((s, dir) => parsed(s, dir)
       .filter(col("technology").isin("palo.alto.fw", "aws.vpcflow", "cef.fw"))
@@ -269,7 +276,59 @@ px AS (
     "q25_misp" -> ((s, dir) => parsed(s, dir)
       .filter(col("technology").isin("palo.alto.fw", "aws.vpcflow", "cef.fw"))
       .select(col("conv_id"), col("turn_idx"),
-        col("threat_indicator_provider"), col("threat_indicator_ip")))
+        col("threat_indicator_provider"), col("threat_indicator_ip"))),
+
+    // 18_host_split on the cef invalid-ip path: address keeps the name,
+    // domain gets the rest
+    "q26_host_split" -> ((s, dir) => parsed(s, dir)
+      .filter(col("technology") === "cef.fw")
+      .select(col("conv_id"), col("turn_idx"),
+        col("source_address"), col("source_domain"))),
+
+    // 16_related_mac over the cef smac field (post-standardize)
+    "q24_related_mac" -> ((s, dir) => parsed(s, dir)
+      .filter(col("technology") === "cef.fw")
+      .select(col("conv_id"), col("turn_idx"),
+        array_join(array_sort(col("related_mac")), ",").as("related_mac_s"))),
+
+    // cisco.switch end-to-end: main grok, facility CSV translate (real
+    // 1,296-entry dict), mnemonic info translate + fallback, per-action
+    // parsing (interface grok / bgp dissect), severity→rule.category,
+    // device-timestamp date
+    "qs01_cisco" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ciscoInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("event_id_s"), col("host_name"), col("host_hostname"),
+        col("event_action"), col("event_provider"), col("event_reason"),
+        col("event_recommendation"), col("event_outcome"),
+        col("observer_ingress_interface_name"), col("error_message"),
+        col("rule_category"), col("event_start_ms"),
+        array_join(array_sort(col("related_ip")), ",").as("related_ip_s"))),
+
+    // okta.audit end-to-end: JSON-array split (second cardinality-up path),
+    // array-index renames, date parse, nested geo/UA fields
+    "qk01_okta" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.oktaInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("event_outcome"), col("event_type"), col("event_category"),
+        col("log_level"), col("event_reason"), col("source_ip"),
+        col("source_domain"), col("user_type"), col("user_full_name"),
+        col("destination_user_id"), col("destination_user_email"),
+        col("destination_user_full_name"), col("host_ip"), col("ua_os_name"),
+        col("transaction_id"), col("url_path"), col("event_created_ms"))),
+
+    // aws.cloudtrail end-to-end: arn/principalId groks, non-ip source
+    // rename, insight translate, sprintf-before-rename account id
+    "qt01_cloudtrail" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ctInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("cloud_provider"), col("cloud_account_id"), col("cloud_region"),
+        col("log_source_hostname"), col("event_category"), col("event_type"),
+        col("event_kind"), col("service_version"), col("service_type"),
+        col("user_name"), col("user_roles"), col("user_id"),
+        col("file_directory"), col("file_name"), col("error_code"),
+        col("transaction_id"), col("event_id_s"), col("event_created_ms"),
+        col("source_ip"), col("source_address"), col("source_geo_country")))
     )
     base ++ MlEntry.queries
   }
@@ -546,6 +605,14 @@ SELECT conv_id, turn_idx, 'trellix.epo' AS technology, 1 AS parse_ok_i,
   'ev' || CAST(event_id AS STRING) AS event_id_s
 FROM xml_turns JOIN events USING (event_id)""",
 
+    "qx02_related_hash" ->
+      s"""WITH ${Transcripts.xmlCte}
+SELECT conv_id, turn_idx,
+  MD5(CAST(event_id % 1000 AS STRING)) AS related_hash_s,
+  CASE WHEN (event_id % 10) = 4 THEN 1 ELSE 0 END AS misp_i,
+  CASE WHEN (event_id % 10) = 4 THEN 'misp-file.hash.md5' ELSE NULL END AS threat_indicator_provider
+FROM xml_turns JOIN events USING (event_id)""",
+
     "q19_ioc" ->
       s"""$pxCte
 SELECT conv_id, turn_idx,
@@ -569,5 +636,111 @@ SELECT conv_id, turn_idx,
        WHEN (event_id % 254) = 12 AND NOT (tsel = 7 AND (event_id % 17) = 0) THEN sip
        ELSE NULL END AS threat_indicator_ip
 FROM px WHERE tsel <= 4 OR tsel = 7"""
+,
+
+    "q26_host_split" ->
+      s"""$pxCte
+SELECT conv_id, turn_idx,
+  CASE WHEN (event_id % 17) = 0 THEN 'badhost' ELSE NULL END AS source_address,
+  CASE WHEN (event_id % 17) = 0 THEN 'example' ELSE NULL END AS source_domain
+FROM px WHERE tsel = 7""",
+
+    "q24_related_mac" ->
+      s"""$pxCte
+SELECT conv_id, turn_idx,
+  'aa:bb:cc:dd:' || LPAD(CAST(event_id % 100 AS STRING), 2, '0')
+    || ':' || LPAD(CAST(user_id % 100 AS STRING), 2, '0') AS related_mac_s
+FROM px WHERE tsel = 7""",
+
+    "qs01_cisco" ->
+      s"""WITH ${Transcripts.ciscoCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'seq' || b.eid_s AS event_id_s,
+  CASE WHEN b.msel = 3 THEN NULL ELSE b.swname END AS host_name,
+  'cisco-relay01' AS host_hostname,
+  CASE b.msel WHEN 0 THEN 'link.updown' WHEN 1 THEN 'bgp.adjchange'
+       WHEN 2 THEN 'sys.config_i' WHEN 4 THEN 'aaa.acct_fail' ELSE NULL END AS event_action,
+  CASE b.msel WHEN 0 THEN 'Data link' WHEN 1 THEN 'Border Gateway Protocol'
+       WHEN 2 THEN 'Operating system'
+       WHEN 4 THEN 'Authentication, authorization, and accounting' ELSE NULL END AS event_provider,
+  CASE b.msel WHEN 0 THEN 'explanation for UPDOWN' WHEN 1 THEN 'explanation for ADJCHANGE'
+       WHEN 2 THEN 'explanation for CONFIG_I' WHEN 4 THEN 'not_found_msg_explanation'
+       ELSE NULL END AS event_reason,
+  CASE b.msel WHEN 0 THEN 'recommendation for UPDOWN' WHEN 1 THEN 'recommendation for ADJCHANGE'
+       WHEN 2 THEN 'recommendation for CONFIG_I' WHEN 4 THEN 'not_found_msg_recommendation'
+       ELSE NULL END AS event_recommendation,
+  CASE WHEN b.msel IN (0, 1) THEN (CASE b.state WHEN 'up' THEN 'success' ELSE 'failure' END)
+       ELSE NULL END AS event_outcome,
+  CASE WHEN b.msel = 0 THEN lower(b.ifname) ELSE NULL END AS observer_ingress_interface_name,
+  CASE b.msel
+    WHEN 0 THEN 'interface ' || lower(b.ifname) || ', changed state to ' || b.state
+    WHEN 1 THEN 'neighbor ' || b.bgpip || '* ' || b.state || ' interface flap'
+    WHEN 2 THEN 'configured from console by ' || b.uname
+    WHEN 3 THEN 'Interface flap detected on device'
+    ELSE 'accounting record failed for ' || b.uname END AS error_message,
+  CASE (b.event_id % 8) WHEN 3 THEN 'security/failed activity' WHEN 4 THEN 'security/warning'
+       WHEN 5 THEN 'security/activity' WHEN 6 THEN 'security/activity'
+       ELSE 'others' END AS rule_category,
+  CASE WHEN b.msel = 3 THEN NULL
+       ELSE epoch_ms(date_trunc('second', t.ts)) + 123 END AS event_start_ms,
+  CASE WHEN b.msel = 1 THEN b.bgpip ELSE '' END AS related_ip_s
+FROM cisco_turns t JOIN cisco_base b USING (event_id)""",
+
+    "qk01_okta" ->
+      s"""WITH ${Transcripts.oktaCte},
+recs AS (
+  SELECT t.conv_id, t.turn_idx, t.ts, b.*, s.i AS sub_idx
+  FROM okta_turns t JOIN okta_base b USING (event_id)
+  CROSS JOIN (VALUES (0), (1)) AS s(i)
+  WHERE s.i = 0 OR (b.event_id % 2) = 0
+)
+SELECT conv_id, turn_idx, sub_idx, 1 AS parse_ok_i,
+  CASE WHEN sub_idx = 0 AND (event_id % 4) = 0 THEN 'failure' ELSE 'success' END AS event_outcome,
+  CASE WHEN sub_idx = 0 THEN 'user.session.start' ELSE 'user.session.end' END AS event_type,
+  CASE WHEN sub_idx = 0 THEN 'user login to okta' ELSE 'user logout from okta' END AS event_category,
+  CASE WHEN sub_idx = 0 THEN 'INFO' ELSE 'WARN' END AS log_level,
+  CASE WHEN sub_idx = 0 AND (event_id % 4) = 0 THEN 'INVALID_CREDENTIALS' ELSE NULL END AS event_reason,
+  CASE WHEN sub_idx = 0 THEN chainip ELSE NULL END AS source_ip,
+  CASE WHEN sub_idx = 0 THEN 'example.com' ELSE NULL END AS source_domain,
+  'WEB' AS user_type,
+  'User ' || uid_s || (CASE WHEN sub_idx = 1 THEN 'b' ELSE '' END) AS user_full_name,
+  't' || CAST(event_id % 100 AS STRING) || (CASE WHEN sub_idx = 1 THEN 'x' ELSE '' END) AS destination_user_id,
+  uname2 || (CASE WHEN sub_idx = 1 THEN 'x' ELSE '' END) || '@example.com' AS destination_user_email,
+  'Target ' || CAST(event_id % 100 AS STRING) || (CASE WHEN sub_idx = 1 THEN 'x' ELSE '' END) AS destination_user_full_name,
+  clientip AS host_ip,
+  'Windows 10' AS ua_os_name,
+  CASE WHEN sub_idx = 0 THEN 'sess' || CAST(event_id % 1000 AS STRING) ELSE NULL END AS transaction_id,
+  CASE WHEN sub_idx = 0 THEN '/api/v1/authn?q=' || CAST(event_id % 7 AS STRING) ELSE NULL END AS url_path,
+  epoch_ms(date_trunc('second', ts)) + (event_id % 1000) AS event_created_ms
+FROM recs""",
+
+    "qt01_cloudtrail" ->
+      s"""WITH ${Transcripts.ctCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'aws' AS cloud_provider,
+  b.acct AS cloud_account_id,
+  'us-east-1' AS cloud_region,
+  b.acct AS log_source_hostname,
+  CASE WHEN (b.event_id % 2) = 0 THEN 'getobject' ELSE 'putobject' END AS event_category,
+  CASE WHEN (b.event_id % 3) = 0 THEN 'apicallrateinsight' ELSE 'awsapicall' END AS event_type,
+  's3.amazonaws.com' AS event_kind,
+  '1.08' AS service_version,
+  'IAMUser' AS service_type,
+  b.uname AS user_name,
+  'arn:aws:iam::' || b.uid_s || ':user/role' || CAST(b.event_id % 5 AS STRING) || '/' || b.uname AS user_roles,
+  b.uname AS user_id,
+  'bkt' || CAST(b.event_id % 20 AS STRING) AS file_directory,
+  'data/obj' || CAST(b.event_id % 100 AS STRING) || '.parquet' AS file_name,
+  CASE WHEN (b.event_id % 5) = 0 THEN 'AccessDenied' ELSE NULL END AS error_code,
+  'r' || b.eid_s AS transaction_id,
+  'ev' || b.eid_s AS event_id_s,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  CASE WHEN (b.event_id % 6) = 0 THEN NULL ELSE b.srcip END AS source_ip,
+  CASE WHEN (b.event_id % 6) = 0 THEN 'AWS Internal' ELSE NULL END AS source_address,
+  CASE WHEN (b.event_id % 6) = 0 THEN NULL
+       WHEN (b.user_id % 200) < 50 THEN 'US'
+       WHEN (b.user_id % 200) < 100 THEN 'DE'
+       WHEN (b.user_id % 200) < 150 THEN 'JP' ELSE 'BR' END AS source_geo_country
+FROM ct_turns t JOIN ct_base b USING (event_id)"""
   ) ++ MlEntry.oracleSql
 }

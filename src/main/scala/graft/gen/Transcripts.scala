@@ -203,10 +203,160 @@ xml_turns AS (
       || CAST(event_id % 8 AS STRING) || '</severity><error>'
       || CAST(event_id % 100 AS STRING) || '</error><eventid>ev'
       || CAST(event_id AS STRING)
-      || '</eventid></updateevent></mcafeecommonupdater></epo>' AS text,
+      || '</eventid><filehash>' || MD5(CAST(event_id % 1000 AS STRING))
+      || '</filehash></updateevent></mcafeecommonupdater></epo>' AS text,
     'trellix.epo' AS tool, ts, event_id
   FROM events WHERE (event_id % 7) = 3
 )"""
+
+  /** cisco.switch additive corpus (ref: syslog_audit_cisco.switch.conf) —
+    * five message shapes: LINK-3-UPDOWN (interface grok), BGP-5-ADJCHANGE
+    * (dissect + related-ip cleanup), SYS-4-CONFIG_I (mnemonic dict hit),
+    * AAA-3-ACCT_FAIL (mnemonic fallback), and a free-form line with no
+    * %FAC-SEV-MNEM structure. */
+  val ciscoCte: String = s"""
+cisco_base AS (
+  SELECT event_id, ts, user_id,
+    (event_id % 5) AS msel,
+    32 + (event_id % 8) AS pri3,
+    CAST(event_id AS STRING) AS eid_s,
+    'sw' || CAST(user_id % 30 AS STRING) AS swname,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0')
+      || '.123' AS devts,
+    'GigabitEthernet0/' || CAST(event_id % 48 AS STRING) AS ifname,
+    CASE WHEN (event_id % 2) = 0 THEN 'up' ELSE 'down' END AS state,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING) || '.7' AS bgpip,
+    'u' || CAST(user_id % 50 AS STRING) AS uname
+  FROM events WHERE (event_id % 11) = 5
+),
+cisco_turns AS (
+  SELECT 'cs_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri3 AS STRING) || '>seq' || eid_s || ': ' ||
+    CASE msel
+      WHEN 0 THEN swname || ': ' || devts || ': %LINK-3-UPDOWN: Interface ' || ifname || ', changed state to ' || state
+      WHEN 1 THEN swname || ': ' || devts || ': %BGP-5-ADJCHANGE: neighbor ' || bgpip || '* ' || (CASE state WHEN 'up' THEN 'Up' ELSE 'Down' END) || ' Interface flap'
+      WHEN 2 THEN swname || ': ' || devts || ': %SYS-4-CONFIG_I: Configured from console by ' || uname
+      WHEN 3 THEN 'Interface flap detected on device'
+      ELSE swname || ': ' || devts || ': %AAA-3-ACCT_FAIL: accounting record failed for ' || uname
+    END AS text,
+    'cisco.switch' AS tool, ts, event_id
+  FROM cisco_base
+)"""
+
+  /** okta.audit additive corpus (ref: api_audit_okta.conf) — the message is
+    * a JSON ARRAY of events (1 or 2 records → the second
+    * cardinality-increasing split path after azure records[]). */
+  val oktaCte: String = s"""
+okta_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id AS STRING) AS uid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    'u' || CAST((user_id + 1) % 50 AS STRING) AS uname2,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS clientip,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS chainip,
+    LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0') || '-'
+      || LPAD(CAST(EXTRACT(MONTH FROM ts) AS STRING), 2, '0') || '-'
+      || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || 'T'
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0')
+      || '.' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') || 'Z' AS pub,
+    CASE (event_id % 3) WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537.36 Chrome/120.0 Safari/537.36' WHEN 1 THEN 'Mozilla/4.0 (compatible; MSIE 7.0; Windows NT 6.1)' ELSE 'curl/8.5' END AS ua
+  FROM events WHERE (event_id % 9) = 1
+),
+okta_turns AS (
+  SELECT 'ok_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '[{"eventType":"user.session.start","displayMessage":"User login to Okta","severity":"INFO"'
+    || ',"published":"' || pub || '"'
+    || ',"outcome":{"result":"' || CASE WHEN (event_id % 4) = 0 THEN 'FAILURE","reason":"INVALID_CREDENTIALS' ELSE 'SUCCESS' END || '"}'
+    || ',"actor":{"id":"00u' || uid_s || '","alternateId":"' || uname || '@example.com","displayName":"User ' || uid_s || '"}'
+    || ',"client":{"ipAddress":"' || clientip || '","userAgent":{"os":"Windows 10","rawUserAgent":"' || ua || '","browser":"CHROME"},"geographicalContext":{"city":"city' || CAST(event_id % 5 AS STRING) || '","country":"US"}}'
+    || ',"request":{"ipChain":[{"ip":"' || chainip || '"}]}'
+    || ',"securityContext":{"domain":"example.com"}'
+    || ',"transaction":{"type":"WEB"}'
+    || ',"authenticationContext":{"externalSessionId":"sess' || CAST(event_id % 1000 AS STRING) || '"}'
+    || ',"debugContext":{"debugData":{"url":"/api/v1/authn?q=' || CAST(event_id % 7 AS STRING) || '"}}'
+    || ',"target":[{"id":"t' || CAST(event_id % 100 AS STRING) || '","alternateId":"' || uname2 || '@example.com","displayName":"Target ' || CAST(event_id % 100 AS STRING) || '"}]}'
+    || CASE WHEN (event_id % 2) = 0 THEN
+         ',{"eventType":"user.session.end","displayMessage":"User logout from Okta","severity":"WARN"'
+         || ',"published":"' || pub || '"'
+         || ',"outcome":{"result":"SUCCESS"}'
+         || ',"actor":{"id":"00u' || uid_s || 'b","alternateId":"' || uname || 'b@example.com","displayName":"User ' || uid_s || 'b"}'
+         || ',"client":{"ipAddress":"' || clientip || '","userAgent":{"os":"Windows 10","rawUserAgent":"' || ua || '","browser":"CHROME"},"geographicalContext":{"city":"city' || CAST(event_id % 5 AS STRING) || '","country":"US"}}'
+         || ',"transaction":{"type":"WEB"}'
+         || ',"target":[{"id":"t' || CAST(event_id % 100 AS STRING) || 'x","alternateId":"' || uname2 || 'x@example.com","displayName":"Target ' || CAST(event_id % 100 AS STRING) || 'x"}]}'
+       ELSE '' END
+    || ']' AS text,
+    'okta.audit' AS tool, ts, event_id
+  FROM okta_base
+)"""
+
+  /** aws.cloudtrail additive corpus (ref: api_audit_aws.cloudtrail.conf) —
+    * single JSON object per turn; exercises arn/principalId groks, the
+    * non-ip source rename, the insight translate, and sprintf-before-rename
+    * on recipientAccountId. */
+  val ctCte: String = s"""
+ct_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id AS STRING) AS uid_s,
+    LPAD(CAST(user_id AS STRING), 12, '0') AS acct,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS srcip,
+    LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0') || '-'
+      || LPAD(CAST(EXTRACT(MONTH FROM ts) AS STRING), 2, '0') || '-'
+      || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || 'T'
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0')
+      || 'Z' AS et
+  FROM events WHERE (event_id % 10) = 6
+),
+ct_turns AS (
+  SELECT 'ct_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"eventVersion":"1.08","eventTime":"' || et || '"'
+    || ',"eventSource":"s3.amazonaws.com"'
+    || ',"eventName":"' || CASE WHEN (event_id % 2) = 0 THEN 'GetObject' ELSE 'PutObject' END || '"'
+    || ',"awsRegion":"us-east-1","recipientAccountId":"' || acct || '"'
+    || ',"sourceIPAddress":"' || CASE WHEN (event_id % 6) = 0 THEN 'AWS Internal' ELSE srcip END || '"'
+    || ',"userAgent":"aws-cli/2.0","requestID":"r' || eid_s || '","eventID":"ev' || eid_s || '"'
+    || ',"eventType":"AwsApiCall"'
+    || ',"userIdentity":{"type":"IAMUser","arn":"arn:aws:iam::' || uid_s || ':user/role' || CAST(event_id % 5 AS STRING) || '/' || uname || '","principalId":"AIDA' || eid_s || ':' || uname || '"}'
+    || ',"requestParameters":{"bucketName":"bkt' || CAST(event_id % 20 AS STRING) || '","key":"data/obj' || CAST(event_id % 100 AS STRING) || '.parquet","userName":"' || uname || '"}'
+    || CASE WHEN (event_id % 3) = 0 THEN ',"insightDetails":{"eventCategory":"' || (CASE WHEN (event_id % 2) = 0 THEN 'Data' ELSE 'management' END) || '","insightType":"ApiCallRateInsight"}' ELSE '' END
+    || CASE WHEN (event_id % 5) = 0 THEN ',"errorCode":"AccessDenied"' ELSE '' END
+    || '}' AS text,
+    'aws.cloudtrail' AS tool, ts, event_id
+  FROM ct_base
+)"""
+
+  def ciscoInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ciscoCte SELECT conv_id, turn_idx, role, text, tool, ts FROM cisco_turns")
+  }
+
+  def oktaInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $oktaCte SELECT conv_id, turn_idx, role, text, tool, ts FROM okta_turns")
+  }
+
+  def ctInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ctCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ct_turns")
+  }
 
   /** Spark-side csv/xml corpora (input_hint shape). */
   def csvInput(spark: SparkSession, sfDir: String): DataFrame = {

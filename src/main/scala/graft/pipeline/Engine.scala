@@ -34,6 +34,7 @@ object Engine {
                      text: String, tsMillis: Long, dicts: Dicts): Seq[(Event, Boolean)] = {
     val tsYear = Instant.ofEpochMilli(tsMillis).atZone(ZoneOffset.UTC).getYear
     val ctx = ParseCtx(tsMillis, tsYear)
+    graft.rules.RuleDicts.set(dicts) // parse-stage translates (cisco)
     val ev = new Event
     ev.set("message", if (text == null) "" else text)
     program(ev, ctx) match {

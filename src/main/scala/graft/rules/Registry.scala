@@ -48,12 +48,18 @@ object Registry {
       Vector("s3"), Set.empty, "low"),
     "trellix.epo" -> TechnologyConfig("trellix.epo", "logs-trellix.epo",
       Vector("elastic"), Set.empty, "low"),
+    "cisco.switch" -> TechnologyConfig("cisco.switch", "logs-cisco.switch",
+      Vector("elastic"), Set.empty, "high"),
+    "okta.audit" -> TechnologyConfig("okta.audit", "logs-okta.audit",
+      Vector("elastic"), Set.empty, "low"),
+    "aws.cloudtrail" -> TechnologyConfig("aws.cloudtrail", "logs-aws.cloudtrail",
+      Vector("elastic", "s3"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
   /** The shared syslog header grok
     * (ref: syslog_security_palo.alto.fw.conf:13-17). */
-  private val HeaderGrok =
+  val HeaderGrok: String =
     "(^(.*?)(<(?<pri>\\d+)>)(\\s)?(?<actual_msg>.*$))|(^(?<actual_msg>.*)$)"
 
   /** palo.alto.fw — semantic port of the TRAFFIC path ("Rule 3",
@@ -283,6 +289,7 @@ object Registry {
       ev.rename("[xmlt][mcafeecommonupdater][updateevent][severity]", "[event][severity]")
       ev.rename("[xmlt][mcafeecommonupdater][updateevent][error]", "[error][code]")
       ev.rename("[xmlt][mcafeecommonupdater][updateevent][eventid]", "[event][id]")
+      ev.rename("[xmlt][mcafeecommonupdater][updateevent][filehash]", "[file][hash][md5]")
       ev.remove("tmp"); ev.remove("xmlt")
     } else {
       ev.set("[agent][parse_rule]", "not parsed")
@@ -309,5 +316,8 @@ object Registry {
     "azure.signin" -> azureSignin,
     "mcafee.mcp" -> mcafeeMcp,
     "trellix.epo" -> trellixEpo,
+    "cisco.switch" -> CloudRules.ciscoSwitch,
+    "okta.audit" -> CloudRules.oktaAudit,
+    "aws.cloudtrail" -> CloudRules.awsCloudtrail,
     "unknown" -> unknown)
 }
