@@ -33,14 +33,66 @@ object Enrich {
   private def e01LogOriginal(ev: Event, d: Dicts, ctx: Ctx): Unit =
     ev.getString("message").foreach(m => ev.set("[log][original]", m))
 
-  // 02_ecs_data_type.conf — late type coercion: enumerated long fields
-  // coerce-or-remove (:110-120); ip-validity migration (:130-287)
+  // 02_ecs_data_type.conf — late type coercion: the reference's full
+  // enumerated long-field list (:22-84) coerce-or-remove (:110-120), float
+  // fields (:89-96), ip strip (:124-126), invalid-ip migration (:130-287),
+  // and the unparsed-date removal pass (:290-319)
   private val longFields = Vector(
-    "[source][port]", "[destination][port]", "[network][bytes]",
-    "[network][packets]", "[event][severity]", "[process][pid]")
-  private val ipMigrations = Vector( // hoisted: no per-event tuple churn
+    "[client][bytes]", "[client][packets]", "[client][port]",
+    "[destination][bytes]", "[destination][packets]", "[destination][port]",
+    "[event][duration]", "[event][severity]",
+    "[file][x509][public_key_exponent]", "[network][bytes]",
+    "[network][packets]", "[process][parent][pid]", "[process][pid]",
+    "[server][bytes]", "[server][packets]", "[server][port]",
+    "[source][bytes]", "[source][packets]", "[source][port]",
+    "[client][as][number]", "[client][nat][port]",
+    "[destination][as][number]", "[destination][nat][port]",
+    "[dns][answers][ttl]", "[event][sequence]", "[file][size]",
+    "[file][x509][public_key_size]", "[host][disk][read][bytes]",
+    "[host][disk][write][bytes]", "[host][network][egress][bytes]",
+    "[host][network][egress][packets]", "[host][network][ingress][bytes]",
+    "[host][network][ingress][packets]", "[host][uptime]",
+    "[http][request][body][bytes]", "[http][request][bytes]",
+    "[http][response][body][bytes]", "[http][response][bytes]",
+    "[http][response][status_code]", "[log][origin][file][line]",
+    "[log][syslog][facility][code]", "[log][syslog][priority]",
+    "[log][syslog][severity][code]",
+    "[observer][ingress][interface][host_count]", "[package][size]",
+    "[process][args_count]", "[process][exit_code]",
+    "[process][parent][args_count]", "[process][parent][exit_code]",
+    "[process][parent][pgid]", "[process][parent][ppid]",
+    "[process][parent][thread][id]", "[process][parent][uptime]",
+    "[process][pgid]", "[process][ppid]", "[process][thread][id]",
+    "[process][uptime]", "[server][as][number]", "[server][nat][port]",
+    "[source][as][number]", "[source][nat][port]",
+    "[tls][client][x509][public_key_exponent]",
+    "[tls][client][x509][public_key_size]",
+    "[tls][server][x509][public_key_exponent]",
+    "[tls][server][x509][public_key_size]", "[url][port]")
+  private val floatFields = Vector( // ref :89-96
+    "[event][risk_score]", "[event][risk_score_norm]", "[host][cpu][usage]",
+    "[vulnerability][score][base]", "[vulnerability][score][environmental]",
+    "[vulnerability][score][temporal]")
+  private val ipStripFields = Vector( // ref :124-126
+    "[client][ip]", "[client][nat][ip]", "[destination][ip]",
+    "[destination][nat][ip]", "[dns][resolved_ip]", "[host][ip]",
+    "[network][forwarded_ip]", "[observer][ip]", "[server][ip]",
+    "[server][nat][ip]", "[source][ip]", "[source][nat][ip]")
+  private val ipMigrations = Vector( // invalid ip → paired address (:130-287)
     ("[source][ip]", "[source][address]"),
-    ("[destination][ip]", "[destination][address]"))
+    ("[destination][ip]", "[destination][address]"),
+    ("[client][ip]", "[client][address]"),
+    ("[server][ip]", "[server][address]"))
+  private val dateFields = Vector( // unparsed (string) date → remove+tag (:290-319)
+    ("[event][created]", "_dateparsefailure_ec"),
+    ("[event][end]", "_dateparsefailure_ee"),
+    ("[event][ingested]", "_dateparsefailure_ei"),
+    ("[event][start]", "_dateparsefailure_es"),
+    ("[file][accessed]", "_dateparsefailure_fa"),
+    ("[file][created]", "_dateparsefailure_fc"),
+    ("[file][mtime]", "_dateparsefailure_fm"),
+    ("[package][installed]", "_dateparsefailure_pi"),
+    ("[process][start]", "_dateparsefailure_ps"))
   private def e02Coerce(ev: Event, d: Dicts, ctx: Ctx): Unit = {
     longFields.foreach { f =>
       ev.valueOrNull(f) match {
@@ -52,10 +104,26 @@ object Enrich {
         case _ => ()
       }
     }
-    // invalid IPs migrate to the paired address/hostname field (:130-287)
+    floatFields.foreach { f =>
+      ev.valueOrNull(f) match {
+        case s: String =>
+          s.trim.toDoubleOption match {
+            case Some(x) => ev.set(f, x)
+            case None => ev.remove(f)
+          }
+        case _ => ()
+      }
+    }
+    ipStripFields.foreach(f => Mutate.strip(ev, f))
     ipMigrations.foreach { case (ipF, addrF) =>
       val v = ev.stringOrNull(ipF)
       if (v != null && !Net.isValidIpv4(v)) { ev.remove(ipF); ev.set(addrF, v) }
+    }
+    dateFields.foreach { case (f, tag) =>
+      ev.valueOrNull(f) match {
+        case _: String => ev.remove(f); ev.addTag(tag)
+        case _ => ()
+      }
     }
   }
 
