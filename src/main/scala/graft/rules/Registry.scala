@@ -75,6 +75,23 @@ object Registry {
       "%{[network][packets]},%{[network][iana_number]}"
 
   def paloAlto(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    // bare `split {}` on newline (ref: syslog_security_palo.alto.fw.conf:27):
+    // a multi-line datagram becomes one event per line, each running the
+    // full palo program — the third cardinality-increasing path
+    val raw = ev.stringOrNull("message")
+    if (raw != null && raw.indexOf('\n') >= 0) {
+      val out = raw.split("\n").toVector.map { line =>
+        val sub = new Event
+        ev.tags.foreach(sub.addTag)
+        sub.set("message", line)
+        paloAltoOne(sub, ctx)
+      }
+      return Parsed(out)
+    }
+    Parsed(Seq(paloAltoOne(ev, ctx)))
+  }
+
+  private def paloAltoOne(ev: Event, ctx: ParseCtx): Event = {
     Mutate.gsub(ev, "message", "\\\\\"", "\"") // ref :9-12
     Grok(ev, "message", Seq(HeaderGrok), Seq("_parsefailure_header"))
     SyslogPri(ev) // ref :18-21
@@ -95,7 +112,7 @@ object Registry {
       ev.set("[agent][parse_rule]", "not parsed") // ref :449
       ev.addTag("_parse_failure")
     }
-    Parsed(Seq(ev))
+    ev
   }
 
   /** aws.vpcflow — semantic port of

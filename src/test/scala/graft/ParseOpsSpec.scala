@@ -464,3 +464,24 @@ class MutateUpdateReplaceSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ev.getString("b").contains("w-v-1"))
   }
 }
+
+class PaloSplitSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.model.Event
+  import graft.rules.{ParseCtx, Parsed, Registry}
+  test("bare split{} on newline: multi-line palo datagram -> one event per line (ref palo.alto.fw.conf:27)") {
+    val line1 = "<134>Aug 16 10:00:00 fw1 1,2026/08/16 10:00:00,001,TRAFFIC,end,1,2026/08/16 10:00:00," +
+      "10.1.2.3,172.16.0.5,0.0.0.0,0.0.0.0,rule-allow,,,tcp,allow,1024,443,100,5,6"
+    val line2 = "<134>Aug 16 10:00:01 fw2 garbage line"
+    val ev = new Event
+    ev.set("message", line1 + "\n" + line2)
+    Registry.programs("palo.alto.fw")(ev, ParseCtx(1765879200000L, 2026)) match {
+      case Parsed(events) =>
+        assert(events.size == 2)
+        assert(events(0).getString("[source][ip]").contains("10.1.2.3"))
+        assert(events(0).getString("[agent][parse_rule]").contains("Rule 3"))
+        assert(events(1).getString("[agent][parse_rule]").contains("not parsed"))
+        assert(events(1).hasTag("_parse_failure") && !events(0).hasTag("_parse_failure"))
+      case other => fail(s"unexpected $other")
+    }
+  }
+}
