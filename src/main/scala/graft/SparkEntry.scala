@@ -317,6 +317,16 @@ px AS (
         col("destination_user_full_name"), col("host_ip"), col("ua_os_name"),
         col("transaction_id"), col("url_path"), col("event_created_ms"))),
 
+    // windows WEF end-to-end: winlog envelope renames, @-split users,
+    // ::ffff: strip, Kerberos failure-code translate, per-event-id branches
+    "qw01_windows" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.winInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("event_kind"), col("event_id_s"), col("rule_category"),
+        col("user_name"), col("source_ip"), col("source_port"),
+        col("destination_address"), col("destination_domain"),
+        col("log_source_hostname"), col("event_reason"), col("service_name"))),
+
     // aws.cloudtrail end-to-end: arn/principalId groks, non-ip source
     // rename, insight translate, sprintf-before-rename account id
     "qt01_cloudtrail" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ctInput(s, dir)).toDF()
@@ -713,6 +723,28 @@ SELECT conv_id, turn_idx, sub_idx, 1 AS parse_ok_i,
   CASE WHEN sub_idx = 0 THEN '/api/v1/authn?q=' || CAST(event_id % 7 AS STRING) ELSE NULL END AS url_path,
   epoch_ms(date_trunc('second', ts)) + (event_id % 1000) AS event_created_ms
 FROM recs""",
+
+    "qw01_windows" ->
+      s"""WITH ${Transcripts.winCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE WHEN b.wsel = 2 THEN 'System' ELSE 'Security' END AS event_kind,
+  CASE b.wsel WHEN 0 THEN '4624' WHEN 1 THEN '4769' ELSE '7036' END AS event_id_s,
+  CASE b.wsel WHEN 0 THEN 'Audit Success' WHEN 1 THEN 'Audit Failure' ELSE 'Classic' END AS rule_category,
+  CASE WHEN b.wsel = 0 THEN b.uname ELSE NULL END AS user_name,
+  CASE WHEN b.wsel IN (0, 1) THEN b.ip ELSE NULL END AS source_ip,
+  CASE b.wsel WHEN 0 THEN 3389 WHEN 1 THEN 50321 ELSE NULL END AS source_port,
+  CASE WHEN b.wsel = 0 THEN 'ws' || CAST(b.user_id % 20 AS STRING) ELSE NULL END AS destination_address,
+  CASE WHEN b.wsel = 0 THEN 'corp.example' ELSE NULL END AS destination_domain,
+  CASE WHEN b.wsel = 2 THEN 'app' || CAST(b.user_id % 20 AS STRING) || '.corp.example'
+       ELSE 'dc1.corp.example' END AS log_source_hostname,
+  CASE WHEN b.wsel = 1 THEN
+    (CASE b.fcode WHEN '0x0' THEN 'No errors were found'
+          WHEN '0x12' THEN 'Clients credentials have been revoked'
+          WHEN '0x25' THEN 'Clock skew too great'
+          ELSE 'failed service ticket request' END)
+  ELSE NULL END AS event_reason,
+  CASE WHEN b.wsel = 2 THEN 'Print Spooler' ELSE NULL END AS service_name
+FROM win_turns t JOIN win_base b USING (event_id)""",
 
     "qt01_cloudtrail" ->
       s"""WITH ${Transcripts.ctCte}

@@ -343,6 +343,47 @@ ct_turns AS (
   FROM ct_base
 )"""
 
+  /** windows.events additive corpus (ref: wef_audit_windows.events.conf) —
+    * beats JSON-lines envelopes: a 4624 logon (ffff-mapped ip, @-split
+    * users, workstation FQDN), a 4769 Kerberos ticket (failure-code
+    * translate, ticket-option bit flags), a 7036 service-state change. */
+  val winCte: String = s"""
+win_base AS (
+  SELECT event_id, ts, user_id,
+    (event_id % 3) AS wsel,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS ip,
+    CASE (event_id % 4) WHEN 0 THEN '0x0' WHEN 1 THEN '0x12' WHEN 2 THEN '0x25' ELSE '0x99' END AS fcode,
+    CASE (event_id % 3) WHEN 0 THEN '0x12' WHEN 1 THEN '0x17' ELSE '0x99' END AS tenc
+  FROM events WHERE (event_id % 8) = 3
+),
+win_turns AS (
+  SELECT 'wn_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE wsel
+      WHEN 0 THEN '{"message":"An account was successfully logged on.","winlog":{"channel":"Security","event_id":4624,"keywords":"Audit Success","computer_name":"dc1.corp.example"'
+        || ',"user":{"name":"' || uname || '@corp.example","domain":"CORP"}'
+        || ',"event_data":{"IpAddress":"::ffff:' || ip || '","IpPort":"3389"'
+        || ',"SubjectUserName":"adm' || CAST(user_id % 9 AS STRING) || '@corp.example"'
+        || ',"TargetUserName":"svc' || CAST(event_id % 10 AS STRING) || '"'
+        || ',"LogonType":"10","WorkstationName":"ws' || CAST(user_id % 20 AS STRING) || '.corp.example"}}}'
+      WHEN 1 THEN '{"message":"A Kerberos service ticket was requested. Failure Code:' || fcode || 'Transited Services: -","winlog":{"channel":"Security","event_id":4769,"keywords":"Audit Failure","computer_name":"dc1.corp.example"'
+        || ',"event_data":{"TicketOptions":"0x40810000","TicketEncryptionType":"' || tenc || '"'
+        || ',"IpAddress":"::ffff:' || ip || '","IpPort":"50321"}}}'
+      ELSE '{"message":"The Print Spooler service entered the running state.","winlog":{"channel":"System","event_id":7036,"keywords":"Classic","computer_name":"app' || CAST(user_id % 20 AS STRING) || '.corp.example"'
+        || ',"event_data":{"param1":"Print Spooler","param2":"running"}}}'
+    END AS text,
+    'windows.events' AS tool, ts, event_id
+  FROM win_base
+)"""
+
+  def winInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $winCte SELECT conv_id, turn_idx, role, text, tool, ts FROM win_turns")
+  }
+
   def ciscoInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $ciscoCte SELECT conv_id, turn_idx, role, text, tool, ts FROM cisco_turns")

@@ -33,16 +33,38 @@ object TextOps {
 
   /** MinHash signatures: word 3-shingles, hash family h_i(s)=md5(i||':'||s),
     * signature = per-i min over shingles (lexicographic on hex — portable
-    * across engines). Docs with <3 tokens have no signature. */
+    * across engines). Docs with <3 tokens have no signature.
+    *
+    * Computed per document in ONE narrow typed pass — round 1 exploded
+    * every shingle into a row and hash-aggregated back by doc_id, i.e. a
+    * #shingles× row blow-up plus a shuffle, for a value that is a pure
+    * per-row function. Identical output (same hash family, same
+    * lexicographic min, proven by the unchanged d02 oracle). */
   def minhash(d: DataFrame): DataFrame = {
-    val sh = d
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))")).as("s"))
-    val aggs = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")).cast("binary"))).as(s"m$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val spark = d.sparkSession
+    import spark.implicits._
+    d.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val w = text.split(' ')
+        if (w.length < 3) Iterator.empty
+        else {
+          val mins = new Array[String](NumHashes)
+          var i = 0
+          while (i + 2 < w.length) {
+            val s = w(i) + " " + w(i + 1) + " " + w(i + 2)
+            var h = 0
+            while (h < NumHashes) {
+              val m = graft.util.Md5.hex(h.toString + ":" + s)
+              if (mins(h) == null || m.compareTo(mins(h)) < 0) mins(h) = m
+              h += 1
+            }
+            i += 1
+          }
+          Iterator.single((id, mins(0), mins(1), mins(2), mins(3), mins(4), mins(5),
+            mins(6), mins(7), mins(8), mins(9), mins(10), mins(11)))
+        }
+      })
+      .toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7", "m8", "m9", "m10", "m11")
   }
 
   /** LSH banding: band signature = md5(m_{3b} || m_{3b+1} || m_{3b+2}). */

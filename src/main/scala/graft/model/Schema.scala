@@ -145,4 +145,5 @@ final case class ParsedTurn(
   threat_indicator_ip: String,
   threat_indicator_provider: String,
   related_mac: Seq[String],
-  related_hash: Seq[String])
+  related_hash: Seq[String],
+  destination_address: String)

@@ -204,6 +204,7 @@ object Engine {
       threat_indicator_ip = s("[threat][indicator][ip]"),
       threat_indicator_provider = s("[threat][indicator][provider]"),
       related_mac = arr("[related][mac]"),
-      related_hash = arr("[related][hash]"))
+      related_hash = arr("[related][hash]"),
+      destination_address = s("[destination][address]"))
   }
 }

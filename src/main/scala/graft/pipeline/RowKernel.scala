@@ -270,6 +270,7 @@ object RowKernel {
     s("[threat][indicator][provider]")
     arr("[related][mac]")
     arr("[related][hash]")
+    s("[destination][address]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -257,6 +257,158 @@ object CloudRules {
   }
 }
 
+/** windows WEF events — semantic port of
+  * config/processors/wef_audit_windows.events.conf: winlog JSON envelope
+  * (beats JSON-lines form) → ECS renames, "@"-split user fields, per-event-id
+  * branches (4769 Kerberos failure-code + cipher translates and the
+  * ticket-option BIT-FLAG decode), ::ffff: prefix strip. */
+object WindowsRules {
+
+  /** Kerberos failure-code dictionary (ref :255-306 — full inline dict). */
+  private val krbFailure = Map(
+    "0x0" -> "No errors were found", "0x1" -> "Client's entry in database has expired",
+    "0x2" -> "Server's entry in database has expired",
+    "0x3" -> "Requested protocol version # not supported",
+    "0x4" -> "Client's key encrypted in old master key",
+    "0x5" -> "Server's key encrypted in old master key",
+    "0x6" -> "Client not found in Kerberos database",
+    "0x7" -> "Server not found in Kerberos database",
+    "0x8" -> "Multiple principal entries in database",
+    "0x9" -> "The client or server has a null key",
+    "0x10" -> "KDC has no support for padata type",
+    "0x11" -> "KDC has no support for transited type",
+    "0x12" -> "Clients credentials have been revoked",
+    "0x13" -> "Credentials for server have been revoked",
+    "0x14" -> "TGT has been revoked", "0x15" -> "Client not yet valid - try again later",
+    "0x16" -> "Server not yet valid - try again later", "0x17" -> "Password has expired",
+    "0x18" -> "Pre-authentication information was invalid",
+    "0x19" -> "Additional pre-authentication required", "0x20" -> "Ticket expired",
+    "0x21" -> "Ticket not yet valid", "0x22" -> "Request is a replay",
+    "0x23" -> "The ticket isn't for us", "0x24" -> "Ticket and authenticator don't match",
+    "0x25" -> "Clock skew too great", "0x26" -> "Incorrect net address",
+    "0x27" -> "Protocol version mismatch", "0x28" -> "Invalid msg type",
+    "0x29" -> "Message stream modified",
+    "0x30" -> "Alternative authentication method required*",
+    "0x31" -> "Incorrect sequence number in message",
+    "0x32" -> "Inappropriate type of checksum in message",
+    "0xA" -> "Ticket not eligible for postdating",
+    "0xB" -> "Requested start time is later than end time",
+    "0xC" -> "KDC policy rejects request",
+    "0xD" -> "KDC cannot accommodate requested option",
+    "0xE" -> "KDC has no support for encryption type",
+    "0xF" -> "KDC has no support for checksum type",
+    "0x1F" -> "Integrity check on decrypted field failed",
+    "0x2A" -> "Message out of order", "0x2C" -> "Specified version of key is not available",
+    "0x2D" -> "Service key not available", "0x2E" -> "Mutual authentication failed",
+    "0x2F" -> "Incorrect message direction",
+    "0x3C" -> "Generic error (description in e-text)",
+    "0x3D" -> "Field is too long for this implementation")
+
+  /** Ticket encryption-type dictionary (ref :311-321). */
+  private val krbCipher = Map(
+    "0x1" -> "DES-CBC-CRC", "0x3" -> "DES-CBC-MD5",
+    "0x11" -> "AES128-CTS-HMAC-SHA1-96", "0x12" -> "AES256-CTS-HMAC-SHA1-96",
+    "0x17" -> "RC4-HMAC", "0x18" -> "RC4-HMAC-EXP")
+
+  /** Ticket-option bit flags (ref :327-349 — MS-documented 32-bit mask),
+    * highest bit first to preserve the reference's emission order. */
+  private val ticketFlags = Vector(
+    1073741824L -> "Forwardable", 536870912L -> "Forwarded", 268435456L -> "Proxiable",
+    134217728L -> "Proxy", 67108864L -> "Allow-postdate", 33554432L -> "Postdated",
+    16777216L -> "Invalid", 8388608L -> "Renewable", 4194304L -> "Initial",
+    2097152L -> "Pre-authent", 1048576L -> "Opt-hardware-auth",
+    524288L -> "Transited-policy-checked", 262144L -> "Ok-as-delegate",
+    131072L -> "Request-anonymous", 65536L -> "Name-canonicalize",
+    32L -> "Disable-transited-check", 16L -> "Renewable-ok", 8L -> "Enc-tkt-in-skey",
+    4L -> "Unused", 2L -> "Renew", 1L -> "Validate")
+
+  private val krbFailGrok = // ref :250-253 (tmp has had \t\r\n gsub'ed away)
+    "^.*Failure Code:(?<failure_code>.*)Transited Services.*$"
+
+  /** "@"-split idiom (ref :135-208): name@domain composites split, plain
+    * values rename through. */
+  private def atSplit(ev: Event, flat: String, nameF: String, domF: String): Unit = {
+    val v = ev.stringOrNull(flat)
+    if (v != null) {
+      val at = v.indexOf('@')
+      if (at >= 0) {
+        ev.set(nameF, v.substring(0, at))
+        ev.set(domF, v.substring(at + 1))
+        ev.remove(flat)
+      } else ev.rename(flat, nameF)
+    }
+  }
+
+  def windowsEvents(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "windows_wef") // ref :9-11
+    ev.set("[event][dataset]", "windows_wef_events")
+    // beats JSON-lines envelope: {"message": <text>, "winlog": {...}} —
+    // merged into the event root like the WEF input codec provides
+    if (!JsonOps.parse(ev, "message", "")) {
+      ev.set("[agent][parse_rule]", "not parsed")
+      ev.addTag("_parse_failure")
+      return Parsed(Seq(ev))
+    }
+    ev.set("[agent][parse_rule]", "Rule 1")
+    // core renames (ref :12-98, the subset the corpus carries)
+    ev.rename("[winlog][keywords]", "[rule][category]")
+    ev.rename("[winlog][user][domain]", "[user][domain]")
+    ev.rename("[winlog][user][name]", "user_name")
+    ev.rename("[winlog][channel]", "[event][kind]")
+    ev.rename("[winlog][event_data][TargetUserName]", "hostuser_name")
+    ev.rename("[winlog][event_data][ClientAddress]", "[client][ip]")
+    ev.rename("[winlog][event_data][IpAddress]", "[source][ip]")
+    ev.rename("[winlog][event_data][IpPort]", "[source][port]")
+    ev.rename("[winlog][event_data][SubjectUserName]", "sourceuser_name")
+    ev.rename("[winlog][event_data][LogonType]", "[rule][uuid]")
+    ev.rename("[winlog][computer_name]", "[log][source][hostname]")
+    ev.rename("[winlog][event_data][WorkstationName]", "[destination][address]")
+    ev.rename("[winlog][event_id]", "[event][id]")
+    Mutate.convert(ev, "[event][id]", "string") // ref :104-108
+    // @-splits (ref :135-208)
+    atSplit(ev, "user_name", "[user][name]", "[user][domain]")
+    atSplit(ev, "sourceuser_name", "[source][user][name]", "[source][user][domain]")
+    if (!ev.getString("hostuser_name").contains("None"))
+      atSplit(ev, "hostuser_name", "[host][user][name]", "[host][user][domain]")
+    else ev.remove("hostuser_name")
+    // tmp copy with \r\n (and for 4769 \t) stripped (ref :209-215,248)
+    ev.copyField("message", "tmp")
+    Mutate.gsub(ev, "tmp", "\r", "")
+    Mutate.gsub(ev, "tmp", "\n", "")
+    if (ev.getString("[event][id]").contains("4769")) { // ref :244-365
+      ev.rename("[winlog][event_data][TicketOptions]", "ticket_option")
+      ev.rename("[winlog][event_data][TicketEncryptionType]", "ticket_encrypt")
+      Mutate.gsub(ev, "tmp", "\t", "")
+      Grok(ev, "tmp", Seq(krbFailGrok), Seq("_grokparsefailure_3"))
+      ev.getString("failure_code").foreach(c =>
+        ev.set("[event][reason]", krbFailure.getOrElse(c, "failed service ticket request")))
+      ev.getString("ticket_encrypt").foreach(c =>
+        ev.set("[tls][cipher]", krbCipher.getOrElse(c, "Audit Failures")))
+      ev.getString("ticket_option").foreach { hex =>
+        // bit-flag decode → [service][type] array (ref :325-360 ruby)
+        try {
+          val num = java.lang.Long.parseLong(hex.stripPrefix("0x"), 16)
+          val out = mutable.ArrayBuffer.empty[Any]
+          ticketFlags.foreach { case (bit, name) => if ((num & bit) == bit) out += name }
+          ev.set("[service][type]", out)
+        } catch { case _: NumberFormatException => () }
+      }
+    }
+    if (ev.getString("[event][id]").contains("7036")) { // ref :352-357
+      ev.rename("[winlog][event_data][param1]", "[service][name]")
+      ev.rename("[winlog][event_data][param2]", "[service][state]")
+    }
+    // ::ffff: ipv4-mapped prefix strip (ref :366-379)
+    Seq("[source][ip]", "[destination][ip]").foreach { f =>
+      val v = ev.stringOrNull(f)
+      if (v != null && v.startsWith("::ffff:")) ev.set(f, v.substring(7))
+    }
+    Seq("winlog", "tmp", "ticket_encrypt", "ticket_option", "failure_code")
+      .foreach(ev.remove) // ref :385-388
+    Parsed(Seq(ev))
+  }
+}
+
 /** Per-executor handle to the broadcast dictionaries for programs that
   * translate during PARSE (cisco facility/mnemonic) — set by the kernel
   * before running programs; avoids threading Dicts through every

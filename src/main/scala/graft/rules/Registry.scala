@@ -54,6 +54,8 @@ object Registry {
       Vector("elastic"), Set.empty, "low"),
     "aws.cloudtrail" -> TechnologyConfig("aws.cloudtrail", "logs-aws.cloudtrail",
       Vector("elastic", "s3"), Set.empty, "medium"),
+    "windows.events" -> TechnologyConfig("windows.events", "logs-windows.events",
+      Vector("elastic"), Set.empty, "high"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -336,5 +338,6 @@ object Registry {
     "cisco.switch" -> CloudRules.ciscoSwitch,
     "okta.audit" -> CloudRules.oktaAudit,
     "aws.cloudtrail" -> CloudRules.awsCloudtrail,
+    "windows.events" -> WindowsRules.windowsEvents,
     "unknown" -> unknown)
 }

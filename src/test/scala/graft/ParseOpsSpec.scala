@@ -485,3 +485,25 @@ class PaloSplitSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class WindowsRulesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.model.Event
+  import graft.rules.{ParseCtx, Parsed, Registry}
+  test("4769 ticket-option bit flags decode to service.type array (ref wef_audit_windows.events.conf:325-360)") {
+    val ev = new Event
+    // 0x40810000 = Forwardable | Renewable | Name-canonicalize
+    ev.set("message",
+      """{"message":"A Kerberos service ticket was requested. Failure Code:0x12Transited Services: -","winlog":{"channel":"Security","event_id":4769,"keywords":"Audit Failure","computer_name":"dc1.corp.example","event_data":{"TicketOptions":"0x40810000","TicketEncryptionType":"0x17","IpAddress":"::ffff:10.1.2.3","IpPort":"50321"}}}""")
+    Registry.programs("windows.events")(ev, ParseCtx(1765879200000L, 2026)) match {
+      case Parsed(Seq(e)) =>
+        assert(e.getString("[service][type][0]").contains("Forwardable"))
+        assert(e.getString("[service][type][1]").contains("Renewable"))
+        assert(e.getString("[service][type][2]").contains("Name-canonicalize"))
+        assert(e.get("[service][type][3]").isEmpty)
+        assert(e.getString("[tls][cipher]").contains("RC4-HMAC"))
+        assert(e.getString("[event][reason]").contains("Clients credentials have been revoked"))
+        assert(e.getString("[source][ip]").contains("10.1.2.3")) // ::ffff: stripped
+      case other => fail(s"unexpected $other")
+    }
+  }
+}
