@@ -103,6 +103,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming parse of a cardinality-up corpus (okta JSON array) equals batch") {
+    val inDir = tmp("graft-stream-okta-")
+    Transcripts.oktaInput(spark, sf).write.mode("overwrite").parquet(inDir)
+    val parsed = StreamingPipeline.parse(spark, StreamingPipeline.readTurns(spark, inDir))
+    StreamingPipeline.runToMemory(
+      parsed.toDF().select("conv_id", "turn_idx", "sub_idx", "event_type", "event_outcome"),
+      "stream_okta", org.apache.spark.sql.streaming.OutputMode.Append(),
+      tmp("graft-ckpt-okta-"))
+    val streamed = spark.table("stream_okta")
+    val batch = Pipeline.parseDf(spark, Transcripts.oktaInput(spark, sf))
+      .select("conv_id", "turn_idx", "sub_idx", "event_type", "event_outcome")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming pipeline: counts equal batch counts; stateful op tracks conversations") {
     val inDir = tmp("graft-stream-in-")
     Transcripts.input(spark, sf).write.mode("overwrite").parquet(inDir)

@@ -36,11 +36,15 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       Pipeline.parseTyped(spark, input).toDF(), "main")
   }
 
-  test("row kernel == typed kernel on the csv and xml corpora") {
-    assertSame(Pipeline.parseDf(spark, Transcripts.csvInput(spark, sf)),
-      Pipeline.parseTyped(spark, Transcripts.csvInput(spark, sf)).toDF(), "csv")
-    assertSame(Pipeline.parseDf(spark, Transcripts.xmlInput(spark, sf)),
-      Pipeline.parseTyped(spark, Transcripts.xmlInput(spark, sf)).toDF(), "xml")
+  test("row kernel == typed kernel on every side corpus") {
+    val corpora: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] = Seq(
+      ("csv", Transcripts.csvInput), ("xml", Transcripts.xmlInput),
+      ("cisco", Transcripts.ciscoInput), ("okta", Transcripts.oktaInput),
+      ("cloudtrail", Transcripts.ctInput), ("windows", Transcripts.winInput))
+    corpora.foreach { case (name, input) =>
+      assertSame(Pipeline.parseDf(spark, input(spark, sf)),
+        Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
+    }
   }
 
   test("emitDropped materializes exactly the drop{}-ed turns as marker rows") {
