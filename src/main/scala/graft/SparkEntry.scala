@@ -327,6 +327,19 @@ px AS (
         col("destination_address"), col("destination_domain"),
         col("log_source_hostname"), col("event_reason"), col("service_name"))),
 
+    // proofpoint SIEM clicks end-to-end: JSON renames (incl. a dotted JSON
+    // key path), dual ISO8601.SSS dates, geo on the sender ip
+    "qp01_proofpoint" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ppInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("cloud_provider"), col("url_full"), col("rule_category"),
+        col("rule_ruleset"), col("rule_id"), col("rule_uuid"),
+        col("rule_reference"), col("event_status"), col("event_kind"),
+        col("event_id_s"), col("client_ip"), col("source_ip"),
+        col("source_user_email"), col("destination_user_email"),
+        col("source_geo_country"), col("event_created_ms"),
+        col("threat_list_created_ms"))),
+
     // aws.cloudtrail end-to-end: arn/principalId groks, non-ip source
     // rename, insight translate, sprintf-before-rename account id
     "qt01_cloudtrail" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ctInput(s, dir)).toDF()
@@ -723,6 +736,30 @@ SELECT conv_id, turn_idx, sub_idx, 1 AS parse_ok_i,
   CASE WHEN sub_idx = 0 THEN '/api/v1/authn?q=' || CAST(event_id % 7 AS STRING) ELSE NULL END AS url_path,
   epoch_ms(date_trunc('second', ts)) + (event_id % 1000) AS event_created_ms
 FROM recs""",
+
+    "qp01_proofpoint" ->
+      s"""WITH ${Transcripts.ppCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'proofpoint' AS cloud_provider,
+  'https://www.app' || CAST(b.event_id % 30 AS STRING) || '.co.uk/p/' || b.eid_s AS url_full,
+  CASE WHEN (b.event_id % 2) = 0 THEN 'phish' ELSE 'malware' END AS rule_category,
+  'camp' || CAST(b.event_id % 15 AS STRING) AS rule_ruleset,
+  't' || CAST(b.event_id % 500 AS STRING) AS rule_id,
+  'g' || b.eid_s AS rule_uuid,
+  'https://tap.example/threat/t' || CAST(b.event_id % 500 AS STRING) AS rule_reference,
+  CASE WHEN (b.event_id % 3) = 0 THEN 'cleared' ELSE 'active' END AS event_status,
+  CASE WHEN (b.event_id % 4) = 0 THEN 'clicksBlocked' ELSE 'clicksPermitted' END AS event_kind,
+  'm' || b.eid_s AS event_id_s,
+  b.clickip AS client_ip,
+  b.senderip AS source_ip,
+  b.uname || '@ext.example' AS source_user_email,
+  b.uname || '@example.com' AS destination_user_email,
+  CASE WHEN (b.user_id % 200) < 50 THEN 'US'
+       WHEN (b.user_id % 200) < 100 THEN 'DE'
+       WHEN (b.user_id % 200) < 150 THEN 'JP' ELSE 'BR' END AS source_geo_country,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_created_ms,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS threat_list_created_ms
+FROM pp_turns t JOIN pp_base b USING (event_id)""",
 
     "qw01_windows" ->
       s"""WITH ${Transcripts.winCte}

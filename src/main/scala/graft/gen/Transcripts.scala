@@ -379,6 +379,50 @@ win_turns AS (
   FROM win_base
 )"""
 
+  /** proofpoint SIEM clicks additive corpus
+    * (ref: api_security_proofpoint.siem_api_clicks.conf). */
+  val ppCte: String = s"""
+pp_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS clickip,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS senderip,
+    LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0') || '-'
+      || LPAD(CAST(EXTRACT(MONTH FROM ts) AS STRING), 2, '0') || '-'
+      || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || 'T'
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0')
+      || '.' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') || 'Z' AS clickt
+  FROM events WHERE (event_id % 12) = 7
+),
+pp_turns AS (
+  SELECT 'pp_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"url":"https://www.app' || CAST(event_id % 30 AS STRING) || '.co.uk/p/' || eid_s || '"'
+    || ',"classification":"' || CASE WHEN (event_id % 2) = 0 THEN 'phish' ELSE 'malware' END || '"'
+    || ',"clickTime":"' || clickt || '","threatTime":"' || clickt || '"'
+    || ',"userAgent":"curl/8.5","campaignId":"camp' || CAST(event_id % 15 AS STRING) || '"'
+    || ',"clickIP":"' || clickip || '","sender":"' || uname || '@ext.example"'
+    || ',"recipient":"' || uname || '@example.com","senderIP":"' || senderip || '"'
+    || ',"GUID":"g' || eid_s || '","threatID":"t' || CAST(event_id % 500 AS STRING) || '"'
+    || ',"threatURL":"https://tap.example/threat/t' || CAST(event_id % 500 AS STRING) || '"'
+    || ',"threatStatus":"' || CASE WHEN (event_id % 3) = 0 THEN 'cleared' ELSE 'active' END || '"'
+    || ',"messageID":"m' || eid_s || '","event.dataset":"'
+    || CASE WHEN (event_id % 4) = 0 THEN 'clicksBlocked' ELSE 'clicksPermitted' END || '"}' AS text,
+    'proofpoint.siem_clicks' AS tool, ts, event_id
+  FROM pp_base
+)"""
+
+  def ppInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ppCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pp_turns")
+  }
+
   def winInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $winCte SELECT conv_id, turn_idx, role, text, tool, ts FROM win_turns")

@@ -205,6 +205,14 @@ object Engine {
       threat_indicator_provider = s("[threat][indicator][provider]"),
       related_mac = arr("[related][mac]"),
       related_hash = arr("[related][hash]"),
-      destination_address = s("[destination][address]"))
+      destination_address = s("[destination][address]"),
+      url_full = s("[url][full]"),
+      client_ip = s("[client][ip]"),
+      source_user_email = s("[source][user][email]"),
+      rule_id = s("[rule][id]"),
+      rule_uuid = s("[rule][uuid]"),
+      rule_reference = s("[rule][reference]"),
+      event_status = s("[event][status]"),
+      threat_list_created_ms = l("[threat][list][created_ms]"))
   }
 }

@@ -271,6 +271,14 @@ object RowKernel {
     arr("[related][mac]")
     arr("[related][hash]")
     s("[destination][address]")
+    s("[url][full]")
+    s("[client][ip]")
+    s("[source][user][email]")
+    s("[rule][id]")
+    s("[rule][uuid]")
+    s("[rule][reference]")
+    s("[event][status]")
+    l("[threat][list][created_ms]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -191,6 +191,55 @@ object CloudRules {
     ev.remove("okta") // ref :87-89
   }
 
+  // ----------------------------------------------------------- proofpoint
+  /** proofpoint SIEM clicks — semantic port of
+    * config/processors/api_security_proofpoint.siem_api_clicks.conf:
+    * JSON → ECS renames → two ISO8601 millisecond dates. */
+  def proofpointClicks(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[cloud][provider]", "proofpoint") // ref :9-14
+    ev.set("[event][module]", "proofpoint")
+    ev.set("[event][dataset]", "proofpoint.siem_clicks")
+    ev.set("[log][source][hostname]", "api_proofpoint_siem_clicks")
+    if (!JsonOps.parse(ev, "message", "pp")) { // ref :15-18
+      ev.set("[agent][parse_rule]", "not parsed")
+      ev.addTag("_parse_failure")
+      return Parsed(Seq(ev))
+    }
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.rename("[pp][url]", "[url][full]") // ref :20-38
+    ev.rename("[pp][classification]", "[rule][category]")
+    ev.rename("[pp][clickTime]", "[event][created]")
+    ev.rename("[pp][threatTime]", "[threat][list][created]")
+    ev.rename("[pp][userAgent]", "[user_agent][name]")
+    ev.rename("[pp][campaignId]", "[rule][ruleset]")
+    ev.rename("[pp][clickIP]", "[client][ip]")
+    ev.rename("[pp][sender]", "[source][user][email]")
+    ev.rename("[pp][recipient]", "[destination][user][email]")
+    ev.rename("[pp][senderIP]", "[source][ip]")
+    ev.rename("[pp][GUID]", "[rule][uuid]")
+    ev.rename("[pp][threatID]", "[rule][id]")
+    ev.rename("[pp][threatURL]", "[rule][reference]")
+    ev.rename("[pp][threatStatus]", "[event][status]")
+    ev.rename("[pp][messageID]", "[event][id]")
+    ev.rename("[pp][event.dataset]", "[event][kind]") // dotted JSON key
+    ev.remove("pp") // ref :40-43
+    if (ev.has("[threat][list][created]")) { // ref :47-59
+      Dates(ev, "[threat][list][created]", Seq("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+        "[threat][list][created_ms]", timezone = "GMT",
+        tagOnFailure = Seq("_dateparsefailure_tlc"))
+      // the conf checks _dateparsefailure_ec here (its own quirk, kept):
+      if (ev.hasTag("_dateparsefailure_ec")) ev.remove("[threat][list][created]")
+      else ev.remove("[threat][list][created]") // parsed into created_ms either way
+    }
+    if (ev.has("[event][created]")) { // ref :60-74
+      Dates(ev, "[event][created]", Seq("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+        "[event][created_ms]", timezone = "GMT",
+        tagOnFailure = Seq("_dateparsefailure_ec"))
+      ev.remove("[event][created]")
+    }
+    Parsed(Seq(ev))
+  }
+
   // ----------------------------------------------------------- cloudtrail
   private val ctArnGrok = // ref api_audit_aws.cloudtrail.conf:56-62
     "^(?<[user][roles]>.*\\/(?<[user][name]>.*?))$"

@@ -56,6 +56,8 @@ object Registry {
       Vector("elastic", "s3"), Set.empty, "medium"),
     "windows.events" -> TechnologyConfig("windows.events", "logs-windows.events",
       Vector("elastic"), Set.empty, "high"),
+    "proofpoint.siem_clicks" -> TechnologyConfig("proofpoint.siem_clicks",
+      "logs-proofpoint.siem_clicks", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -339,5 +341,6 @@ object Registry {
     "okta.audit" -> CloudRules.oktaAudit,
     "aws.cloudtrail" -> CloudRules.awsCloudtrail,
     "windows.events" -> WindowsRules.windowsEvents,
+    "proofpoint.siem_clicks" -> CloudRules.proofpointClicks,
     "unknown" -> unknown)
 }

@@ -40,7 +40,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val corpora: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] = Seq(
       ("csv", Transcripts.csvInput), ("xml", Transcripts.xmlInput),
       ("cisco", Transcripts.ciscoInput), ("okta", Transcripts.oktaInput),
-      ("cloudtrail", Transcripts.ctInput), ("windows", Transcripts.winInput))
+      ("cloudtrail", Transcripts.ctInput), ("windows", Transcripts.winInput),
+      ("proofpoint", Transcripts.ppInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
