@@ -113,7 +113,7 @@ object Bench {
       samples(ca).map(_._1).zip(samples(cb).map(_._1)).map { case (a, b) => a / b }
     def effOf(ca: Int, cb: Int): Double =
       math.min(1.0, med(ratio(ca, cb)) / (cb.toDouble / ca))
-    val baseRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val baseRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
     (1 to baseRounds).foreach(doRound)
     // adaptive: if the N-vs-4N number is burst-depressed, buy more rounds
     var extra = 0

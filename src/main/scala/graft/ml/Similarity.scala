@@ -80,8 +80,8 @@ object Similarity {
   def ivfAssignWithEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids(spark, dir))
-    embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+    TextOps.pinned(embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])])
       .mapPartitions { it =>
         val cs = bc.value
         it.map { case (id, emb) =>

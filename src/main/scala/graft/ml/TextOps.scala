@@ -23,6 +23,14 @@ object TextOps {
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Parallelism pinning for per-row compute-heavy typed kernels: a small
+    * table may arrive in fewer partitions than cores; big tables already
+    * exceed the target and keep their partitioning (no shuffle). */
+  private[ml] def pinned[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    val target = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+  }
+
   /** Exact dedup: content-hash groups with the kept representative. */
   def exactDedup(d: DataFrame): DataFrame =
     d.groupBy(md5(col("text").cast("binary")).as("hash"))
@@ -43,8 +51,8 @@ object TextOps {
   def minhash(d: DataFrame): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
-    d.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
+    val base = pinned(d.select(col("doc_id"), col("text")).as[(Long, String)])
+    base.mapPartitions(_.flatMap { case (id, text) =>
         val w = text.split(' ')
         if (w.length < 3) Iterator.empty
         else {
@@ -146,7 +154,7 @@ object TextOps {
 
   def simhash(spark: SparkSession, d: DataFrame): DataFrame = {
     import spark.implicits._
-    d.select(col("doc_id"), col("text")).as[(Long, String)]
+    pinned(d.select(col("doc_id"), col("text")).as[(Long, String)])
       .mapPartitions(_.map { case (id, t) => (id, simhashHex(t)) })
       .toDF("doc_id", "simhash_hex")
   }
@@ -177,8 +185,8 @@ object TextOps {
 
   def fingerprints(spark: SparkSession, d: DataFrame): DataFrame = {
     import spark.implicits._
-    d.filter(length(col("text")) >= 11)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    pinned(d.filter(length(col("text")) >= 11)
+      .select(col("doc_id"), col("text")).as[(Long, String)])
       .mapPartitions(_.map { case (id, t) =>
         val (nfp, mn) = winnow(t); (id, nfp, mn)
       })
