@@ -61,15 +61,16 @@ object Bench {
     * so collect cost is nil). MIN of `reps` runs — this host shows bursty
     * multi-second CPU steal, so min = least-interference sample of the
     * engine's actual capability. Returns (minSec, inputTurns). */
+  @volatile private var inputRows = -1L
   private def pipelineRun(spark: SparkSession, path: String, reps: Int = 3): (Double, Long) = {
     val input = spark.read.parquet(path)
-    val n = input.count()
+    if (inputRows < 0) inputRows = input.count() // once, not per leg
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       Pipeline.sinkCounts(Pipeline.parseDf(spark, input).toDF()).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    (times.min, n)
+    (times.min, inputRows)
   }
 
   def main(args: Array[String]): Unit = {
@@ -97,8 +98,12 @@ object Bench {
     spark.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val levels = Seq(2, 8, 32)
     val samples = scala.collection.mutable.Map[Int, List[(Double, Long)]]().withDefaultValue(Nil)
-    def doRound(round: Int): Unit =
-      levels.foreach(c => samples(c) = runAt(c, inputPath, warm = round == 1) :: samples(c))
+    // alternate leg order per round: monotone host drift within a round
+    // would otherwise bias the 2→8 ratio in one direction
+    def doRound(round: Int): Unit = {
+      val order = if (round % 2 == 1) levels else levels.reverse
+      order.foreach(c => samples(c) = runAt(c, inputPath, warm = round == 1) :: samples(c))
+    }
     def best(c: Int): (Double, Long) = samples(c).minBy(_._1)
     // Efficiency from per-ROUND ratios: the three legs of one round are
     // temporally adjacent, so bursty host noise hits them together and
