@@ -364,9 +364,9 @@ px AS (
       s"""$pxCte
 SELECT conv_id, turn_idx, sub_idx, tool AS technology,
   CASE WHEN tsel = 9 THEN 'not parsed'
-       WHEN tsel <= 2 THEN 'Rule 3'
-       WHEN tsel IN (5,6) THEN (CASE WHEN (event_id % 3) = 0 THEN 'Rule 1' ELSE 'Rule 2' END)
-       ELSE 'Rule 1' END AS parse_rule,
+       WHEN tsel <= 2 THEN 'rule 3'
+       WHEN tsel IN (5,6) THEN (CASE WHEN (event_id % 3) = 0 THEN 'rule 1' ELSE 'rule 2' END)
+       ELSE 'rule 1' END AS parse_rule,
   CASE WHEN tsel = 9 THEN 0 ELSE 1 END AS parse_ok_i,
   $oSrcIp AS source_ip,
   $oDstIp AS destination_ip,
@@ -386,9 +386,9 @@ SELECT conv_id, turn_idx,
        ELSE 'security/authorization' END AS fac_name,
   CASE WHEN tsel <= 2 THEN (event_id % 5) ELSE (event_id % 8) END AS sev_code,
   CASE (CASE WHEN tsel <= 2 THEN (event_id % 5) ELSE (event_id % 8) END)
-    WHEN 0 THEN 'Emergency' WHEN 1 THEN 'Alert' WHEN 2 THEN 'Critical'
-    WHEN 3 THEN 'Error' WHEN 4 THEN 'Warning' WHEN 5 THEN 'Notice'
-    WHEN 6 THEN 'Informational' ELSE 'Debug' END AS sev_name
+    WHEN 0 THEN 'emergency' WHEN 1 THEN 'alert' WHEN 2 THEN 'critical'
+    WHEN 3 THEN 'error' WHEN 4 THEN 'warning' WHEN 5 THEN 'notice'
+    WHEN 6 THEN 'informational' ELSE 'debug' END AS sev_name
 FROM px WHERE tsel <= 2 OR tsel IN (5,6)""",
 
     "q04_dates" ->
@@ -456,7 +456,7 @@ FROM px WHERE tsel <= 4 OR tsel = 7""",
       s"""$pxCte
 SELECT conv_id, turn_idx, sub_idx,
   CASE WHEN tsel = 8 THEN
-    MD5(CASE WHEN sub_idx = 0 THEN
+    MD5(LOWER(CASE WHEN sub_idx = 0 THEN
       '{"resultType":"' || CAST(event_id % 2 AS STRING)
       || '","callerIpAddress":"' || sip || '","identity":"User ' || uid_s
       || '","properties":{"userPrincipalName":"' || uname
@@ -476,8 +476,8 @@ SELECT conv_id, turn_idx, sub_idx,
               ELSE 'curl/8.5' END
       || '","appDisplayName":"App' || CAST(event_id % 5 AS STRING)
       || '","conditionalAccessStatus":"failure"}}'
-    END)
-  ELSE MD5(text) END AS event_hash
+    END))
+  ELSE MD5(LOWER(text)) END AS event_hash
 FROM px""",
 
     "q11_mitre" ->
@@ -508,7 +508,7 @@ SELECT conv_id, turn_idx,
   'aa:bb:cc:dd:' || LPAD(CAST(event_id % 100 AS STRING), 2, '0')
     || ':' || LPAD(CAST(user_id % 100 AS STRING), 2, '0') AS source_mac,
   (event_id % 10) AS event_severity,
-  'PaloAlto' AS observer_vendor,
+  'paloalto' AS observer_vendor,
   '9.1' AS rule_version,
   CAST(100 + (event_id % 20) AS STRING) AS rule_category
 FROM px WHERE tsel = 7""",
@@ -610,7 +610,7 @@ FROM px WHERE tsel = 8""",
 SELECT conv_id, turn_idx, 'mcafee.mcp' AS technology, 1 AS parse_ok_i,
   uname AS user_name, natip AS source_nat_ip,
   CASE WHEN (event_id % 9) = 0 THEN NULL
-       WHEN (event_id % 2) = 0 THEN 'GET' ELSE 'POST' END AS http_request_method,
+       WHEN (event_id % 2) = 0 THEN 'get' ELSE 'post' END AS http_request_method,
   sbytes AS source_bytes, dbytes AS destination_bytes,
   'www.app' || CAST(event_id % 30 AS STRING) || '.co.uk' AS url_domain,
   '/p/' || eid_s AS url_path, act AS event_action,
@@ -683,14 +683,14 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'cisco-relay01' AS host_hostname,
   CASE b.msel WHEN 0 THEN 'link.updown' WHEN 1 THEN 'bgp.adjchange'
        WHEN 2 THEN 'sys.config_i' WHEN 4 THEN 'aaa.acct_fail' ELSE NULL END AS event_action,
-  CASE b.msel WHEN 0 THEN 'Data link' WHEN 1 THEN 'Border Gateway Protocol'
-       WHEN 2 THEN 'Operating system'
-       WHEN 4 THEN 'Authentication, authorization, and accounting' ELSE NULL END AS event_provider,
-  CASE b.msel WHEN 0 THEN 'explanation for UPDOWN' WHEN 1 THEN 'explanation for ADJCHANGE'
-       WHEN 2 THEN 'explanation for CONFIG_I' WHEN 4 THEN 'not_found_msg_explanation'
+  CASE b.msel WHEN 0 THEN 'data link' WHEN 1 THEN 'border gateway protocol'
+       WHEN 2 THEN 'operating system'
+       WHEN 4 THEN 'authentication, authorization, and accounting' ELSE NULL END AS event_provider,
+  CASE b.msel WHEN 0 THEN 'explanation for updown' WHEN 1 THEN 'explanation for adjchange'
+       WHEN 2 THEN 'explanation for config_i' WHEN 4 THEN 'not_found_msg_explanation'
        ELSE NULL END AS event_reason,
-  CASE b.msel WHEN 0 THEN 'recommendation for UPDOWN' WHEN 1 THEN 'recommendation for ADJCHANGE'
-       WHEN 2 THEN 'recommendation for CONFIG_I' WHEN 4 THEN 'not_found_msg_recommendation'
+  CASE b.msel WHEN 0 THEN 'recommendation for updown' WHEN 1 THEN 'recommendation for adjchange'
+       WHEN 2 THEN 'recommendation for config_i' WHEN 4 THEN 'not_found_msg_recommendation'
        ELSE NULL END AS event_recommendation,
   CASE WHEN b.msel IN (0, 1) THEN (CASE b.state WHEN 'up' THEN 'success' ELSE 'failure' END)
        ELSE NULL END AS event_outcome,
@@ -699,7 +699,7 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
     WHEN 0 THEN 'interface ' || lower(b.ifname) || ', changed state to ' || b.state
     WHEN 1 THEN 'neighbor ' || b.bgpip || '* ' || b.state || ' interface flap'
     WHEN 2 THEN 'configured from console by ' || b.uname
-    WHEN 3 THEN 'Interface flap detected on device'
+    WHEN 3 THEN 'interface flap detected on device'
     ELSE 'accounting record failed for ' || b.uname END AS error_message,
   CASE (b.event_id % 8) WHEN 3 THEN 'security/failed activity' WHEN 4 THEN 'security/warning'
        WHEN 5 THEN 'security/activity' WHEN 6 THEN 'security/activity'
@@ -721,8 +721,8 @@ SELECT conv_id, turn_idx, sub_idx, 1 AS parse_ok_i,
   CASE WHEN sub_idx = 0 AND (event_id % 4) = 0 THEN 'failure' ELSE 'success' END AS event_outcome,
   CASE WHEN sub_idx = 0 THEN 'user.session.start' ELSE 'user.session.end' END AS event_type,
   CASE WHEN sub_idx = 0 THEN 'user login to okta' ELSE 'user logout from okta' END AS event_category,
-  CASE WHEN sub_idx = 0 THEN 'INFO' ELSE 'WARN' END AS log_level,
-  CASE WHEN sub_idx = 0 AND (event_id % 4) = 0 THEN 'INVALID_CREDENTIALS' ELSE NULL END AS event_reason,
+  CASE WHEN sub_idx = 0 THEN 'info' ELSE 'warn' END AS log_level,
+  CASE WHEN sub_idx = 0 AND (event_id % 4) = 0 THEN 'invalid_credentials' ELSE NULL END AS event_reason,
   CASE WHEN sub_idx = 0 THEN chainip ELSE NULL END AS source_ip,
   CASE WHEN sub_idx = 0 THEN 'example.com' ELSE NULL END AS source_domain,
   'WEB' AS user_type,
@@ -731,7 +731,7 @@ SELECT conv_id, turn_idx, sub_idx, 1 AS parse_ok_i,
   uname2 || (CASE WHEN sub_idx = 1 THEN 'x' ELSE '' END) || '@example.com' AS destination_user_email,
   'Target ' || CAST(event_id % 100 AS STRING) || (CASE WHEN sub_idx = 1 THEN 'x' ELSE '' END) AS destination_user_full_name,
   clientip AS host_ip,
-  'Windows 10' AS ua_os_name,
+  'windows 10' AS ua_os_name,
   CASE WHEN sub_idx = 0 THEN 'sess' || CAST(event_id % 1000 AS STRING) ELSE NULL END AS transaction_id,
   CASE WHEN sub_idx = 0 THEN '/api/v1/authn?q=' || CAST(event_id % 7 AS STRING) ELSE NULL END AS url_path,
   epoch_ms(date_trunc('second', ts)) + (event_id % 1000) AS event_created_ms
@@ -748,7 +748,7 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'g' || b.eid_s AS rule_uuid,
   'https://tap.example/threat/t' || CAST(b.event_id % 500 AS STRING) AS rule_reference,
   CASE WHEN (b.event_id % 3) = 0 THEN 'cleared' ELSE 'active' END AS event_status,
-  CASE WHEN (b.event_id % 4) = 0 THEN 'clicksBlocked' ELSE 'clicksPermitted' END AS event_kind,
+  CASE WHEN (b.event_id % 4) = 0 THEN 'clicksblocked' ELSE 'clickspermitted' END AS event_kind,
   'm' || b.eid_s AS event_id_s,
   b.clickip AS client_ip,
   b.senderip AS source_ip,
@@ -764,9 +764,9 @@ FROM pp_turns t JOIN pp_base b USING (event_id)""",
     "qw01_windows" ->
       s"""WITH ${Transcripts.winCte}
 SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
-  CASE WHEN b.wsel = 2 THEN 'System' ELSE 'Security' END AS event_kind,
+  CASE WHEN b.wsel = 2 THEN 'system' ELSE 'security' END AS event_kind,
   CASE b.wsel WHEN 0 THEN '4624' WHEN 1 THEN '4769' ELSE '7036' END AS event_id_s,
-  CASE b.wsel WHEN 0 THEN 'Audit Success' WHEN 1 THEN 'Audit Failure' ELSE 'Classic' END AS rule_category,
+  CASE b.wsel WHEN 0 THEN 'audit success' WHEN 1 THEN 'audit failure' ELSE 'classic' END AS rule_category,
   CASE WHEN b.wsel = 0 THEN b.uname ELSE NULL END AS user_name,
   CASE WHEN b.wsel IN (0, 1) THEN b.ip ELSE NULL END AS source_ip,
   CASE b.wsel WHEN 0 THEN 3389 WHEN 1 THEN 50321 ELSE NULL END AS source_port,
@@ -775,12 +775,12 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   CASE WHEN b.wsel = 2 THEN 'app' || CAST(b.user_id % 20 AS STRING) || '.corp.example'
        ELSE 'dc1.corp.example' END AS log_source_hostname,
   CASE WHEN b.wsel = 1 THEN
-    (CASE b.fcode WHEN '0x0' THEN 'No errors were found'
-          WHEN '0x12' THEN 'Clients credentials have been revoked'
-          WHEN '0x25' THEN 'Clock skew too great'
+    (CASE b.fcode WHEN '0x0' THEN 'no errors were found'
+          WHEN '0x12' THEN 'clients credentials have been revoked'
+          WHEN '0x25' THEN 'clock skew too great'
           ELSE 'failed service ticket request' END)
   ELSE NULL END AS event_reason,
-  CASE WHEN b.wsel = 2 THEN 'Print Spooler' ELSE NULL END AS service_name
+  CASE WHEN b.wsel = 2 THEN 'print spooler' ELSE NULL END AS service_name
 FROM win_turns t JOIN win_base b USING (event_id)""",
 
     "qt01_cloudtrail" ->
@@ -794,18 +794,18 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   CASE WHEN (b.event_id % 3) = 0 THEN 'apicallrateinsight' ELSE 'awsapicall' END AS event_type,
   's3.amazonaws.com' AS event_kind,
   '1.08' AS service_version,
-  'IAMUser' AS service_type,
+  'iamuser' AS service_type,
   b.uname AS user_name,
   'arn:aws:iam::' || b.uid_s || ':user/role' || CAST(b.event_id % 5 AS STRING) || '/' || b.uname AS user_roles,
   b.uname AS user_id,
   'bkt' || CAST(b.event_id % 20 AS STRING) AS file_directory,
   'data/obj' || CAST(b.event_id % 100 AS STRING) || '.parquet' AS file_name,
-  CASE WHEN (b.event_id % 5) = 0 THEN 'AccessDenied' ELSE NULL END AS error_code,
+  CASE WHEN (b.event_id % 5) = 0 THEN 'accessdenied' ELSE NULL END AS error_code,
   'r' || b.eid_s AS transaction_id,
   'ev' || b.eid_s AS event_id_s,
   epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
   CASE WHEN (b.event_id % 6) = 0 THEN NULL ELSE b.srcip END AS source_ip,
-  CASE WHEN (b.event_id % 6) = 0 THEN 'AWS Internal' ELSE NULL END AS source_address,
+  CASE WHEN (b.event_id % 6) = 0 THEN 'aws internal' ELSE NULL END AS source_address,
   CASE WHEN (b.event_id % 6) = 0 THEN NULL
        WHEN (b.user_id % 200) < 50 THEN 'US'
        WHEN (b.user_id % 200) < 100 THEN 'DE'

@@ -166,14 +166,26 @@ object Enrich {
     }
   }
 
-  // 07_lowercase.conf — enumerated-path lowercase (subset relevant to the
-  // ported processors; the reference enumerates ~700 paths)
-  private val lowercasePaths = Vector(
-    "[event][category]", "[event][type]", "[event][action]", "[event][outcome]",
-    "[network][transport]", "[network][protocol]", "[host][name]",
-    "[user][name]", "[user][email]", "[url][domain]", "[source][mac]")
+  // 07_lowercase.conf — the FULL enumerated 681-path lowercase list
+  // (shipped as a resource extracted from the conf's mutate block; the
+  // conf's comment-exclusions like [url][original]/[log][original] are
+  // simply absent from it). Implemented as one path-aware walk with a set
+  // probe per field — probing 681 paths per event would be backwards.
+  private val lowercaseSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](1024)
+    val in = getClass.getResourceAsStream("/dicts/lowercase_paths.txt")
+    require(in != null, "missing dicts/lowercase_paths.txt")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map(_.trim).filter(_.nonEmpty).foreach(s.add) finally src.close()
+    s
+  }
   private def e07Lowercase(ev: Event, d: Dicts, ctx: Ctx): Unit =
-    lowercasePaths.foreach(p => Mutate.lowercase(ev, p))
+    ev.walkWithPath { (path, v) =>
+      v match {
+        case s: String if lowercaseSet.contains(path) => Mutate.lcFast(s)
+        case other => other
+      }
+    }
 
   // 08_add_hash.conf:11-16 — md5(message) → [event][hash]
   private def e08Hash(ev: Event, d: Dicts, ctx: Ctx): Unit =
@@ -453,15 +465,63 @@ object Enrich {
       case _ => ()
     }
 
-  // 94_remove_empty_n_truncate.conf — whole-event walk: drop ""/"-"/"null"/
-  // "n/a" leaves (:12-63), truncate >1023 chars (:80-119); [log][original]
-  // and message are excluded from truncation (exclusion list)
+  // 94_remove_empty_n_truncate.conf — whole-event path-aware walk: drop
+  // leaves whose stripped-lowercased value is in the invalid list ("", "-",
+  // "null", "nil", "n/a", "''") or an unresolved sprintf literal %{...}
+  // (:63,86-88); truncate >1023 chars unless the FULL path is in the
+  // reference's exclusion list (:12-61, mostly *.text multi-fields plus
+  // message/log.original/error.message/event.original/destination.user.email)
+  private val truncateExclude: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](96)
+    Seq("[message]", "[event][original]", "[error][message]", "[log][original]",
+      "[destination][user][email]", "[organization][name][text]").foreach(s.add)
+    // the *.text multi-field family (ref :14-60)
+    Seq("[client][as][organization][name]", "[client][user][full_name]",
+      "[client][user][name]", "[destination][as][organization][name]",
+      "[destination][user][full_name]", "[destination][user][name]",
+      "[error][stack_trace]", "[file][path]", "[file][target_path]",
+      "[host][os][full]", "[host][os][name]", "[host][user][full_name]",
+      "[host][user][name]", "[http][request][body][content]",
+      "[http][response][body][content]", "[observer][os][full]",
+      "[observer][os][name]", "[process][command_line]", "[process][executable]",
+      "[process][name]", "[process][parent][command_line]",
+      "[process][parent][executable]", "[process][parent][name]",
+      "[process][parent][title]", "[process][parent][working_directory]",
+      "[process][title]", "[process][working_directory]",
+      "[server][as][organization][name]", "[server][user][full_name]",
+      "[server][user][name]", "[source][as][organization][name]",
+      "[source][user][full_name]", "[source][user][name]",
+      "[threat][technique][name]", "[url][full]", "[url][original]",
+      "[user][full_name]", "[user][name]", "[user_agent][original]",
+      "[user_agent][os][full]", "[user_agent][os][name]",
+      "[vulnerability][description]").foreach(p => s.add(p + "[text]"))
+    s
+  }
+  private def invalidValue(s: String): Boolean = {
+    val t = s.trim // no allocation when already trimmed
+    if (t.isEmpty) return true
+    if (t.length <= 4) { // all invalid literals are ≤4 chars (ref :63)
+      val l = t.toLowerCase
+      return l == "-" || l == "null" || l == "nil" || l == "n/a" || l == "''"
+    }
+    // unresolved sprintf literal ^%{[a-z\-_.]+}$ on the downcased value (ref :88)
+    if (t.charAt(0) == '%' && t.startsWith("%{") && t.endsWith("}")) {
+      var i = 2
+      while (i < t.length - 1) {
+        val c = t.charAt(i)
+        if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '-' || c == '_' || c == '.'))
+          return false
+        i += 1
+      }
+      true
+    } else false
+  }
   private def e94RemoveEmptyTruncate(ev: Event, d: Dicts, ctx: Ctx): Unit =
-    ev.walk { (topKey, v) =>
+    ev.walkWithPath { (path, v) =>
       v match {
         case s: String =>
-          if (s.isEmpty || s == "-" || s == "null" || s == "n/a") Event.Drop
-          else if (s.length > 1023 && topKey != "log" && topKey != "message")
+          if (invalidValue(s)) Event.Drop
+          else if (s.length > 1023 && !truncateExclude.contains(path))
             s.substring(0, 1023)
           else s
         case other => other

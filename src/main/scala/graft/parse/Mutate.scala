@@ -60,7 +60,7 @@ object Mutate {
 
   /** Allocation-free when the value is already lowercase (the common case
     * after the first normalization pass). */
-  private def lcFast(s: String): String = {
+  private[graft] def lcFast(s: String): String = {
     var i = 0
     while (i < s.length && !Character.isUpperCase(s.charAt(i))) i += 1
     if (i == s.length) s else s.toLowerCase
