@@ -171,21 +171,38 @@ object Enrich {
   // conf's comment-exclusions like [url][original]/[log][original] are
   // simply absent from it). Implemented as one path-aware walk with a set
   // probe per field — probing 681 paths per event would be backwards.
-  private val lowercaseSet: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String](1024)
+  private val lowercaseTrie: Event.PathTrie = {
+    val t = new Event.PathTrie
     val in = getClass.getResourceAsStream("/dicts/lowercase_paths.txt")
     require(in != null, "missing dicts/lowercase_paths.txt")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try src.getLines().map(_.trim).filter(_.nonEmpty).foreach(s.add) finally src.close()
-    s
+    try src.getLines().map(_.trim).filter(_.nonEmpty).foreach(t.add) finally src.close()
+    t
   }
-  private def e07Lowercase(ev: Event, d: Dicts, ctx: Ctx): Unit =
-    ev.walkWithPath { (path, v) =>
-      v match {
-        case s: String if lowercaseSet.contains(path) => Mutate.lcFast(s)
-        case other => other
+  // trie-guided descent: subtrees not in the list are skipped entirely,
+  // in-list leaves lowercase in place — zero per-leaf allocation
+  private def lcWalk(m: Event.FMap, node: Event.PathTrie): Unit = {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val child = node.child(e.getKey)
+      if (child != null) e.getValue match {
+        case mm: Event.FMap => lcWalk(mm, child)
+        case s: String if child.terminal =>
+          val l = Mutate.lcFast(s)
+          if (l ne s) e.setValue(l)
+        case a: mutable.ArrayBuffer[Any @unchecked] if child.terminal =>
+          var i = 0
+          while (i < a.length) {
+            a(i) match { case s: String => a(i) = Mutate.lcFast(s); case _ => () }
+            i += 1
+          }
+        case _ => ()
       }
     }
+  }
+  private def e07Lowercase(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    lcWalk(ev.root, lowercaseTrie)
 
   // 08_add_hash.conf:11-16 — md5(message) → [event][hash]
   private def e08Hash(ev: Event, d: Dicts, ctx: Ctx): Unit =
@@ -471,8 +488,8 @@ object Enrich {
   // (:63,86-88); truncate >1023 chars unless the FULL path is in the
   // reference's exclusion list (:12-61, mostly *.text multi-fields plus
   // message/log.original/error.message/event.original/destination.user.email)
-  private val truncateExclude: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String](96)
+  private val truncateExclude: Event.PathTrie = {
+    val s = new Event.PathTrie
     Seq("[message]", "[event][original]", "[error][message]", "[log][original]",
       "[destination][user][email]", "[organization][name][text]").foreach(s.add)
     // the *.text multi-field family (ref :14-60)
@@ -516,17 +533,40 @@ object Enrich {
       true
     } else false
   }
-  private def e94RemoveEmptyTruncate(ev: Event, d: Dicts, ctx: Ctx): Unit =
-    ev.walkWithPath { (path, v) =>
-      v match {
+  // every leaf visited; the exclusion trie rides along (null = outside it)
+  private def cleanWalk(m: Event.FMap, node: Event.PathTrie): Unit = {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val child = if (node == null) null else node.child(e.getKey)
+      val excluded = child != null && child.terminal
+      e.getValue match {
+        case mm: Event.FMap =>
+          cleanWalk(mm, child)
+          if (mm.isEmpty) it.remove()
+        case a: mutable.ArrayBuffer[Any @unchecked] =>
+          var i = 0
+          while (i < a.length) {
+            a(i) match {
+              case s: String =>
+                if (invalidValue(s)) a.remove(i)
+                else {
+                  if (s.length > 1023 && !excluded) a(i) = s.substring(0, 1023)
+                  i += 1
+                }
+              case _ => i += 1
+            }
+          }
+          if (a.isEmpty) it.remove()
         case s: String =>
-          if (invalidValue(s)) Event.Drop
-          else if (s.length > 1023 && !truncateExclude.contains(path))
-            s.substring(0, 1023)
-          else s
-        case other => other
+          if (invalidValue(s)) it.remove()
+          else if (s.length > 1023 && !excluded) e.setValue(s.substring(0, 1023))
+        case _ => ()
       }
     }
+  }
+  private def e94RemoveEmptyTruncate(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    cleanWalk(ev.root, truncateExclude)
 
   // 95_remove_tags.conf:4-13 — strip control tags before output
   private def e95StripTags(ev: Event, d: Dicts, ctx: Ctx): Unit = {

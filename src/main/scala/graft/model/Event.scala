@@ -137,46 +137,6 @@ final class Event {
     }
   }
 
-  /** Depth-first walk with FULL bracket-form paths ("[a][b]") — the shape
-    * the reference's 94_remove_empty ruby walker computes (:65-77) and the
-    * 07_lowercase enumerated list uses. Array elements receive the ARRAY's
-    * path (mutate semantics apply per element). Callback returns the
-    * replacement value or `Event.Drop`; emptied containers are swept. One
-    * small string per leaf is the only allocation. */
-  def walkWithPath(f: (String, Any) => Any): Unit = {
-    val sb = new java.lang.StringBuilder(48)
-    def rec(m: Event.FMap): Unit = {
-      val it = m.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val len0 = sb.length()
-        sb.append('[').append(e.getKey).append(']')
-        e.getValue match {
-          case child: Event.FMap =>
-            rec(child)
-            if (child.isEmpty) it.remove()
-          case a: mutable.ArrayBuffer[Any @unchecked] =>
-            val path = sb.toString
-            var i = 0
-            while (i < a.length) {
-              f(path, a(i)) match {
-                case Event.Drop => a.remove(i)
-                case nv => a(i) = nv; i += 1
-              }
-            }
-            if (a.isEmpty) it.remove()
-          case leaf =>
-            f(sb.toString, leaf) match {
-              case Event.Drop => it.remove()
-              case nv => if (nv.asInstanceOf[AnyRef] ne leaf.asInstanceOf[AnyRef]) e.setValue(nv)
-            }
-        }
-        sb.setLength(len0)
-      }
-    }
-    rec(root)
-  }
-
   /** Walk every leaf (for remove-empty / truncate,
     * ref: config/enrichments/94_remove_empty_n_truncate.conf:65-77).
     * The callback receives only the TOP-LEVEL key — that is all the
@@ -222,6 +182,25 @@ object Event {
 
   /** Sentinel returned by a walk callback to remove the leaf. */
   case object Drop
+
+  /** Set of nested paths as a trie over path segments — lets enrichment
+    * walks test membership while descending the event tree with ZERO
+    * per-leaf allocation (a bracket-string key per leaf per walk was
+    * measurable DRAM traffic at kernel thread counts). */
+  final class PathTrie {
+    val children = new java.util.HashMap[String, PathTrie]()
+    var terminal = false
+    def add(path: String): Unit = {
+      var n = this
+      parsePath(path).foreach { seg =>
+        var c = n.children.get(seg)
+        if (c == null) { c = new PathTrie; n.children.put(seg, c) }
+        n = c
+      }
+      n.terminal = true
+    }
+    def child(seg: String): PathTrie = children.get(seg)
+  }
 
   private val pathCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
