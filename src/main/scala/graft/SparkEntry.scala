@@ -143,10 +143,12 @@ px AS (
       col("destination_ip_private").cast("int").as("dip_private_i"),
       col("destination_geo_country"))),
 
-    // dns broadcast PTR lookup + per-technology enrichment gating
+    // dns broadcast PTR lookup into destination.address (ref semantics) +
+    // the 18_host_split cascade (FQDN → address + domain) + per-tech gating
     "q09_dns" -> ((s, dir) => parsed(s, dir)
       .filter(col("technology").isin("palo.alto.fw", "aws.vpcflow", "cef.fw"))
-      .select(col("conv_id"), col("turn_idx"), col("destination_domain"))),
+      .select(col("conv_id"), col("turn_idx"),
+        col("destination_address"), col("destination_domain"))),
 
     // fingerprint/md5 of the working message (incl. re-encoded azure records)
     "q10_hash" -> ((s, dir) => parsed(s, dir).select(
@@ -448,7 +450,9 @@ FROM px""",
     "q09_dns" ->
       s"""$pxCte
 SELECT conv_id, turn_idx,
-  CASE WHEN tsel <= 2 OR tsel = 7 THEN 'ptr-' || REPLACE(dip, '.', '-') || '.internal'
+  CASE WHEN tsel <= 2 OR tsel = 7 THEN 'ptr-' || REPLACE(dip, '.', '-')
+       ELSE NULL END AS destination_address,
+  CASE WHEN tsel <= 2 OR tsel = 7 THEN 'internal'
        ELSE NULL END AS destination_domain
 FROM px WHERE tsel <= 4 OR tsel = 7""",
 
@@ -576,9 +580,9 @@ FROM px WHERE tsel = 7""",
     "q22_related_hosts" ->
       s"""$pxCte
 SELECT conv_id, turn_idx, sub_idx,
-  CASE WHEN tsel <= 2 THEN 'fw' || CAST(user_id % 10 AS STRING) || ',ptr-' || REPLACE(dip, '.', '-') || '.internal'
+  CASE WHEN tsel <= 2 THEN 'fw' || CAST(user_id % 10 AS STRING) || ',internal'
        WHEN tsel IN (5,6) THEN 'host' || CAST(user_id % 20 AS STRING)
-       WHEN tsel = 7 THEN 'ptr-' || REPLACE(dip, '.', '-') || '.internal,www.app' || CAST(event_id % 30 AS STRING) || '.co.uk'
+       WHEN tsel = 7 THEN 'internal,www.app' || CAST(event_id % 30 AS STRING) || '.co.uk'
        ELSE '' END AS related_hosts_s
 FROM px""",
 

@@ -337,20 +337,40 @@ object Enrich {
     }
 
   // 17_dns.conf — reverse lookup via broadcast PTR table (the cache-first
-  // design already makes live DNS a lookup table in practice; :47-52).
-  // Scalar⇄array: on multi-valued ip fields only the FIRST TWO are looked
-  // up (ref: 17_dns.conf:40-46 take-first-2-IPs ruby idiom).
-  private def e17Dns(ev: Event, d: Dicts, ctx: Ctx): Unit =
-    ev.get("[destination][ip]").foreach {
-      case ip: String =>
-        d.ptr.get(ip).foreach(h => ev.set("[destination][domain]", h))
-      case a: mutable.ArrayBuffer[Any @unchecked] =>
-        val hits = a.iterator.take(2).collect { case ip: String => d.ptr.get(ip) }
-          .flatten.toVector
-        if (hits.nonEmpty)
-          ev.set("[destination][domain]", mutable.ArrayBuffer[Any](hits: _*))
-      case _ => ()
+  // design — 500k-entry hit/failed caches, :47-52 — already makes live DNS
+  // a lookup table in practice). All six ip families are resolved into
+  // their paired address/hostname field exactly like the reference
+  // (:37/:104/:171/:269/:336/:403): scalar = copy-resolve-remove-if-
+  // unresolved; array = resolve the first TWO unique ips and prune entries
+  // still equal to an ip (:40-46,65-77 ruby idioms). The resolved FQDN then
+  // flows through 18_host_split downstream (name.domain split).
+  private val dnsFamilies = Vector(
+    ("[client][ip]", "[client][address]"),
+    ("[host][ip]", "[host][hostname]"),
+    ("[server][ip]", "[server][address]"),
+    ("[source][ip]", "[source][address]"),
+    ("[destination][ip]", "[destination][address]"),
+    ("[observer][ip]", "[observer][hostname]"))
+  private def e17Dns(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    dnsFamilies.foreach { case (ipF, tgtF) =>
+      if (!ev.has(tgtF)) ev.valueOrNull(ipF) match {
+        case ip: String =>
+          // copy → resolve → remove-if-unchanged collapses to set-on-hit
+          d.ptr.get(ip).foreach(h => ev.set(tgtF, h))
+        case a: mutable.ArrayBuffer[Any @unchecked] =>
+          val uniq2 = a.iterator.collect { case s: String => s }
+            .distinct.take(2).toVector
+          val hits = uniq2.flatMap(ip => d.ptr.get(ip)) // unresolved pruned (:65-77)
+          if (hits.nonEmpty) ev.set(tgtF, mutable.ArrayBuffer[Any](hits: _*))
+        case _ => ()
+      }
     }
+    // public/private tagging (ref :977-995)
+    ev.getString("[source][ip]").foreach(ip =>
+      ev.addTag(if (Net.isPrivate(ip)) "source_ip_private" else "source_ip_public"))
+    ev.getString("[destination][ip]").foreach(ip =>
+      ev.addTag(if (Net.isPrivate(ip)) "destination_ip_private" else "destination_ip_public"))
+  }
 
   // related.hosts (the 18/19/20 family companion to related.ip/user):
   // collect host-name-ish identifiers, dedup

@@ -380,9 +380,11 @@ class EnrichArraySpec extends org.scalatest.funsuite.AnyFunSuite {
     ev.set("message", "m")
     ev.set("[destination][ip]", mutable.ArrayBuffer[Any]("192.168.1.5", "172.16.2.7", "192.168.3.9"))
     Enrich(ev, cfg, dicts, ctx)
-    assert(ev.getString("[destination][domain][0]").contains("ptr-192-168-1-5.internal"))
-    assert(ev.getString("[destination][domain][1]").contains("ptr-172-16-2-7.internal"))
-    assert(ev.get("[destination][domain][2]").isEmpty) // third ip NOT looked up
+    // resolved into destination.ADDRESS (ref dns target); array form skips
+    // the host-split downstream (it only splits scalars)
+    assert(ev.getString("[destination][address][0]").contains("ptr-192-168-1-5.internal"))
+    assert(ev.getString("[destination][address][1]").contains("ptr-172-16-2-7.internal"))
+    assert(ev.get("[destination][address][2]").isEmpty) // third ip NOT looked up
   }
 
   test("mitre translate iterate_on over array ids with fallback (ref 93_mitre.conf:21-30)") {
