@@ -22,11 +22,14 @@ object Similarity {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** cosine(a, b) over double — explicit formula so the oracle can mirror it. */
-  private def cosine(a: String, b: String) = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
-       / (SQRT(aggregate($a, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
-        * SQRT(aggregate($b, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""")
+  /** cosine(a, b) over double — the custom codegen Expression
+    * (graft.functions.CosineSim). Bit-identical to the Catalyst
+    * higher-order formula `aggregate(zip_with(...)) / (sqrt·sqrt)` and to
+    * the DuckDB oracles' list_dot_product form (same sequential fold), but
+    * one fused loop in whole-stage codegen instead of a zip_with
+    * materialization plus three lambda evaluations per row. */
+  private def cosine(a: String, b: String) =
+    graft.functions.CosineSim(col(a), col(b))
 
   /** Exact brute-force top-k neighbors for query vectors (vec_id % 50 = 0),
     * self excluded; rank ties broken by neighbor id. sim reported in basis

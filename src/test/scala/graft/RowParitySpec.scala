@@ -66,3 +66,39 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     plain.unpersist(); withDropped.unpersist()
   }
 }
+
+/** The custom codegen Expression must equal the Catalyst higher-order
+  * formula bit-for-bit (same sequential double fold) and actually run
+  * inside whole-stage codegen. */
+class CosineSimSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-cosine")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  test("CosineSim == higher-order-function formula on all embedding pairs") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.as("a").join(e.as("b"),
+      col("a.vec_id") % 7 === col("b.vec_id") % 11) // arbitrary dense pairing
+    val hof = expr(
+      """aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+         / (SQRT(aggregate(a.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+          * SQRT(aggregate(b.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""")
+    val native = graft.functions.CosineSim(col("a.embedding"), col("b.embedding"))
+    val diff = pairs.select((hof === native).as("eq")).filter(!col("eq")).count()
+    assert(diff == 0, "codegen expression must be bit-identical to the HOF formula")
+    // and it runs in whole-stage codegen (no fallback) — execute first so
+    // AQE finalizes the plan (WholeStageCodegen only shows in the final plan)
+    val out = pairs.select(native.as("s"))
+    out.collect()
+    // `*(n)` is the WholeStageCodegen marker in AQE's final-plan rendering
+    val plan = out.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[cosine_sim""".r.findFirstIn(plan).isDefined, plan.take(800))
+  }
+}
