@@ -353,7 +353,84 @@ px AS (
         col("user_name"), col("user_roles"), col("user_id"),
         col("file_directory"), col("file_name"), col("error_code"),
         col("transaction_id"), col("event_id_s"), col("event_created_ms"),
-        col("source_ip"), col("source_address"), col("source_geo_country")))
+        col("source_ip"), col("source_address"), col("source_geo_country"))),
+
+    // azure.atp end-to-end: JSON renames, mitreTechniques[0] conditional,
+    // four ISO8601 dates incl. the reference's _es-tag copy-paste quirk
+    "qa01_atp" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.atpInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("rule_category"), col("event_id_s"), col("group_id"),
+        col("event_severity_name"), col("event_outcome"), col("event_type"),
+        col("observer_product"), col("event_kind"), col("rule_description"),
+        col("event_created_ms"), col("event_start_ms"), col("event_end_ms"),
+        col("event_modified_ms"), col("host_id"), col("host_hostname"),
+        col("host_domain"), col("user_name"), col("log_source_hostname"),
+        array_join(array_sort(col("threat_technique_id")), ",").as("threat_technique_id_s"))),
+
+    // proofpoint SIEM messages end-to-end: array renames (hashes, modules,
+    // file names), the double rule.category rename (last wins), truthiness
+    // branch on completelyRewritten, score numerics
+    "qm01_ppmessages" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ppmInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("url_full"), col("event_type"),
+        array_join(array_sort(col("related_hash")), ",").as("related_hash_s"),
+        col("rule_reference"), col("rule_id"), col("rule_category"),
+        array_join(array_sort(col("file_attributes")), ",").as("file_attributes_s"),
+        col("event_kind"), col("event_created_ms"), col("file_size"),
+        array_join(array_sort(col("rule_author")), ",").as("rule_author_s"),
+        col("rule_name"), col("event_category"), col("source_ip"),
+        col("transaction_id"), col("trace_id"), col("event_id_s"),
+        col("source_user_email"), col("destination_user_email"),
+        col("user_agent_original"), col("event_risk_score"),
+        col("vulnerability_score_base"), col("event_risk_score_norm"),
+        col("event_severity"), col("email_subject"), col("email_header_from"),
+        col("email_header_replyto"), col("event_outcome"),
+        col("source_geo_country"))),
+
+    // aws.elb end-to-end: the 27-capture access-log grok with the
+    // reference's own \.*? off-by-one quirk (status code lands in
+    // received_bytes, sent_bytes spans two tokens → null), drop{} on empty
+    // lines, microsecond ISO dates, '-' placeholder alternations
+    "qe01_elb" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.elbInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("event_created_ms"), col("event_ingested_ms"), col("event_duration"),
+        col("event_severity"), col("event_category"), col("event_reason"),
+        col("cloud_instance_name"), col("url_scheme"), col("url_full"),
+        col("url_domain"), col("http_response_status_code"),
+        col("http_request_bytes"), col("http_response_bytes"),
+        col("http_request_method"), col("http_request_referrer"),
+        col("user_agent_name"), col("tls_cipher"), col("tls_version_protocol"),
+        col("tls_client_server_name"), col("tls_next_protocol"), col("trace_id"),
+        col("rule_name"), col("rule_description"), col("source_port"),
+        col("source_ip"), col("destination_ip"), col("destination_port"),
+        col("log_source_hostname"), col("source_geo_country"))),
+
+    // snowflake signin + failed_login end-to-end: UPPER_SNAKE JSON columns,
+    // IS_SUCCESS branch, per-dataset routing
+    "qf01_snowflake" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.sfInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("technology"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("event_type"), col("client_ip"), col("event_id_s"),
+        col("event_created_ms"), col("user_name"), col("error_code"),
+        col("error_message"), col("event_outcome"), col("event_start_ms"),
+        col("user_roles"), col("database_user_name"), col("event_category"),
+        col("log_source_hostname"), col("route_index"))),
+
+    // azure.officeactivity end-to-end: message-level lowercase, records[]
+    // envelope OR bare object (third envelope form), per-record re-encode
+    "qo01_office" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.offInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("event_ingested_ms"), col("server_user_group_id"),
+        col("organization_id"), col("event_url"), col("event_type"),
+        col("user_id"), col("client_ip"), col("file_extension"),
+        col("cloud_account_id"), col("source_name"), col("file_name"),
+        col("event_start_ms"), col("user_agent_original"), col("file_type"),
+        col("url_full"), col("url_path"), col("host_hostname"),
+        col("log_source_hostname")))
     )
     base ++ MlEntry.queries
   }
@@ -814,6 +891,169 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
        WHEN (b.user_id % 200) < 50 THEN 'US'
        WHEN (b.user_id % 200) < 100 THEN 'DE'
        WHEN (b.user_id % 200) < 150 THEN 'JP' ELSE 'BR' END AS source_geo_country
-FROM ct_turns t JOIN ct_base b USING (event_id)"""
+FROM ct_turns t JOIN ct_base b USING (event_id)""",
+
+    "qa01_atp" ->
+      s"""WITH ${Transcripts.atpCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE (b.event_id % 4) WHEN 0 THEN 'malware' WHEN 1 THEN 'suspiciousactivity'
+       WHEN 2 THEN 'credentialaccess' ELSE 'exfiltration' END AS rule_category,
+  'da' || b.eid_s AS event_id_s,
+  'inv' || CAST(b.event_id % 500 AS STRING) AS group_id,
+  CASE (b.event_id % 3) WHEN 0 THEN 'high' WHEN 1 THEN 'medium' ELSE 'informational' END AS event_severity_name,
+  CASE (b.event_id % 3) WHEN 0 THEN 'resolved' WHEN 1 THEN 'inprogress' ELSE 'new' END AS event_outcome,
+  CASE WHEN (b.event_id % 5) = 0 THEN 'apt' ELSE 'notavailable' END AS event_type,
+  'windowsdefenderatp' AS observer_product,
+  'suspicious process ' || CAST(b.event_id % 20 AS STRING) AS event_kind,
+  'desc ' || b.eid_s AS rule_description,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  epoch_ms(date_trunc('second', t.ts)) AS event_start_ms,
+  epoch_ms(date_trunc('second', t.ts)) AS event_end_ms,
+  epoch_ms(date_trunc('second', t.ts)) AS event_modified_ms,
+  'm' || CAST(b.event_id % 400 AS STRING) AS host_id,
+  'host' || CAST(b.user_id % 20 AS STRING) AS host_hostname,
+  'corp.example' AS host_domain,
+  b.uname AS user_name,
+  b.tenant AS log_source_hostname,
+  CASE WHEN b.mitsel = 0 THEN 't1078,t1566.001' ELSE '' END AS threat_technique_id_s
+FROM atp_turns t JOIN atp_base b USING (event_id)""",
+
+    "qm01_ppmessages" ->
+      s"""WITH ${Transcripts.ppmCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'https://www.app' || CAST(b.event_id % 30 AS STRING) || '.co.uk/m/' || b.eid_s AS url_full,
+  CASE WHEN (b.event_id % 2) = 0 THEN 'phish' ELSE 'spam' END AS event_type,
+  LEAST(MD5(b.eid_s), MD5(b.eid_s || 'b')) || ',' || GREATEST(MD5(b.eid_s), MD5(b.eid_s || 'b')) AS related_hash_s,
+  'https://tap.example/threat/t' || CAST(b.event_id % 500 AS STRING) AS rule_reference,
+  't' || CAST(b.event_id % 500 AS STRING) AS rule_id,
+  CASE WHEN (b.event_id % 4) = 0 THEN 'phish'
+       WHEN (b.event_id % 3) = 0 THEN 'cleared' ELSE 'active' END AS rule_category,
+  'inv' || CAST(b.event_id % 100 AS STRING) || '.pdf,run' || CAST(b.event_id % 7 AS STRING) || '.js' AS file_attributes_s,
+  CASE WHEN (b.event_id % 4) = 0 THEN 'messagesblocked' ELSE 'messagesdelivered' END AS event_kind,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_created_ms,
+  CAST(1000 + (b.event_id % 90000) AS BIGINT) AS file_size,
+  CASE WHEN (b.event_id % 2) = 0 THEN 'sandbox,spam,urldefense' ELSE 'spam,urldefense' END AS rule_author_s,
+  CASE WHEN (b.event_id % 4) = 0 THEN 'module.sandbox.rule' ELSE NULL END AS rule_name,
+  'default_inbound' AS event_category,
+  b.senderip AS source_ip,
+  'q' || b.eid_s AS transaction_id,
+  'g' || b.eid_s AS trace_id,
+  'm' || b.eid_s || '@ext.example' AS event_id_s,
+  b.uname || '@ext.example' AS source_user_email,
+  b.uname || '@example.com' AS destination_user_email,
+  CASE WHEN (b.event_id % 5) = 0 THEN 'BulkMailer 1.0' ELSE NULL END AS user_agent_original,
+  CAST(b.event_id % 100 AS BIGINT) AS event_risk_score,
+  CAST(b.event_id % 50 AS BIGINT) AS vulnerability_score_base,
+  CAST(b.event_id % 90 AS BIGINT) AS event_risk_score_norm,
+  CAST(b.event_id % 10 AS BIGINT) AS event_severity,
+  'invoice ' || b.eid_s AS email_subject,
+  'User ' || b.uname || ' <' || b.uname || '@ext.example>' AS email_header_from,
+  'reply-' || b.uname || '@ext.example' AS email_header_replyto,
+  CASE WHEN (b.event_id % 3) = 0 THEN 'completelyrewritten' ELSE 'notrewritten' END AS event_outcome,
+  CASE WHEN (b.user_id % 200) < 50 THEN 'US' WHEN (b.user_id % 200) < 100 THEN 'DE'
+       WHEN (b.user_id % 200) < 150 THEN 'JP' ELSE 'BR' END AS source_geo_country
+FROM ppm_turns t JOIN ppm_base b USING (event_id)""",
+
+    // The \\.*? quirk (ref log_application_aws.elb.conf:21) shifts the
+    // middle block: elb_status_code captures "0.000" (→ null long),
+    // target_status_code captures the real status, received_bytes captures
+    // the target status copy, sent_bytes spans two tokens (→ null long).
+    "qe01_elb" ->
+      s"""WITH ${Transcripts.elbCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_created_ms,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_ingested_ms,
+  CAST(NULL AS STRING) AS event_duration,
+  CAST(b.event_id % 9 AS BIGINT) AS event_severity,
+  CASE WHEN (b.event_id % 5) = 2 THEN 'acceptable' ELSE NULL END AS event_category,
+  CASE WHEN (b.event_id % 4) = 3 THEN 'lambdainvalidresponse' ELSE NULL END AS event_reason,
+  'app/lb' || CAST(b.user_id % 5 AS STRING) || '/abc' || CAST(b.user_id % 97 AS STRING) AS cloud_instance_name,
+  CASE WHEN (b.event_id % 2) = 0 THEN 'https' ELSE 'http' END AS url_scheme,
+  'https://www.app' || CAST(b.event_id % 30 AS STRING) || '.co.uk:443/p/' || b.eid_s || '?q=' || CAST(b.event_id % 7 AS STRING) AS url_full,
+  'www.app' || CAST(b.event_id % 30 AS STRING) || '.co.uk' AS url_domain,
+  CAST(NULL AS BIGINT) AS http_response_status_code,
+  CASE WHEN (b.event_id % 11) = 0 THEN NULL ELSE CAST(b.status AS BIGINT) END AS http_request_bytes,
+  CAST(NULL AS BIGINT) AS http_response_bytes,
+  CASE (b.event_id % 3) WHEN 0 THEN 'get' WHEN 1 THEN 'post' ELSE 'put' END AS http_request_method,
+  CASE WHEN (b.event_id % 4) = 1 THEN 'https://www.app' || CAST(b.event_id % 30 AS STRING) || '.co.uk/p/' || b.eid_s ELSE NULL END AS http_request_referrer,
+  CASE WHEN (b.event_id % 6) = 0 THEN NULL ELSE 'curl/8.5' END AS user_agent_name,
+  CASE WHEN (b.event_id % 2) = 0 THEN 'ecdhe-rsa-aes128-gcm-sha256' ELSE NULL END AS tls_cipher,
+  CASE WHEN (b.event_id % 2) = 0 THEN 'tlsv1.2' ELSE NULL END AS tls_version_protocol,
+  'arn:aws:acm:us-east-1:123:certificate/c' || CAST(b.event_id % 5 AS STRING) AS tls_client_server_name,
+  'http/1.1' AS tls_next_protocol,
+  'root=1-' || MD5(b.eid_s) AS trace_id,
+  CASE WHEN (b.event_id % 4) = 3 THEN 'waf,forward' ELSE 'forward' END AS rule_name,
+  CASE WHEN (b.event_id % 5) = 2 THEN 'noncompliantversion' ELSE NULL END AS rule_description,
+  CAST(b.cport AS BIGINT) AS source_port,
+  b.cip AS source_ip,
+  CASE WHEN (b.event_id % 11) = 0 THEN NULL ELSE b.tip END AS destination_ip,
+  CASE WHEN (b.event_id % 11) = 0 THEN NULL ELSE CAST(b.tport AS BIGINT) END AS destination_port,
+  'app/lb' || CAST(b.user_id % 5 AS STRING) || '/abc' || CAST(b.user_id % 97 AS STRING) AS log_source_hostname,
+  CASE WHEN (b.user_id % 200) < 50 THEN 'US' WHEN (b.user_id % 200) < 100 THEN 'DE'
+       WHEN (b.user_id % 200) < 150 THEN 'JP' ELSE 'BR' END AS source_geo_country
+FROM elb_turns t JOIN elb_base b USING (event_id)
+WHERE (b.event_id % 31) <> 0""",
+
+    "qf01_snowflake" ->
+      s"""WITH ${Transcripts.sfCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  'snowflake.signin' AS technology, 1 AS parse_ok_i,
+  'login' AS event_type, b.cip AS client_ip, 'ev' || b.eid_s AS event_id_s,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_created_ms,
+  b.uname AS user_name,
+  CASE WHEN (b.event_id % 4) = 0 THEN '390144' ELSE NULL END AS error_code,
+  CASE WHEN (b.event_id % 4) = 0 THEN 'jwt token is invalid' ELSE NULL END AS error_message,
+  CASE WHEN (b.event_id % 4) = 0 THEN 'failure' ELSE 'success' END AS event_outcome,
+  CAST(NULL AS BIGINT) AS event_start_ms,
+  CAST(NULL AS STRING) AS user_roles,
+  CAST(NULL AS STRING) AS database_user_name,
+  CAST(NULL AS STRING) AS event_category,
+  'sql_snowflake_signin' AS log_source_hostname,
+  'logs-snowflake.signin_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM sf_turns t JOIN sf_base b USING (event_id)
+UNION ALL
+SELECT t.conv_id, t.turn_idx,
+  'snowflake.failed_login', 1,
+  NULL, NULL, NULL,
+  epoch_ms(t.ts), -- enrichment default: event.created = input ts when unset
+  NULL, NULL, NULL, NULL,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000),
+  CASE WHEN (b.event_id % 3) = 0 THEN 'sysadmin' ELSE 'public' END,
+  b.uname,
+  CASE WHEN (b.event_id % 2) = 0 THEN 'password' ELSE 'id_token' END,
+  'sql_snowflake_failed_login',
+  'logs-snowflake.failed_login_' || strftime(t.ts, '%Y.%m.%d')
+FROM sff_turns t JOIN sff_base b USING (event_id)""",
+
+    "qo01_office" ->
+      s"""WITH ${Transcripts.offCte},
+offx AS (
+  SELECT t.conv_id, t.turn_idx, t.ts, b.*, s.i AS sub_idx
+  FROM off_turns t JOIN off_base b USING (event_id)
+  CROSS JOIN (VALUES (0), (1)) AS s(i)
+  WHERE s.i = 0 OR ((b.event_id % 2) = 0 AND (b.event_id % 4) = 0)
+)
+SELECT conv_id, turn_idx, sub_idx, 1 AS parse_ok_i,
+  epoch_ms(date_trunc('second', ts)) + (event_id % 1000) AS event_ingested_ms,
+  CASE WHEN sub_idx = 0 THEN 'site' || CAST(event_id % 40 AS STRING) ELSE NULL END AS server_user_group_id,
+  'org' || CAST(user_id % 30 AS STRING) || (CASE WHEN sub_idx = 1 THEN 'b' ELSE '' END) AS organization_id,
+  CASE WHEN sub_idx = 0 THEN 'https://sp.example/sites/team' || CAST(event_id % 12 AS STRING) || '/' ELSE NULL END AS event_url,
+  CASE WHEN sub_idx = 1 THEN 'azureactivedirectory'
+       WHEN (event_id % 2) = 0 THEN 'sharepointfileoperation' ELSE 'exchangeadmin' END AS event_type,
+  uname || (CASE WHEN sub_idx = 1 THEN 'b' ELSE '' END) || '@example.com' AS user_id,
+  CASE WHEN sub_idx = 0 THEN cip ELSE NULL END AS client_ip,
+  CASE WHEN sub_idx = 1 THEN NULL
+       WHEN (event_id % 3) = 0 THEN 'docx' WHEN (event_id % 3) = 1 THEN 'xlsx' ELSE 'pdf' END AS file_extension,
+  tenant AS cloud_account_id,
+  CASE WHEN sub_idx = 0 THEN 'sharepoint' ELSE 'azuread' END AS source_name,
+  CASE WHEN sub_idx = 0 THEN 'doc' || CAST(event_id % 200 AS STRING) || '.bin' ELSE NULL END AS file_name,
+  CASE WHEN sub_idx = 0 THEN epoch_ms(date_trunc('second', ts)) + (event_id % 1000) ELSE NULL END AS event_start_ms,
+  CASE WHEN sub_idx = 0 THEN 'curl/8.5' ELSE NULL END AS user_agent_original,
+  CASE WHEN sub_idx = 0 THEN 'file' ELSE NULL END AS file_type,
+  CASE WHEN sub_idx = 0 THEN 'https://sp.example/sites/team' || CAST(event_id % 12 AS STRING) || '/doc' || eid_s ELSE NULL END AS url_full,
+  CASE WHEN sub_idx = 0 THEN 'sites/team' || CAST(event_id % 12 AS STRING) ELSE NULL END AS url_path,
+  CASE WHEN sub_idx = 0 THEN 'team ' || CAST(event_id % 12 AS STRING) || ' site' ELSE NULL END AS host_hostname,
+  tenant AS log_source_hostname
+FROM offx"""
   ) ++ MlEntry.oracleSql
 }

@@ -418,6 +418,292 @@ pp_turns AS (
   FROM pp_base
 )"""
 
+  /** Portable second-resolution ISO fragment `yyyy-MM-ddTHH:mm:ss` of ts. */
+  private val isoSec: String =
+    """LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0') || '-'
+      || LPAD(CAST(EXTRACT(MONTH FROM ts) AS STRING), 2, '0') || '-'
+      || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || 'T'
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0')"""
+
+  /** azure.atp additive corpus (ref: api_security_azure.atp.conf) — single
+    * JSON alert objects; exercises the mitreTechniques[0] conditional
+    * (present / empty array / absent) and the four ISO8601 dates. */
+  val atpCte: String = s"""
+atp_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    'tnt' || CAST(user_id % 9 AS STRING) AS tenant,
+    $isoSec || 'Z' AS iso,
+    (event_id % 3) AS mitsel
+  FROM events WHERE (event_id % 13) = 2
+),
+atp_turns AS (
+  SELECT 'at_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"aadTenantId":"' || tenant || '"'
+    || ',"category":"' || CASE (event_id % 4) WHEN 0 THEN 'Malware' WHEN 1 THEN 'SuspiciousActivity' WHEN 2 THEN 'CredentialAccess' ELSE 'Exfiltration' END || '"'
+    || ',"id":"da' || eid_s || '"'
+    || ',"investigationId":"inv' || CAST(event_id % 500 AS STRING) || '"'
+    || ',"severity":"' || CASE (event_id % 3) WHEN 0 THEN 'High' WHEN 1 THEN 'Medium' ELSE 'Informational' END || '"'
+    || ',"status":"' || CASE (event_id % 3) WHEN 0 THEN 'Resolved' WHEN 1 THEN 'InProgress' ELSE 'New' END || '"'
+    || ',"determination":"' || CASE WHEN (event_id % 5) = 0 THEN 'Apt' ELSE 'NotAvailable' END || '"'
+    || ',"detectionSource":"WindowsDefenderAtp"'
+    || ',"title":"Suspicious process ' || CAST(event_id % 20 AS STRING) || '"'
+    || ',"description":"desc ' || eid_s || '"'
+    || ',"alertCreationTime":"' || iso || '","firstEventTime":"' || iso
+    || '","lastEventTime":"' || iso || '","lastUpdateTime":"' || iso || '"'
+    || ',"machineId":"m' || CAST(event_id % 400 AS STRING) || '"'
+    || ',"computerDnsName":"host' || CAST(user_id % 20 AS STRING) || '.corp.example"'
+    || ',"relatedUser":"' || uname || '"'
+    || CASE mitsel WHEN 0 THEN ',"mitreTechniques":["T1566.00' || CAST(1 + (event_id % 3) AS STRING) || '","T1078"]'
+                   WHEN 1 THEN ',"mitreTechniques":[]' ELSE '' END
+    || '}' AS text,
+    'azure.atp' AS tool, ts, event_id
+  FROM atp_base
+)"""
+
+  /** proofpoint SIEM messages additive corpus
+    * (ref: api_security_proofpoint.siem_api_message.conf) — scalar threat
+    * fields, array file_hashes/file_names/modulesRun, the quarantineFolder
+    * rule.category overwrite, and the completelyRewritten truthiness branch
+    * (true / false / absent). */
+  val ppmCte: String = s"""
+ppm_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS senderip,
+    $isoSec || '.' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') || 'Z' AS mtime
+  FROM events WHERE (event_id % 14) = 9
+),
+ppm_turns AS (
+  SELECT 'pm_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"url":"https://www.app' || CAST(event_id % 30 AS STRING) || '.co.uk/m/' || eid_s || '"'
+    || ',"classifications":"' || CASE WHEN (event_id % 2) = 0 THEN 'phish' ELSE 'spam' END || '"'
+    || ',"file_hashes":["' || MD5(eid_s) || '","' || MD5(eid_s || 'b') || '"]'
+    || ',"threat_urls":"https://tap.example/threat/t' || CAST(event_id % 500 AS STRING) || '"'
+    || ',"threat_ids":"t' || CAST(event_id % 500 AS STRING) || '"'
+    || ',"threat_statuses":"' || CASE WHEN (event_id % 3) = 0 THEN 'cleared' ELSE 'active' END || '"'
+    || ',"file_names":["inv' || CAST(event_id % 100 AS STRING) || '.pdf","run' || CAST(event_id % 7 AS STRING) || '.js"]'
+    || ',"event.dataset":"' || CASE WHEN (event_id % 4) = 0 THEN 'messagesBlocked' ELSE 'messagesDelivered' END || '"'
+    || ',"messageTime":"' || mtime || '"'
+    || ',"messageSize":' || CAST(1000 + (event_id % 90000) AS STRING)
+    || ',"modulesRun":["spam","urldefense"' || CASE WHEN (event_id % 2) = 0 THEN ',"sandbox"' ELSE '' END || ']'
+    || CASE WHEN (event_id % 4) = 0 THEN ',"quarantineFolder":"Phish","quarantineRule":"module.sandbox.rule"' ELSE '' END
+    || ',"policyRoutes":"default_inbound"'
+    || ',"senderIP":"' || senderip || '"'
+    || ',"QID":"q' || eid_s || '","GUID":"g' || eid_s || '"'
+    || ',"messageID":"m' || eid_s || '@ext.example"'
+    || ',"sender":"' || uname || '@ext.example","recipient":"' || uname || '@example.com"'
+    || CASE WHEN (event_id % 5) = 0 THEN ',"xmailer":"BulkMailer 1.0"' ELSE '' END
+    || ',"spamScore":' || CAST(event_id % 100 AS STRING)
+    || ',"malwareScore":' || CAST(event_id % 50 AS STRING)
+    || ',"phishScore":' || CAST(event_id % 90 AS STRING)
+    || ',"impostorScore":' || CAST(event_id % 10 AS STRING)
+    || ',"subject":"Invoice ' || eid_s || '"'
+    || ',"headerFrom":"User ' || uname || ' <' || uname || '@ext.example>"'
+    || ',"headerReplyTo":"reply-' || uname || '@ext.example"'
+    || CASE (event_id % 3) WHEN 0 THEN ',"completelyRewritten":true'
+                           WHEN 1 THEN ',"completelyRewritten":false' ELSE '' END
+    || '}' AS text,
+    'proofpoint.siem_messages' AS tool, ts, event_id
+  FROM ppm_base
+)"""
+
+  /** aws.elb additive corpus (ref: log_application_aws.elb.conf) — the full
+    * ALB access-log line WITH the optional tail; a slice of empty messages
+    * exercises the drop{} branch, '-' placeholders exercise the alternation
+    * captures. */
+  val elbCte: String = s"""
+elb_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS cip,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS tip,
+    1024 + (event_id % 40000) AS cport,
+    CASE (event_id % 3) WHEN 0 THEN 443 WHEN 1 THEN 80 ELSE 8443 END AS tport,
+    $isoSec || '.' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') || '456Z' AS t1,
+    (event_id % 100000) AS rbytes,
+    10 * (1 + (event_id % 9000)) AS sbytes,
+    CASE (event_id % 4) WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 403 ELSE 502 END AS status
+  FROM events WHERE (event_id % 15) = 4
+),
+elb_turns AS (
+  SELECT 'eb_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE WHEN (event_id % 31) = 0 THEN '' ELSE
+      CASE (event_id % 2) WHEN 0 THEN 'https' ELSE 'http' END
+      || ' ' || t1
+      || ' app/lb' || CAST(user_id % 5 AS STRING) || '/abc' || CAST(user_id % 97 AS STRING)
+      || ' ' || cip || ':' || CAST(cport AS STRING)
+      || ' ' || CASE WHEN (event_id % 11) = 0 THEN '-' ELSE tip || ':' || CAST(tport AS STRING) END
+      || ' 0.001 0.002 0.000'
+      || ' ' || CAST(status AS STRING)
+      || ' ' || CASE WHEN (event_id % 11) = 0 THEN '-' ELSE CAST(status AS STRING) END
+      || ' ' || CAST(rbytes AS STRING) || ' ' || CAST(sbytes AS STRING)
+      || ' "' || CASE (event_id % 3) WHEN 0 THEN 'GET' WHEN 1 THEN 'POST' ELSE 'PUT' END
+      || ' https://www.app' || CAST(event_id % 30 AS STRING) || '.co.uk:443/p/' || eid_s || '?q=' || CAST(event_id % 7 AS STRING)
+      || ' HTTP/1.1"'
+      || ' "' || CASE WHEN (event_id % 6) = 0 THEN '-' ELSE 'curl/8.5' END || '"'
+      || ' ' || CASE WHEN (event_id % 2) = 0 THEN 'ECDHE-RSA-AES128-GCM-SHA256' ELSE '-' END
+      || ' ' || CASE WHEN (event_id % 2) = 0 THEN 'TLSv1.2' ELSE '-' END
+      || ' arn:aws:elasticloadbalancing:us-east-1:' || LPAD(CAST(user_id AS STRING), 12, '0') || ':targetgroup/tg' || CAST(event_id % 8 AS STRING)
+      || ' "Root=1-' || MD5(eid_s) || '"'
+      || ' "www.app' || CAST(event_id % 30 AS STRING) || '.co.uk"'
+      || ' "arn:aws:acm:us-east-1:123:certificate/c' || CAST(event_id % 5 AS STRING) || '"'
+      || ' ' || CAST(event_id % 9 AS STRING)
+      || ' ' || t1
+      || ' "' || CASE WHEN (event_id % 4) = 3 THEN 'waf,forward' ELSE 'forward' END || '"'
+      || ' "' || CASE WHEN (event_id % 4) = 1 THEN 'https://www.app' || CAST(event_id % 30 AS STRING) || '.co.uk/p/' || eid_s ELSE '-' END || '"'
+      || ' "' || CASE WHEN (event_id % 4) = 3 THEN 'LambdaInvalidResponse' ELSE '-' END || '"'
+      || ' "' || CASE WHEN (event_id % 11) = 0 THEN '-' ELSE tip || ':' || CAST(tport AS STRING) END || '"'
+      || ' "' || CASE WHEN (event_id % 11) = 0 THEN '-' ELSE CAST(status AS STRING) END || '"'
+      || ' "' || CASE WHEN (event_id % 5) = 2 THEN 'Acceptable' ELSE '-' END || '"'
+      || ' "' || CASE WHEN (event_id % 5) = 2 THEN 'NonCompliantVersion' ELSE '-' END || '"'
+    END AS text,
+    'aws.elb' AS tool, ts, event_id
+  FROM elb_base
+)"""
+
+  /** snowflake.signin + snowflake.failed_login additive corpora (ref:
+    * snowflake_acc_login_history.conf / snowflake_acc_failed_logins.conf) —
+    * UPPER_SNAKE JSON columns straight from the warehouse views. */
+  val sfCte: String = s"""
+sf_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS cip,
+    $isoSec || '.' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') AS isoms
+  FROM events WHERE (event_id % 16) = 11
+),
+sf_turns AS (
+  SELECT 'sf_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"EVENT_TYPE":"LOGIN","CLIENT_IP":"' || cip || '"'
+    || ',"EVENT_ID":"ev' || eid_s || '"'
+    || ',"EVENT_TIMESTAMP":"' || isoms || '+0000"'
+    || ',"USER_NAME":"' || uname || '"'
+    || ',"IS_SUCCESS":"' || CASE WHEN (event_id % 4) = 0 THEN 'NO' ELSE 'YES' END || '"'
+    || CASE WHEN (event_id % 4) = 0 THEN ',"ERROR_CODE":"390144","ERROR_MESSAGE":"JWT token is invalid"' ELSE '' END
+    || '}' AS text,
+    'snowflake.signin' AS tool, ts, event_id
+  FROM sf_base
+),
+sff_base AS (
+  SELECT event_id, ts, user_id,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    $isoSec || '.' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') || '+00:00' AS isomso
+  FROM events WHERE (event_id % 17) = 8
+),
+sff_turns AS (
+  SELECT 'sg_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"EVENT_TIMESTAMP":"' || isomso || '"'
+    || ',"ROLE_NAME":"' || CASE WHEN (event_id % 3) = 0 THEN 'SYSADMIN' ELSE 'PUBLIC' END || '"'
+    || ',"USER_NAME":"' || UPPER(uname) || '"'
+    || ',"FIRST_AUTHENTICATION_FACTOR":"' || CASE WHEN (event_id % 2) = 0 THEN 'PASSWORD' ELSE 'ID_TOKEN' END || '"'
+    || '}' AS text,
+    'snowflake.failed_login' AS tool, ts, event_id
+  FROM sff_base
+)"""
+
+  /** azure.officeactivity additive corpus (ref: event_hub_audit_azure.
+    * event_hub_officeactivity.conf) — mixed records[]-envelope (1-2 records,
+    * split path) and bare-object forms. Keys are synthesized in O365's
+    * natural casing; the processor's message-level lowercase normalizes
+    * them (and, faithfully to the reference, breaks the T-anchored date
+    * gsub). */
+  val offCte: String = s"""
+off_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS cip,
+    'tnt' || CAST(user_id % 9 AS STRING) AS tenant,
+    $isoSec || '.' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') || '4567Z' AS iso7
+  FROM events WHERE (event_id % 19) = 10
+),
+off_rec AS (
+  SELECT *,
+    '{"TimeGenerated":"' || iso7 || '"'
+    || ',"Site_":"site' || CAST(event_id % 40 AS STRING) || '"'
+    || ',"OrganizationId":"org' || CAST(user_id % 30 AS STRING) || '"'
+    || ',"Site_Url":"https://sp.example/sites/team' || CAST(event_id % 12 AS STRING) || '/"'
+    || ',"Type":"' || CASE WHEN (event_id % 2) = 0 THEN 'SharePointFileOperation' ELSE 'ExchangeAdmin' END || '"'
+    || ',"UserId":"' || uname || '@example.com"'
+    || ',"ClientIP":"' || cip || '"'
+    || ',"SourceFileExtension":"' || CASE (event_id % 3) WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' ELSE 'pdf' END || '"'
+    || ',"TenantId":"' || tenant || '"'
+    || ',"EventSource":"SharePoint"'
+    || ',"SourceFileName":"doc' || CAST(event_id % 200 AS STRING) || '.bin"'
+    || ',"Start_Time":"' || iso7 || '"'
+    || ',"UserAgent":"curl/8.5"'
+    || ',"ItemType":"File"'
+    || ',"OfficeObjectId":"https://sp.example/sites/team' || CAST(event_id % 12 AS STRING) || '/doc' || eid_s || '"'
+    || ',"SourceRelativeUrl":"sites/team' || CAST(event_id % 12 AS STRING) || '"'
+    || ',"DisplayName":"Team ' || CAST(event_id % 12 AS STRING) || ' Site"'
+    || '}' AS rec,
+    '{"TimeGenerated":"' || iso7 || '"'
+    || ',"OrganizationId":"org' || CAST(user_id % 30 AS STRING) || 'b"'
+    || ',"Type":"AzureActiveDirectory"'
+    || ',"UserId":"' || uname || 'b@example.com"'
+    || ',"TenantId":"' || tenant || '"'
+    || ',"EventSource":"AzureAD"'
+    || '}' AS rec2
+  FROM off_base
+),
+off_turns AS (
+  SELECT 'of_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE WHEN (event_id % 2) = 0 THEN
+      '{"Records": [' || rec || CASE WHEN (event_id % 4) = 0 THEN ',' || rec2 ELSE '' END || ']}'
+    ELSE rec END AS text,
+    'azure.officeactivity' AS tool, ts, event_id
+  FROM off_rec
+)"""
+
+  def atpInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $atpCte SELECT conv_id, turn_idx, role, text, tool, ts FROM atp_turns")
+  }
+
+  def ppmInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ppmCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ppm_turns")
+  }
+
+  def elbInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $elbCte SELECT conv_id, turn_idx, role, text, tool, ts FROM elb_turns")
+  }
+
+  def sfInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $sfCte SELECT conv_id, turn_idx, role, text, tool, ts FROM sf_turns" +
+      " UNION ALL SELECT conv_id, turn_idx, role, text, tool, ts FROM sff_turns")
+  }
+
+  def offInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $offCte SELECT conv_id, turn_idx, role, text, tool, ts FROM off_turns")
+  }
+
   def ppInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $ppCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pp_turns")

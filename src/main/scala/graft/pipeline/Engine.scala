@@ -213,6 +213,40 @@ object Engine {
       rule_uuid = s("[rule][uuid]"),
       rule_reference = s("[rule][reference]"),
       event_status = s("[event][status]"),
-      threat_list_created_ms = l("[threat][list][created_ms]"))
+      threat_list_created_ms = l("[threat][list][created_ms]"),
+      group_id = s("[group][id]"),
+      event_severity_name = s("[event][severity_name]"),
+      event_modified_ms = l("[event][modified_ms]"),
+      threat_technique_id = arr("[threat][technique][id]"),
+      file_attributes = arr("[file][attributes]"),
+      file_size = l("[file][size]"),
+      rule_author = arr("[rule][author]"),
+      trace_id = s("[trace][id]"),
+      event_risk_score = l("[event][risk_score]"),
+      vulnerability_score_base = l("[vulnerability][score][base]"),
+      event_risk_score_norm = l("[event][risk_score_norm]"),
+      email_subject = s("[email][subject]"),
+      email_header_from = s("[email][header_from]"),
+      email_header_replyto = s("[email][header_replyto]"),
+      url_scheme = s("[url][scheme]"),
+      event_ingested_ms = l("[event][ingested_ms]"),
+      event_duration = s("[event][duration]"),
+      cloud_instance_name = s("[cloud][instance][name]"),
+      http_response_status_code = l("[http][response][status_code]"),
+      http_request_bytes = l("[http][request][bytes]"),
+      http_response_bytes = l("[http][response][bytes]"),
+      http_request_referrer = s("[http][request][referrer]"),
+      user_agent_name = s("[user_agent][name]"),
+      tls_cipher = s("[tls][cipher]"),
+      tls_version_protocol = s("[tls][version_protocol]"),
+      tls_next_protocol = s("[tls][next_protocol]"),
+      tls_client_server_name = s("[tls][client][server_name]"),
+      database_user_name = s("[database][user][name]"),
+      organization_id = s("[organization][id]"),
+      event_url = s("[event][url]"),
+      server_user_group_id = s("[server][user][group][id]"),
+      source_name = s("[source][name]"),
+      file_extension = s("[file][extension]"),
+      file_type = s("[file][type]"))
   }
 }

@@ -279,6 +279,40 @@ object RowKernel {
     s("[rule][reference]")
     s("[event][status]")
     l("[threat][list][created_ms]")
+    s("[group][id]")
+    s("[event][severity_name]")
+    l("[event][modified_ms]")
+    arr("[threat][technique][id]")
+    arr("[file][attributes]")
+    l("[file][size]")
+    arr("[rule][author]")
+    s("[trace][id]")
+    l("[event][risk_score]")
+    l("[vulnerability][score][base]")
+    l("[event][risk_score_norm]")
+    s("[email][subject]")
+    s("[email][header_from]")
+    s("[email][header_replyto]")
+    s("[url][scheme]")
+    l("[event][ingested_ms]")
+    s("[event][duration]")
+    s("[cloud][instance][name]")
+    l("[http][response][status_code]")
+    l("[http][request][bytes]")
+    l("[http][response][bytes]")
+    s("[http][request][referrer]")
+    s("[user_agent][name]")
+    s("[tls][cipher]")
+    s("[tls][version_protocol]")
+    s("[tls][next_protocol]")
+    s("[tls][client][server_name]")
+    s("[database][user][name]")
+    s("[organization][id]")
+    s("[event][url]")
+    s("[server][user][group][id]")
+    s("[source][name]")
+    s("[file][extension]")
+    s("[file][type]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -58,6 +58,18 @@ object Registry {
       Vector("elastic"), Set.empty, "high"),
     "proofpoint.siem_clicks" -> TechnologyConfig("proofpoint.siem_clicks",
       "logs-proofpoint.siem_clicks", Vector("elastic"), Set.empty, "low"),
+    "azure.atp" -> TechnologyConfig("azure.atp", "logs-azure.atp",
+      Vector("elastic"), Set.empty, "low"),
+    "proofpoint.siem_messages" -> TechnologyConfig("proofpoint.siem_messages",
+      "logs-proofpoint.siem_messages", Vector("elastic"), Set.empty, "low"),
+    "aws.elb" -> TechnologyConfig("aws.elb", "logs-aws.elb",
+      Vector("elastic", "s3"), Set.empty, "high"),
+    "snowflake.signin" -> TechnologyConfig("snowflake.signin",
+      "logs-snowflake.signin", Vector("elastic"), Set.empty, "low"),
+    "snowflake.failed_login" -> TechnologyConfig("snowflake.failed_login",
+      "logs-snowflake.failed_login", Vector("elastic"), Set.empty, "low"),
+    "azure.officeactivity" -> TechnologyConfig("azure.officeactivity",
+      "logs-azure.officeactivity", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -342,5 +354,11 @@ object Registry {
     "aws.cloudtrail" -> CloudRules.awsCloudtrail,
     "windows.events" -> WindowsRules.windowsEvents,
     "proofpoint.siem_clicks" -> CloudRules.proofpointClicks,
+    "azure.atp" -> ApiRules.azureAtp,
+    "proofpoint.siem_messages" -> ApiRules.proofpointMessages,
+    "aws.elb" -> ApiRules.awsElb,
+    "snowflake.signin" -> ApiRules.snowflakeSignin,
+    "snowflake.failed_login" -> ApiRules.snowflakeFailedLogin,
+    "azure.officeactivity" -> ApiRules.azureOfficeactivity,
     "unknown" -> unknown)
 }

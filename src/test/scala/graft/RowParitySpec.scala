@@ -41,7 +41,9 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("csv", Transcripts.csvInput), ("xml", Transcripts.xmlInput),
       ("cisco", Transcripts.ciscoInput), ("okta", Transcripts.oktaInput),
       ("cloudtrail", Transcripts.ctInput), ("windows", Transcripts.winInput),
-      ("proofpoint", Transcripts.ppInput))
+      ("proofpoint", Transcripts.ppInput), ("atp", Transcripts.atpInput),
+      ("ppmessages", Transcripts.ppmInput), ("elb", Transcripts.elbInput),
+      ("snowflake", Transcripts.sfInput), ("office", Transcripts.offInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
