@@ -23,13 +23,16 @@ import scala.collection.mutable
   * STRINGS cross the serialization boundary (SURVEY.md §2.3: broadcast the
   * strings, compile in mapPartitions).
   */
-final case class CompiledGrok(pattern: Pattern, groupToPath: Array[(String, Seq[String])]) {
+final case class CompiledGrok(pattern: Pattern, groupToPath: Array[(Int, Seq[String])]) {
   // Matcher is reused per thread (reset per input) — a fresh Matcher per
   // event is measurable allocation pressure at 32 kernel threads.
   @transient private lazy val localMatcher: ThreadLocal[Matcher] =
     ThreadLocal.withInitial(() => pattern.matcher(""))
 
-  /** Apply to `input`; on match write captures into `ev`, return true. */
+  /** Apply to `input`; on match write captures into `ev`, return true.
+    * Captures are read by compile-time GROUP INDEX — `Matcher.group(String)`
+    * is a per-capture map lookup on the hot path (same class of cost as the
+    * dissect path-Vector staging fixed in round 2). */
   def extract(ev: Event, input: String, timeoutMillis: Long = 500L): Boolean = {
     val cs: CharSequence =
       if (timeoutMillis <= 0) input else new Grok.DeadlineCharSequence(input, timeoutMillis)
@@ -153,7 +156,34 @@ object Grok {
       last2 = m2.end()
     }
     sb2.append(afterRefs, last2, afterRefs.length)
-    CompiledGrok(Pattern.compile(sb2.toString), groups.toArray)
+    val finalPattern = sb2.toString
+    // 3) resolve each named group's CAPTURE INDEX by walking the final
+    // regex once: '(' not followed by '?' is capturing; '(?<name>' (not a
+    // lookbehind '(?<=' / '(?<!') is capturing too. Escapes and character
+    // classes are skipped. This lets extract() use group(int).
+    val nameToIndex = mutable.Map.empty[String, Int]
+    var ci = 0; var pos = 0; var inClass = false
+    while (pos < finalPattern.length) {
+      finalPattern.charAt(pos) match {
+        case '\\' => pos += 1 // skip escaped char
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass =>
+          if (pos + 1 >= finalPattern.length || finalPattern.charAt(pos + 1) != '?') ci += 1
+          else if (pos + 2 < finalPattern.length && finalPattern.charAt(pos + 2) == '<' &&
+            pos + 3 < finalPattern.length &&
+            finalPattern.charAt(pos + 3) != '=' && finalPattern.charAt(pos + 3) != '!') {
+            ci += 1
+            val end = finalPattern.indexOf('>', pos + 3)
+            nameToIndex(finalPattern.substring(pos + 3, end)) = ci
+            pos = end
+          }
+        case _ => ()
+      }
+      pos += 1
+    }
+    val indexed = groups.iterator.map { case (g, path) => (nameToIndex(g), path) }.toArray
+    CompiledGrok(Pattern.compile(finalPattern), indexed)
   }
 
   /** First-match-wins over a pattern list; failure appends tag(s).
