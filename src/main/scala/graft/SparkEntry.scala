@@ -419,6 +419,27 @@ px AS (
         col("user_roles"), col("database_user_name"), col("event_category"),
         col("log_source_hostname"), col("route_index"))),
 
+    // cisco.ise end-to-end: segmented messages (seg-0 dissect+kv vs seg-N
+    // kv-only), multi-char kv field_split_pattern, five translate ladders
+    // with fallbacks, FailureReason grok, CmdSet gsub chain, Response
+    // outcome overwrite, json_encoded leftover KVs, and the reference's
+    // literal-timezone date bug (event.created always fails and is removed;
+    // event.sequence is created then deleted by its own 02 coercion pass)
+    "qi01_ise" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.iseInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("event_module"), col("event_kind"), col("event_category"),
+        col("event_type"), col("event_outcome"), col("event_action"),
+        col("event_provider"), col("event_reason"), col("event_id_s"),
+        col("event_code"), col("event_sequence"), col("observer_name"),
+        col("log_syslog_severity_name").as("sev_name"),
+        col("destination_ip"), col("destination_port"), col("network_protocol"),
+        col("host_hostname"), col("user_name"), col("source_ip"),
+        col("error_code"), col("error_message"), col("process_command_line"),
+        col("network_name"), col("service_type"), col("labels_tags"),
+        col("event_created_ms"), col("event_ingested_ms"),
+        array_contains(col("tags"), "_dateparsefailure_ec").cast("int").as("ec_failed_i"))),
+
     // azure.officeactivity end-to-end: message-level lowercase, records[]
     // envelope OR bare object (third envelope form), per-record re-encode
     "qo01_office" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.offInput(s, dir)).toDF()
@@ -1024,6 +1045,49 @@ SELECT t.conv_id, t.turn_idx,
   'sql_snowflake_failed_login',
   'logs-snowflake.failed_login_' || strftime(t.ts, '%Y.%m.%d')
 FROM sff_turns t JOIN sff_base b USING (event_id)""",
+
+    "qi01_ise" ->
+      s"""WITH ${Transcripts.iseCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.catsel WHEN 0 THEN 'aaa_audit' WHEN 1 THEN 'aaa_audit'
+       WHEN 2 THEN 'accounting' WHEN 3 THEN 'system_diagnostics'
+       ELSE 'aaa_diagnostics' END AS event_module,
+  CASE WHEN b.catsel = 1 THEN 'alert' ELSE 'event' END AS event_kind,
+  CASE b.catsel WHEN 3 THEN 'host' WHEN 2 THEN 'configuration'
+       ELSE 'authentication' END AS event_category,
+  CASE b.catsel WHEN 0 THEN 'allowed' WHEN 1 THEN 'denied' WHEN 3 THEN 'info'
+       ELSE 'access' END AS event_type,
+  CASE WHEN b.catsel = 2 THEN '{type=authentication}'
+       WHEN b.catsel = 0 THEN 'success' WHEN b.catsel = 1 THEN 'failure'
+       ELSE 'unknown' END AS event_outcome,
+  LOWER(b.cat) AS event_action,
+  CASE WHEN b.segsel <> 0 THEN LOWER(b.cls) ELSE NULL END AS event_provider,
+  CASE WHEN b.segsel <> 0 THEN LOWER(b.mtxt) ELSE NULL END AS event_reason,
+  '0000' || b.eid_s AS event_id_s,
+  CASE WHEN b.segsel <> 0 THEN '5200' ELSE NULL END AS event_code,
+  CAST(NULL AS STRING) AS event_sequence, -- created by :118, deleted by 02 coercion
+  'ise-psn' || CAST(b.user_id % 6 AS STRING) AS observer_name,
+  CASE (b.event_id % 8) WHEN 0 THEN 'emergency' WHEN 1 THEN 'alert'
+       WHEN 2 THEN 'critical' WHEN 3 THEN 'error' WHEN 4 THEN 'warning'
+       WHEN 5 THEN 'notice' WHEN 6 THEN 'informational' ELSE 'debug' END AS sev_name,
+  b.dip AS destination_ip,
+  CAST(49 AS BIGINT) AS destination_port,
+  'tacacs' AS network_protocol,
+  b.ndn AS host_hostname,
+  b.uname AS user_name,
+  b.sip AS source_ip,
+  CASE WHEN (b.event_id % 4) = 1 THEN '24408' ELSE NULL END AS error_code,
+  CASE WHEN (b.event_id % 4) = 1 THEN 'user authentication failed' ELSE NULL END AS error_message,
+  CASE WHEN b.catsel = 2 THEN 'show running-config' ELSE NULL END AS process_command_line,
+  CASE WHEN b.segsel <> 0 THEN 'den-sw' ELSE NULL END AS network_name,
+  CASE WHEN b.segsel <> 0 THEN 'sw' || CAST(1 + (b.event_id % 4) AS STRING) ELSE NULL END AS service_type,
+  '{"ConfigVersionId":"' || CAST(b.event_id % 90 AS STRING) || '"'
+    || CASE WHEN (b.event_id % 6) = 2 THEN ',"AdminIPAddress":"10.99.9"' ELSE '' END
+    || '}' AS labels_tags,
+  epoch_ms(t.ts) AS event_created_ms,
+  epoch_ms(t.ts) AS event_ingested_ms,
+  1 AS ec_failed_i
+FROM ise_turns t JOIN ise_cat b USING (event_id)""",
 
     "qo01_office" ->
       s"""WITH ${Transcripts.offCte},

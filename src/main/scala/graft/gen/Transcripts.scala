@@ -678,6 +678,79 @@ off_turns AS (
   FROM off_rec
 )"""
 
+  /** cisco.ise additive corpus (ref: syslog_security_cisco.ise.conf) —
+    * segment-0 lines with the full dissectable body + KV tail, segment-1
+    * continuation lines carrying KVs only; category names exercise all five
+    * translate ladders and their fallbacks; optional KVs exercise the
+    * FailureReason grok, the CmdSet gsub chain, the Response outcome
+    * overwrite and the AdminIPAddress gsub. */
+  val iseCte: String = s"""
+ise_base AS (
+  SELECT event_id, ts, user_id,
+    (event_id % 3) AS segsel,
+    (event_id % 5) AS catsel,
+    CAST(event_id AS STRING) AS eid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    'den-sw' || CAST(1 + (event_id % 4) AS STRING) AS ndn,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS dip,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    32 + (event_id % 8) AS pri,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS sylts,
+    LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0') || '-'
+      || LPAD(CAST(EXTRACT(MONTH FROM ts) AS STRING), 2, '0') || '-'
+      || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0')
+      || '.' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') || ' +00:00' AS isets,
+    1600000000 + (event_id % 10000000) AS stime
+  FROM events WHERE (event_id % 18) = 13
+),
+ise_cat AS (
+  SELECT *,
+    CASE catsel WHEN 0 THEN 'CISE_Passed_Authentications'
+      WHEN 1 THEN 'CISE_Failed_Authentications' WHEN 2 THEN 'CISE_TACACS_Accounting'
+      WHEN 3 THEN 'CISE_System_Diagnostics' ELSE 'CISE_Guest' END AS cat,
+    CASE catsel WHEN 0 THEN 'Passed-Authentication' WHEN 1 THEN 'Failed-Attempt'
+      WHEN 2 THEN 'Tacacs-Accounting' WHEN 3 THEN 'System-Stats' ELSE 'Guest-Access' END AS cls,
+    CASE catsel WHEN 0 THEN 'Authentication succeeded' WHEN 1 THEN 'Authentication failed'
+      WHEN 2 THEN 'Accounting request' WHEN 3 THEN 'System statistics' ELSE 'Guest session' END AS mtxt,
+    'ConfigVersionId=' || CAST(event_id % 90 AS STRING)
+      || ', DeviceIPAddress=' || dip || ', DevicePort=49'
+      || ', NetworkDeviceName=' || ndn
+      || ', UserName=' || uname
+      || ', Protocol=Tacacs'
+      || ', Remote-Address=' || sip
+      || ', start_time=' || CAST(stime AS STRING)
+      || ', timezone=UTC'
+      || CASE WHEN catsel = 2 THEN ', Response={Type=Authentication}, CmdSet=CmdAV=show running-config <cr>' ELSE '' END
+      || CASE WHEN (event_id % 4) = 1 THEN ', FailureReason=24408 User authentication failed' ELSE '' END
+      || CASE WHEN (event_id % 6) = 2 THEN ', AdminIPAddress=10.9 9.9' ELSE '' END AS kvtail
+  FROM ise_base
+),
+ise_turns AS (
+  SELECT 'is_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || sylts || ' ise-psn' || CAST(user_id % 6 AS STRING)
+    || ' ' || cat || ' 0000' || eid_s
+    || CASE WHEN segsel = 0 THEN ' 2 1 ' || kvtail
+       ELSE ' 1 0 ' || isets || ' 00' || eid_s || ' 5200 NOTICE ' || cls || ': ' || mtxt || ', ' || kvtail
+       END AS text,
+    'cisco.ise' AS tool, ts, event_id
+  FROM ise_cat
+)"""
+
+  def iseInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $iseCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ise_turns")
+  }
+
   def atpInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $atpCte SELECT conv_id, turn_idx, role, text, tool, ts FROM atp_turns")

@@ -27,7 +27,10 @@ object Dates {
     val key = s"$pattern|$locale|$zone|$defaultYear"
     val c = cache.get(key)
     if (c != null) return c
-    val b = new DateTimeFormatterBuilder().parseCaseInsensitive().appendPattern(pattern)
+    // Joda "ZZ" (colon-separated offset, e.g. "+00:00") = Java "XXX"
+    // (ref: syslog_security_cisco.ise.conf:79 "yyyy-MM-dd HH:mm:ss.SSS ZZ")
+    val javaPattern = pattern.replace("ZZ", "XXX")
+    val b = new DateTimeFormatterBuilder().parseCaseInsensitive().appendPattern(javaPattern)
     // year-less syslog patterns (e.g. "MMM d HH:mm:ss") default to event year —
     // injected deterministically by the caller, never wall-clock.
     if (!pattern.contains("y")) b.parseDefaulting(ChronoField.YEAR, defaultYear.toLong)
@@ -60,7 +63,11 @@ object Dates {
 
   def parseMulti(value: String, formats: Seq[String], timezone: String = "UTC",
                  locale: String = "en", defaultYear: Int = 1970): Option[Long] = {
-    val zone = zoneOf(timezone)
+    // An unresolvable timezone is a per-event parse failure, not a crash —
+    // mirrors Logstash, where e.g. a literal field-reference string passed as
+    // `timezone` (syslog_security_cisco.ise.conf:255) throws per event and
+    // lands in tag_on_failure.
+    val zone = try zoneOf(timezone) catch { case _: Exception => return None }
     val loc = localeOf(locale)
     val v = value.trim
     var i = 0

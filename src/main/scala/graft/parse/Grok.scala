@@ -119,7 +119,11 @@ object Grok {
     var gid = 0
     def freshGroup(target: String): String = {
       val g = s"g$gid"; gid += 1
-      groups += ((g, Event.parsePath(target)))
+      // normalize the double-bracket selector form [[a][b]] → [a][b]
+      // (ref: syslog_security_cisco.ise.conf:26 %{NUMBER:[[tmp][msg_id]]})
+      val t = if (target.startsWith("[[") && target.endsWith("]]"))
+        target.substring(1, target.length - 1) else target
+      groups += ((g, Event.parsePath(t)))
       g
     }
     // 1) expand %{NAME} / %{NAME:field} references (recursively, library may nest)

@@ -51,6 +51,48 @@ object Kv {
     true
   }
 
+  private val patternCache = new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def compiled(p: String): java.util.regex.Pattern = {
+    val c = patternCache.get(p)
+    if (c != null) c
+    else { val x = java.util.regex.Pattern.compile(p); patternCache.putIfAbsent(p, x); x }
+  }
+
+  /** `field_split_pattern` form: pairs split by a REGEX (multi-char), value
+    * split at the FIRST `valueSplit`, `remove_char_key` is a character class
+    * stripped from keys (ref: syslog_security_cisco.ise.conf:69-76
+    * `field_split_pattern => ", "  remove_char_key => "\\s"`). */
+  def withPattern(ev: Event, sourceField: String, fieldSplitPattern: String,
+                  valueSplit: Char, target: String = "",
+                  removeCharKey: String = ""): Boolean = {
+    val in = ev.getString(sourceField)
+    if (in.isEmpty) return false
+    val targetParts = if (target.isEmpty) Vector.empty[String] else Event.parsePath(target)
+    val keyClean = if (removeCharKey.isEmpty) null else compiled(s"[$removeCharKey]")
+    val pairs = compiled(fieldSplitPattern).split(in.get, -1)
+    var i = 0
+    while (i < pairs.length) {
+      val pair = pairs(i)
+      val vs = pair.indexOf(valueSplit)
+      if (vs > 0) {
+        var key = pair.substring(0, vs)
+        if (keyClean != null) key = keyClean.matcher(key).replaceAll("")
+        val value = pair.substring(vs + 1)
+        if (key.nonEmpty) {
+          val path = targetParts :+ key
+          ev.getParts(path) match {
+            case None => ev.setParts(path, value)
+            case Some(a: mutable.ArrayBuffer[Any @unchecked]) => a += value
+            case Some(existing) =>
+              ev.setParts(path, mutable.ArrayBuffer[Any](existing, value))
+          }
+        }
+      }
+      i += 1
+    }
+    true
+  }
+
   private def trim(s: String, chars: String): String = {
     if (chars.isEmpty) return s.trim
     var a = 0; var b = s.length

@@ -247,6 +247,14 @@ object Engine {
       server_user_group_id = s("[server][user][group][id]"),
       source_name = s("[source][name]"),
       file_extension = s("[file][extension]"),
-      file_type = s("[file][type]"))
+      file_type = s("[file][type]"),
+      observer_name = s("[observer][name]"),
+      event_code = s("[event][code]"),
+      event_sequence = s("[event][sequence]"),
+      observer_ip = s("[observer][ip]"),
+      observer_port = l("[observer][port]"),
+      process_command_line = s("[process][command_line]"),
+      network_name = s("[network][name]"),
+      labels_tags = s("[labels][tags]"))
   }
 }

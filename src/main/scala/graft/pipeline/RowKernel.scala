@@ -313,6 +313,14 @@ object RowKernel {
     s("[source][name]")
     s("[file][extension]")
     s("[file][type]")
+    s("[observer][name]")
+    s("[event][code]")
+    s("[event][sequence]")
+    s("[observer][ip]")
+    l("[observer][port]")
+    s("[process][command_line]")
+    s("[network][name]")
+    s("[labels][tags]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -70,6 +70,8 @@ object Registry {
       "logs-snowflake.failed_login", Vector("elastic"), Set.empty, "low"),
     "azure.officeactivity" -> TechnologyConfig("azure.officeactivity",
       "logs-azure.officeactivity", Vector("elastic"), Set.empty, "medium"),
+    "cisco.ise" -> TechnologyConfig("cisco.ise", "logs-cisco.ise",
+      Vector("elastic", "s3"), Set.empty, "high"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -360,5 +362,6 @@ object Registry {
     "snowflake.signin" -> ApiRules.snowflakeSignin,
     "snowflake.failed_login" -> ApiRules.snowflakeFailedLogin,
     "azure.officeactivity" -> ApiRules.azureOfficeactivity,
+    "cisco.ise" -> IseRules.ciscoIse,
     "unknown" -> unknown)
 }

@@ -43,7 +43,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("cloudtrail", Transcripts.ctInput), ("windows", Transcripts.winInput),
       ("proofpoint", Transcripts.ppInput), ("atp", Transcripts.atpInput),
       ("ppmessages", Transcripts.ppmInput), ("elb", Transcripts.elbInput),
-      ("snowflake", Transcripts.sfInput), ("office", Transcripts.offInput))
+      ("snowflake", Transcripts.sfInput), ("office", Transcripts.offInput),
+      ("ise", Transcripts.iseInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
