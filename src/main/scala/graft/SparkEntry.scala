@@ -419,6 +419,20 @@ px AS (
         col("user_roles"), col("database_user_name"), col("event_category"),
         col("log_source_hostname"), col("route_index"))),
 
+    // iis.w3c end-to-end: '#' directive drop, pad-modifier dissect, space
+    // csv into auto-named columns, five content-sniffing positional-rename
+    // rules, asymmetric status categorization
+    "qii01_iis" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.iisInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("source_ip"), col("source_port"), col("destination_ip"),
+        col("destination_port"), col("rule_description"), col("event_action"),
+        col("source_address"), col("source_domain"),
+        col("http_response_status_code"), col("event_category"),
+        col("service_name"), col("http_request_method"), col("url_path"),
+        col("url_full"), col("source_bytes"), col("destination_bytes"),
+        col("log_source_hostname"), col("event_created_ms"))),
+
     // cisco.ise end-to-end: segmented messages (seg-0 dissect+kv vs seg-N
     // kv-only), multi-char kv field_split_pattern, five translate ladders
     // with fallbacks, FailureReason grok, CmdSet gsub chain, Response
@@ -1045,6 +1059,37 @@ SELECT t.conv_id, t.turn_idx,
   'sql_snowflake_failed_login',
   'logs-snowflake.failed_login_' || strftime(t.ts, '%Y.%m.%d')
 FROM sff_turns t JOIN sff_base b USING (event_id)""",
+
+    "qii01_iis" ->
+      s"""WITH ${Transcripts.iisCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.rsel WHEN 1 THEN 'rule 2' WHEN 2 THEN 'rule 3' WHEN 3 THEN 'rule 4'
+       WHEN 4 THEN 'rule 5' ELSE 'rule 6(parse)' END AS parse_rule,
+  CASE WHEN b.rsel IN (1, 2, 4) THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.rsel IN (1, 2, 3) THEN CAST(b.spt AS BIGINT)
+       WHEN b.rsel = 4 THEN CAST(443 AS BIGINT) ELSE NULL END AS source_port,
+  CASE WHEN b.rsel IN (1, 2, 3, 4) THEN b.dip ELSE NULL END AS destination_ip,
+  CASE WHEN b.rsel IN (1, 2) THEN CAST(443 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE WHEN b.rsel = 1 THEN 'conn_idle_' || CAST(b.event_id % 9 AS STRING) ELSE NULL END AS rule_description,
+  CASE WHEN b.rsel = 2 THEN 'reject' ELSE NULL END AS event_action,
+  CASE WHEN b.rsel IN (2, 3) THEN 'web' || CAST(b.user_id % 20 AS STRING) ELSE NULL END AS source_address,
+  CASE WHEN b.rsel IN (2, 3) THEN 'corp.example' ELSE NULL END AS source_domain,
+  CASE WHEN b.rsel IN (2, 3, 4) THEN CAST(b.status AS BIGINT) ELSE NULL END AS http_response_status_code,
+  CASE WHEN b.rsel = 2 THEN (CASE WHEN b.status >= 400 THEN 'ops/error' ELSE 'ops/information' END)
+       WHEN b.rsel IN (3, 4) THEN (CASE WHEN b.status >= 400 THEN 'ops/error' ELSE NULL END)
+       ELSE NULL END AS event_category,
+  CASE WHEN b.rsel = 3 THEN 'w3svc' || CAST(b.event_id % 30 AS STRING) ELSE NULL END AS service_name,
+  CASE WHEN b.rsel IN (3, 4) THEN 'get' ELSE NULL END AS http_request_method,
+  CASE WHEN b.rsel IN (3, 4) THEN '/p/' || b.eid_s ELSE NULL END AS url_path,
+  CASE WHEN b.rsel = 3 THEN 'http://www.app' || CAST(b.event_id % 30 AS STRING) || '.co.uk/p/' || b.eid_s
+       WHEN b.rsel = 4 THEN 'http://www.app' || CAST(b.event_id % 30 AS STRING) || '.co.uk/r/' || b.eid_s
+       ELSE NULL END AS url_full,
+  CASE WHEN b.rsel IN (3, 4) THEN CAST(b.sbytes AS BIGINT) ELSE NULL END AS source_bytes,
+  CASE WHEN b.rsel IN (3, 4) THEN CAST(b.dbytes AS BIGINT) ELSE NULL END AS destination_bytes,
+  'iisweb-relay.corp.example' AS log_source_hostname,
+  epoch_ms(t.ts) AS event_created_ms
+FROM iis_turns t JOIN iis_base b USING (event_id)
+WHERE b.rsel <> 0""",
 
     "qi01_ise" ->
       s"""WITH ${Transcripts.iseCte}

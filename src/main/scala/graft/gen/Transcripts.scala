@@ -746,6 +746,56 @@ ise_turns AS (
   FROM ise_cat
 )"""
 
+  /** iis.w3c additive corpus (ref: flat_file_audit_microsoft.iis.w3c.conf) —
+    * '#Fields:' directive lines (dropped), httperr idle lines (RULE 2),
+    * URL-reservation lines (RULE 3), W3SVC service-log lines (RULE 4),
+    * standard access lines (RULE 5) and an unclassified shape (RULE 6). */
+  val iisCte: String = s"""
+iis_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(FLOOR(event_id / 21.0) AS BIGINT) % 6 AS rsel, -- quotient: coprime with the %21 filter
+    CAST(event_id AS STRING) AS eid_s,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS dip,
+    1024 + (event_id % 40000) AS spt,
+    CASE WHEN (event_id % 4) = 0 THEN 503 ELSE 200 END AS status,
+    (event_id % 100000) AS sbytes,
+    10 * (1 + (event_id % 9000)) AS dbytes,
+    'web' || CAST(user_id % 20 AS STRING) || '.corp.example' AS waddr,
+    LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0') || '-'
+      || LPAD(CAST(EXTRACT(MONTH FROM ts) AS STRING), 2, '0') || '-'
+      || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS d1,
+    LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS t1
+  FROM events WHERE (event_id % 21) = 12
+),
+iis_turns AS (
+  SELECT 'ii_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE rsel
+      WHEN 0 THEN '#Fields: date time s-ip cs-method cs-uri-stem'
+      ELSE 'iis01 {g' || eid_s || '} ' || d1 || ' ' || t1 || ' ' ||
+        CASE rsel
+          WHEN 1 THEN sip || ' ' || CAST(spt AS STRING) || ' ' || dip || ' 443 HTTP/1.1 GET - - Timer_ConnectionIdle - conn_idle_' || CAST(event_id % 9 AS STRING)
+          WHEN 2 THEN sip || ' ' || CAST(spt AS STRING) || ' ' || dip || ' 443 HTTP/1.1 Reject ' || waddr || ' - ' || CAST(status AS STRING) || ' - URL -'
+          WHEN 3 THEN 'W3SVC' || CAST(event_id % 30 AS STRING) || ' SRV' || CAST(user_id % 9 AS STRING) || ' ' || waddr || ' GET /p/' || eid_s || ' - ' || CAST(spt AS STRING) || ' - ' || dip || ' - http://www.app' || CAST(event_id % 30 AS STRING) || '.co.uk/p/' || eid_s || ' - ' || CAST(status AS STRING) || ' 0 ' || CAST(sbytes AS STRING) || ' ' || CAST(dbytes AS STRING)
+          WHEN 4 THEN sip || ' GET /p/' || eid_s || ' - 443 - ' || dip || ' Mozilla/4.0 http://www.app' || CAST(event_id % 30 AS STRING) || '.co.uk/r/' || eid_s || ' ' || CAST(status AS STRING) || ' 0 0 ' || CAST(sbytes AS STRING) || ' ' || CAST(dbytes AS STRING) || ' 15'
+          ELSE sip || ' PATCH /odd/' || eid_s || ' x1 y2 z3'
+        END
+    END AS text,
+    'iis.w3c' AS tool, ts, event_id
+  FROM iis_base
+)"""
+
+  def iisInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $iisCte SELECT conv_id, turn_idx, role, text, tool, ts FROM iis_turns")
+  }
+
   def iseInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $iseCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ise_turns")

@@ -46,7 +46,7 @@ final case class CompiledDissect(tokens: Array[Dissect.Token],
         case Lit(s) =>
           if (!input.startsWith(s, pos)) return false
           pos += s.length
-        case Cap(_, skip, append, sep, slot) =>
+        case Cap(_, skip, append, sep, slot, padRight) =>
           // capture runs until the next literal (or end of input)
           val next = if (i + 1 < tokens.length) tokens(i + 1).asInstanceOf[Lit] else null
           val end =
@@ -58,6 +58,10 @@ final case class CompiledDissect(tokens: Array[Dissect.Token],
             }
           val v = input.substring(pos, end)
           pos = end
+          // `%{f->}`: swallow repeats of the following delimiter (keep one
+          // for the Lit token itself)
+          if (padRight && next != null)
+            while (input.startsWith(next.s, pos + next.s.length)) pos += next.s.length
           if (!skip) {
             val prev = values(slot)
             values(slot) = if (append && prev != null) prev + sep + v else v
@@ -82,8 +86,12 @@ object Dissect {
     * append_separator), not a hardcoded space. `slot` — compile-time index
     * of the token's target path among the mapping's distinct paths
     * (-1 for skip tokens). */
+  /** `padRight` — the `%{f->}` modifier: consecutive repeats of the
+    * following delimiter are consumed (ref: flat_file_audit_microsoft.iis
+    * .w3c.conf:26 `%{[[event][created]]->}`). */
   final case class Cap(path: Seq[String], skip: Boolean, append: Boolean,
-                       appendSep: String, slot: Int) extends Token
+                       appendSep: String, slot: Int,
+                       padRight: Boolean = false) extends Token
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, CompiledDissect]()
 
@@ -109,9 +117,10 @@ object Dissect {
         val j = findClose(mapping, i + 2)
         flushLit()
         var body = mapping.substring(i + 2, j)
-        var skip = false; var append = false
+        var skip = false; var append = false; var padRight = false
         if (body.startsWith("?")) { skip = true; body = body.substring(1) }
         else if (body.startsWith("+")) { append = true; body = body.substring(1) }
+        if (body.endsWith("->")) { padRight = true; body = body.dropRight(2) }
         if (body.isEmpty) skip = true
         // normalize double-bracket form [[a][b]] → [a][b]
         if (body.startsWith("[[") && body.endsWith("]]")) body = body.substring(1, body.length - 1)
@@ -123,7 +132,7 @@ object Dissect {
             case _ => " "
           }
         val path = Event.parsePath(body)
-        toks += Cap(path, skip, append, sep, if (skip) -1 else slotOf(path))
+        toks += Cap(path, skip, append, sep, if (skip) -1 else slotOf(path), padRight)
         i = j + 1
       } else { lit.append(mapping.charAt(i)); i += 1 }
     }

@@ -72,6 +72,8 @@ object Registry {
       "logs-azure.officeactivity", Vector("elastic"), Set.empty, "medium"),
     "cisco.ise" -> TechnologyConfig("cisco.ise", "logs-cisco.ise",
       Vector("elastic", "s3"), Set.empty, "high"),
+    "iis.w3c" -> TechnologyConfig("iis.w3c", "logs-iis.w3c",
+      Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -363,5 +365,6 @@ object Registry {
     "snowflake.failed_login" -> ApiRules.snowflakeFailedLogin,
     "azure.officeactivity" -> ApiRules.azureOfficeactivity,
     "cisco.ise" -> IseRules.ciscoIse,
+    "iis.w3c" -> IisRules.iisW3c,
     "unknown" -> unknown)
 }

@@ -44,7 +44,7 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("proofpoint", Transcripts.ppInput), ("atp", Transcripts.atpInput),
       ("ppmessages", Transcripts.ppmInput), ("elb", Transcripts.elbInput),
       ("snowflake", Transcripts.sfInput), ("office", Transcripts.offInput),
-      ("ise", Transcripts.iseInput))
+      ("ise", Transcripts.iseInput), ("iis", Transcripts.iisInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
