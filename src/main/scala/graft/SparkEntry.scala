@@ -280,6 +280,14 @@ px AS (
       .select(col("conv_id"), col("turn_idx"),
         col("threat_indicator_provider"), col("threat_indicator_ip"))),
 
+    // MISP breadth namespaces (user.email / user_agent.original / source.ip)
+    // on the azure envelope rows, proving the 58-call-site probe order
+    "q27_misp_breadth" -> ((s, dir) => parsed(s, dir)
+      .filter(col("technology") === "azure.signin")
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        array_contains(col("tags"), "log_enriched_by_misp").cast("int").as("misp_i"),
+        col("threat_indicator_provider"), col("threat_indicator_ip"))),
+
     // 18_host_split on the cef invalid-ip path: address keeps the name,
     // domain gets the rest
     "q26_host_split" -> ((s, dir) => parsed(s, dir)
@@ -744,12 +752,16 @@ SELECT conv_id, turn_idx, 'trellix.epo' AS technology, 1 AS parse_ok_i,
   'ev' || CAST(event_id AS STRING) AS event_id_s
 FROM xml_turns JOIN events USING (event_id)""",
 
+    // related.user (:918, via user.name) comes after file.hash.md5 (:63),
+    // so a u13 user overrides the hash payload
     "qx02_related_hash" ->
       s"""WITH ${Transcripts.xmlCte}
 SELECT conv_id, turn_idx,
   MD5(CAST(event_id % 1000 AS STRING)) AS related_hash_s,
-  CASE WHEN (event_id % 10) = 4 THEN 1 ELSE 0 END AS misp_i,
-  CASE WHEN (event_id % 10) = 4 THEN 'misp-file.hash.md5' ELSE NULL END AS threat_indicator_provider
+  CASE WHEN (event_id % 10) = 4 OR (user_id % 50) = 13 THEN 1 ELSE 0 END AS misp_i,
+  CASE WHEN (user_id % 50) = 13 THEN 'misp-related.user'
+       WHEN (event_id % 10) = 4 THEN 'misp-file.hash.md5'
+       ELSE NULL END AS threat_indicator_provider
 FROM xml_turns JOIN events USING (event_id)""",
 
     "q19_ioc" ->
@@ -758,24 +770,48 @@ SELECT conv_id, turn_idx,
   CASE WHEN (user_id % 254) = 12
          OR ((event_id % 254) = 12 AND NOT (tsel = 7 AND (event_id % 17) = 0))
          OR (tsel = 7 AND (event_id % 30) = 7)
+         OR (tsel IN (3,4) AND (user_id % 50) = 17)
+         OR (tsel = 7 AND (event_id % 100) = 42)
        THEN 1 ELSE 0 END AS misp_i
 FROM px WHERE tsel <= 4 OR tsel = 7""",
 
-    // MISP namespace precedence (last-winning payload): url.domain >
-    // destination.ip > source.ip (conf order :316/:341/:491)
+    // MISP namespace precedence (last-winning payload), conf order:
+    // source.ip :308 < destination.ip :333 < related.hosts :433 <
+    // url.domain :483 < related.mac(source.mac) :1478
     "q25_misp" ->
       s"""$pxCte
 SELECT conv_id, turn_idx,
-  CASE WHEN tsel = 7 AND (event_id % 30) = 7 THEN 'misp-url.domain'
+  CASE WHEN tsel = 7 AND (event_id % 100) = 42 THEN 'misp-related.mac'
+       WHEN tsel = 7 AND (event_id % 30) = 7 THEN 'misp-url.domain'
+       WHEN tsel IN (3,4) AND (user_id % 50) = 17 THEN 'misp-related.hosts'
        WHEN (user_id % 254) = 12 THEN 'misp-destination.ip'
        WHEN (event_id % 254) = 12 AND NOT (tsel = 7 AND (event_id % 17) = 0) THEN 'misp-source.ip'
        ELSE NULL END AS threat_indicator_provider,
-  CASE WHEN tsel = 7 AND (event_id % 30) = 7 THEN NULL
+  CASE WHEN tsel = 7 AND ((event_id % 100) = 42 OR (event_id % 30) = 7) THEN NULL
+       WHEN tsel IN (3,4) AND (user_id % 50) = 17 THEN NULL
        WHEN (user_id % 254) = 12 THEN dip
        WHEN (event_id % 254) = 12 AND NOT (tsel = 7 AND (event_id % 17) = 0) THEN sip
        ELSE NULL END AS threat_indicator_ip
-FROM px WHERE tsel <= 4 OR tsel = 7"""
-,
+FROM px WHERE tsel <= 4 OR tsel = 7""",
+
+    // breadth namespaces on the azure envelope rows: user.email :1653 >
+    // user_agent.original :588 > source.ip :308
+    "q27_misp_breadth" ->
+      s"""$pxCte
+SELECT conv_id, turn_idx, sub_idx,
+  CASE WHEN ((user_id % 50) = 13 AND sub_idx = 0)
+         OR (event_id % 3) = 2
+         OR (sub_idx = 0 AND (event_id % 254) = 12)
+       THEN 1 ELSE 0 END AS misp_i,
+  CASE WHEN (user_id % 50) = 13 AND sub_idx = 0 THEN 'misp-user.email'
+       WHEN (event_id % 3) = 2 THEN 'misp-user_agent.original'
+       WHEN sub_idx = 0 AND (event_id % 254) = 12 THEN 'misp-source.ip'
+       ELSE NULL END AS threat_indicator_provider,
+  CASE WHEN (user_id % 50) = 13 AND sub_idx = 0 THEN NULL
+       WHEN (event_id % 3) = 2 THEN NULL
+       WHEN sub_idx = 0 AND (event_id % 254) = 12 THEN sip
+       ELSE NULL END AS threat_indicator_ip
+FROM px WHERE tsel = 8""",
 
     "q26_host_split" ->
       s"""$pxCte

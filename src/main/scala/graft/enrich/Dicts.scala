@@ -168,11 +168,37 @@ object Dicts {
       val h = Md5.hex(k.toString)
       fh += (Md5.hex(h) -> payload("hash", h, "file.hash.md5"))
     }
+    // related.mac: cef-standardized macs whose 5th octet is 42
+    val mac = (0 until 100).map { u =>
+      val m = f"aa:bb:cc:dd:42:$u%02d"
+      Md5.hex(m) -> payload("mac", m, "related.mac")
+    }.toMap
+    // related.hosts: 12-digit shipper account ids ≡17 (mod 50) + one
+    // known-bad computer name
+    val hosts = Map.newBuilder[String, String]
+    (17 until 100000 by 50).foreach { k =>
+      val h = f"$k%012d"
+      hosts += (Md5.hex(h) -> payload("host", h, "related.hosts"))
+    }
+    hosts += (Md5.hex("host7") -> payload("host", "host7", "related.hosts"))
+    // file.name / user_agent.original / user.email / related.user seeds
+    val fn = Seq("data/obj7.parquet", "doc7.bin", "doc107.bin")
+      .map(v => Md5.hex(v) -> payload("name", v, "file.name")).toMap
+    val ua = Map(Md5.hex("curl/8.5") -> payload("ua", "curl/8.5", "user_agent.original"))
+    val uem = Map(Md5.hex("u13@example.com") ->
+      payload("email", "u13@example.com", "user.email"))
+    val rusr = Map(Md5.hex("u13") -> payload("user", "u13", "related.user"))
     Map(
       "file.hash.md5" -> fh.result(),
       "source.ip" -> src.result(),
       "destination.ip" -> dst.result(),
-      "url.domain" -> dom)
+      "url.domain" -> dom,
+      "related.mac" -> mac,
+      "related.hosts" -> hosts.result(),
+      "file.name" -> fn,
+      "user_agent.original" -> ua,
+      "user.email" -> uem,
+      "related.user" -> rusr)
   }
 
   /** Synthetic 100,000-entry mnemonic dictionary — the scale the reference

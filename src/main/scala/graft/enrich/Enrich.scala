@@ -424,29 +424,103 @@ object Enrich {
     }
   }
 
-  // 92_misp.conf — md5-keyed namespace lookups against the MISP store, one
-  // per field family, in the conf's order (file.hash.md5 :71, source.ip
-  // :316, destination.ip :341, url.domain :491). On hit: tag + JSON payload
-  // merged into the event (:30-33) — top-level merge, so a later family's
-  // hit replaces an earlier one's payload subtree, exactly like the
-  // reference's repeated `json { source => memcache_value }`.
-  private val mispFamilies = Vector(
-    ("[file][hash][md5]", "file.hash.md5"),
-    ("[source][ip]", "source.ip"),
-    ("[destination][ip]", "destination.ip"),
-    ("[url][domain]", "url.domain"))
+  // 92_misp.conf — md5-keyed namespace lookups against the MISP store. ALL
+  // 58 call sites of the reference are ported below IN CONF ORDER (order is
+  // semantic: each hit's JSON payload replaces the previous [misp] subtree,
+  // so the LAST hitting family wins — exactly like the reference's repeated
+  // `json { source => memcache_value }`). Single probes key on
+  // md5(field value); composite probes on md5(a)|md5(b) (:202). The
+  // :218-247 file.name_file.hash.sha1 site is ported as in the reference,
+  // including its dead condition on the never-set [file][name_hash][sha1].
+  private sealed trait MispProbe
+  private final case class S(field: String, ns: String) extends MispProbe
+  private final case class P(a: String, b: String, ns: String) extends MispProbe
+  private val mispProbes: Vector[MispProbe] = Vector(
+    S("[process][hash][md5]", "process.hash.md5"), // :13
+    S("[process][parent][hash][md5]", "process.parent.hash.md5"), // :38
+    S("[file][hash][md5]", "file.hash.md5"), // :63
+    S("[file][hash][sha1]", "file.hash.sha1"), // :88
+    S("[file][hash][sha256]", "file.hash.sha256"), // :113
+    S("[file][hash][sha512]", "file.hash.sha512"), // :138
+    S("[file][name]", "file.name"), // :163
+    P("[file][name]", "[file][hash][md5]", "file.name_file.hash.md5"), // :188
+    P("[file][name]", "[file][name_hash][sha1]", "file.name_file.hash.sha1"), // :218 (dead in ref too)
+    P("[file][name]", "[file][hash][sha256]", "file.name_file.hash.sha256"), // :248
+    P("[file][name]", "[file][hash][sha512]", "file.name_file.hash.sha512"), // :278
+    S("[source][ip]", "source.ip"), // :308
+    S("[destination][ip]", "destination.ip"), // :333
+    S("[destination][mac]", "related.mac"), // :358
+    S("[host][hostname]", "related.hosts"), // :383
+    S("[observer][hostname]", "related.hosts"), // :408
+    S("[log][source][hostname]", "related.hosts"), // :433
+    S("[host][mac]", "related.mac"), // :458
+    S("[url][domain]", "url.domain"), // :483
+    P("[url][domain]", "[destination][ip]", "url.domain_destination.ip"), // :508
+    S("[url][full]", "url.full"), // :538
+    S("[http][request][method]", "http.request.method"), // :563
+    S("[user_agent][original]", "user_agent.original"), // :588
+    S("[tls][server][hash][md5]", "tls.server.hash.md5"), // :613
+    S("[registry][key]", "registry.key"), // :638
+    P("[registry][key]", "[registry][value]", "registry.key_registry.value"), // :663
+    S("[source][as][organization.name]", "source.as.organization.name"), // :693 (ref's dotted key)
+    S("[file][mime_type]", "file.mime_type"), // :718
+    S("[user][id]", "user.id"), // :743
+    S("[http][cookie][name]", "http.cookie.name"), // :768
+    S("[vulnerability][reference]", "vulnerability.reference"), // :793
+    S("[file][path]", "file.path"), // :818
+    S("[destination][user][name]", "related.user"), // :843
+    S("[host][user][name]", "related.user"), // :868
+    S("[source][user][name]", "related.user"), // :893
+    S("[user][name]", "related.user"), // :918
+    S("[database][user][name]", "related.user"), // :943
+    S("[client][user][name]", "related.user"), // :968
+    S("[server][user][name]", "related.user"), // :993
+    S("[destination][user][email]", "user.email"), // :1018
+    S("[client][user][email]", "user.email"), // :1043
+    S("[host][user][email]", "user.email"), // :1068
+    S("[server][user][email]", "user.email"), // :1093
+    S("[source][address]", "related.hosts"), // :1118
+    S("[destination][address]", "related.hosts"), // :1143
+    S("[destination][as][organization][name]", "destination.as.organization.name"), // :1168
+    S("[process][name]", "process.name"), // :1193
+    S("[tls][server][hash][sha1]", "tls.server.hash.sha1"), // :1218
+    S("[tls][server][hash][md5]", "tls.server.hash.md5"), // :1243 (ref duplicate)
+    S("[tls][server][hash][sha256]", "tls.server.hash.sha256"), // :1268
+    S("[destination][port]", "destination.port"), // :1293
+    P("[destination][ip]", "[destination][port]", "destination.ip_destination.port"), // :1318
+    P("[destination][address]", "[destination][port]", "destination.address_destination.port"), // :1348
+    S("[client][mac]", "related.mac"), // :1378
+    S("[observer][mac]", "related.mac"), // :1403
+    S("[server][mac]", "related.mac"), // :1428
+    S("[network][mac]", "related.mac"), // :1453
+    S("[source][mac]", "related.mac"), // :1478
+    S("[source][user][email]", "user.email"), // :1503
+    S("[user][changes][email]", "user.email"), // :1528
+    S("[user][effective][email]", "user.email"), // :1553
+    S("[destination][user][email]", "user.email"), // :1578 (ref duplicate)
+    S("[database][user][email]", "user.email"), // :1603
+    S("[user][target][email]", "user.email"), // :1628
+    S("[user][email]", "user.email"), // :1653
+    S("[email][subject]", "email.subject"), // :1678
+    S("[email][body]", "email.body"), // :1703
+    S("[email][header]", "email.header")) // :1728
   private def e92Misp(ev: Event, d: Dicts, ctx: Ctx): Unit = {
-    mispFamilies.foreach { case (field, ns) =>
-      val v = ev.stringOrNull(field)
-      if (v != null) {
-        val store = d.misp.getOrElse(ns, Map.empty)
-        store.get(graft.util.Md5.hex(v)).foreach { payload =>
-          ev.addTag("log_enriched_by_misp")
-          ev.set("memcache_value", payload) // mirrors the memcached get target
-          graft.parse.JsonOps.parse(ev, "memcache_value", "")
-          ev.remove("memcache_value") // ref :34-36
-        }
+    def hit(ns: String, key: String): Unit =
+      d.misp.getOrElse(ns, Map.empty).get(key).foreach { payload =>
+        ev.addTag("log_enriched_by_misp")
+        ev.set("memcache_value", payload) // mirrors the memcached get target
+        graft.parse.JsonOps.parse(ev, "memcache_value", "")
+        ev.remove("memcache_value") // ref :34-36
       }
+    mispProbes.foreach {
+      case S(field, ns) =>
+        val v = ev.stringOrNull(field)
+        if (v != null) hit(ns, graft.util.Md5.hex(v))
+      case P(a, b, ns) =>
+        val va = ev.stringOrNull(a)
+        val vb = if (va == null) null else ev.stringOrNull(b)
+        if (va != null && vb != null)
+          hit(ns, graft.util.Md5.hex(va) + "|" + graft.util.Md5.hex(vb))
     }
     // map the (last-winning) misp payload onto ECS threat.indicator.*
     if (ev.has("[misp]")) {
