@@ -433,8 +433,13 @@ object Enrich {
   // :218-247 file.name_file.hash.sha1 site is ported as in the reference,
   // including its dead condition on the never-set [file][name_hash][sha1].
   private sealed trait MispProbe
-  private final case class S(field: String, ns: String) extends MispProbe
-  private final case class P(a: String, b: String, ns: String) extends MispProbe
+  private final case class S(field: String, ns: String) extends MispProbe {
+    val parts: Seq[String] = Event.parsePath(field) // pre-parsed: 58 probes/event
+  }
+  private final case class P(a: String, b: String, ns: String) extends MispProbe {
+    val aParts: Seq[String] = Event.parsePath(a)
+    val bParts: Seq[String] = Event.parsePath(b)
+  }
   private val mispProbes: Vector[MispProbe] = Vector(
     S("[process][hash][md5]", "process.hash.md5"), // :13
     S("[process][parent][hash][md5]", "process.parent.hash.md5"), // :38
@@ -512,15 +517,19 @@ object Enrich {
         graft.parse.JsonOps.parse(ev, "memcache_value", "")
         ev.remove("memcache_value") // ref :34-36
       }
-    mispProbes.foreach {
-      case S(field, ns) =>
-        val v = ev.stringOrNull(field)
-        if (v != null) hit(ns, graft.util.Md5.hex(v))
-      case P(a, b, ns) =>
-        val va = ev.stringOrNull(a)
-        val vb = if (va == null) null else ev.stringOrNull(b)
-        if (va != null && vb != null)
-          hit(ns, graft.util.Md5.hex(va) + "|" + graft.util.Md5.hex(vb))
+    var pi = 0
+    while (pi < mispProbes.length) {
+      mispProbes(pi) match {
+        case s: S =>
+          val v = ev.stringAtParts(s.parts)
+          if (v != null) hit(s.ns, graft.util.Md5.hex(v))
+        case p: P =>
+          val va = ev.stringAtParts(p.aParts)
+          val vb = if (va == null) null else ev.stringAtParts(p.bParts)
+          if (va != null && vb != null)
+            hit(p.ns, graft.util.Md5.hex(va) + "|" + graft.util.Md5.hex(vb))
+      }
+      pi += 1
     }
     // map the (last-winning) misp payload onto ECS threat.indicator.*
     if (ev.has("[misp]")) {

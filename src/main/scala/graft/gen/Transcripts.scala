@@ -38,8 +38,9 @@ object Transcripts {
   private val monCase: String =
     "CASE CAST(EXTRACT(MONTH FROM ts) AS INT) WHEN 1 THEN 'Jan' WHEN 2 THEN 'Feb' WHEN 3 THEN 'Mar' WHEN 4 THEN 'Apr' WHEN 5 THEN 'May' WHEN 6 THEN 'Jun' WHEN 7 THEN 'Jul' WHEN 8 THEN 'Aug' WHEN 9 THEN 'Sep' WHEN 10 THEN 'Oct' WHEN 11 THEN 'Nov' ELSE 'Dec' END"
 
-  /** The shared CTE body. Use as: `WITH <cte> SELECT ... FROM turns`. */
-  val cte: String = s"""
+  /** ge_base + ge_txt only (no ROW_NUMBER window) — composable into
+    * streaming plans, where non-time windows are unsupported. */
+  val cteTxt: String = s"""
 ge_base AS (
   SELECT event_id, ts, user_id,
     (event_id % 10) AS tsel,
@@ -153,7 +154,10 @@ ge_txt AS (
          ELSE 'conv_' || CAST(((user_id * 73) + (event_id % 37)) % 499 AS STRING)
     END AS conv_id
   FROM ge_base
-),
+)"""
+
+  /** The shared CTE body. Use as: `WITH <cte> SELECT ... FROM turns`. */
+  val cte: String = s"""$cteTxt,
 turns AS (
   SELECT conv_id,
          CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY event_id) AS INT) AS turn_idx,

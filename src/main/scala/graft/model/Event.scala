@@ -63,7 +63,11 @@ final class Event {
   }
 
   /** Allocation-free variant of `getString` (null when absent/non-scalar). */
-  def stringOrNull(path: String): String = valueOrNull(path) match {
+  def stringOrNull(path: String): String = stringAtParts(Event.parsePath(path))
+
+  /** Same over a pre-parsed path — for probe tables evaluated per event
+    * (skips the path-cache map get on the hot path). */
+  def stringAtParts(parts: Seq[String]): String = partsOrNull(parts) match {
     case s: String => s
     case l: Long => l.toString
     case d: Double => Event.numToString(d)

@@ -32,6 +32,27 @@ object StreamingPipeline {
   def readTurns(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(turnSchema).parquet(dir)
 
+  /** Second streaming source form — the kafka-per-topic analogue built on
+    * the deterministic rate-micro-batch source (no Kafka jar offline,
+    * SURVEY.md §7.1): each tick is one datagram, synthesized through the
+    * SAME generator SQL as the batch corpus (ge_txt), so the downstream
+    * chain is proven source-agnostic. turn_idx carries the tick id (the
+    * batch generator's ROW_NUMBER window is not streamable — the rate form
+    * uses the globally unique tick instead, like a Kafka offset). */
+  def rateTurns(spark: SparkSession, rowsPerBatch: Int,
+                startTimestampMs: Long = 1700000000000L): DataFrame = {
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startTimestamp", startTimestampMs)
+      .option("numPartitions", 4)
+      .load()
+      .createOrReplaceTempView("rate_ticks")
+    spark.sql("SELECT value AS event_id, timestamp AS ts, (value % 9973) AS user_id FROM rate_ticks")
+      .createOrReplaceTempView("events")
+    spark.sql(s"WITH ${graft.gen.Transcripts.cteTxt} " +
+      "SELECT conv_id, CAST(event_id AS INT) AS turn_idx, role, text, tool, ts FROM ge_txt")
+  }
+
   /** Same kernel as batch — one code path for both execution modes. */
   def parse(spark: SparkSession, stream: DataFrame): Dataset[ParsedTurn] = {
     import spark.implicits._

@@ -118,6 +118,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("rate streaming source (kafka-topic analogue) == batch kernel on identical ticks") {
+    val parsed = StreamingPipeline.parse(spark, StreamingPipeline.rateTurns(spark, 200))
+    val q = parsed.toDF().writeStream.format("memory").queryName("rate_parsed")
+      .outputMode("append").option("checkpointLocation", tmp("graft-ckpt-rate-"))
+      .start()
+    try {
+      var waited = 0
+      while (waited < 120000 &&
+        (!spark.catalog.tableExists("rate_parsed") || spark.table("rate_parsed").count() < 200)) {
+        Thread.sleep(500); waited += 500
+      }
+    } finally { q.stop(); q.awaitTermination() }
+    val streamed = spark.table("rate_parsed").cache()
+    assert(streamed.count() >= 200, "rate source produced no full batch")
+    // batch replay over the exact (tick, ts) pairs the stream processed —
+    // same generator SQL, same kernel; every emitted row must agree
+    streamed.select(col("turn_idx").cast("long").as("event_id"), col("ts"))
+      .distinct()
+      .withColumn("user_id", col("event_id") % 9973)
+      .createOrReplaceTempView("events")
+    val batchTurns = spark.sql(s"WITH ${Transcripts.cteTxt} " +
+      "SELECT conv_id, CAST(event_id AS INT) AS turn_idx, role, text, tool, ts FROM ge_txt")
+    val batch = Pipeline.parseDf(spark, batchTurns)
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0,
+      "rate-sourced rows differ from batch kernel")
+    streamed.unpersist()
+  }
+
   test("streaming pipeline: counts equal batch counts; stateful op tracks conversations") {
     val inDir = tmp("graft-stream-in-")
     Transcripts.input(spark, sf).write.mode("overwrite").parquet(inDir)
