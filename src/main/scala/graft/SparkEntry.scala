@@ -427,6 +427,29 @@ px AS (
         col("user_roles"), col("database_user_name"), col("event_category"),
         col("log_source_hostname"), col("route_index"))),
 
+    // hadoop hdfs audit end-to-end: tab-split KV, ugi grok, the reference's
+    // always-truthy literal condition and its "null"-valued dst being
+    // scrubbed by the 94 invalid-value pass
+    "qh01_hdfs" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.hdfsInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("event_kind"), col("database_instance"), col("process_command_line"),
+        col("url_path"), col("file_target_path"), col("event_code"),
+        col("source_ip"), col("network_protocol"), col("event_action"),
+        col("user_name"), col("event_created_ms"))),
+
+    // f5 big-ip syslog ladder end-to-end: shared 3-token timestamp dissect
+    // prefix, per-arm process/message tails, destination-vs-source address
+    // arms, the dead numeric-pri translate (category always the fallback)
+    "qlb01_f5" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.f5Input(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("source_address"), col("source_domain"),
+        col("destination_address"), col("destination_domain"),
+        col("process_name"), col("process_pid"), col("rule_description"),
+        col("source_ip"), col("rule_category"), col("event_created_ms"),
+        col("log_syslog_severity_name").as("sev_name"))),
+
     // iis.w3c end-to-end: '#' directive drop, pad-modifier dissect, space
     // csv into auto-named columns, five content-sniffing positional-rename
     // rules, asymmetric status categorization
@@ -1095,6 +1118,55 @@ SELECT t.conv_id, t.turn_idx,
   'sql_snowflake_failed_login',
   'logs-snowflake.failed_login_' || strftime(t.ts, '%Y.%m.%d')
 FROM sff_turns t JOIN sff_base b USING (event_id)""",
+
+    "qh01_hdfs" ->
+      s"""WITH ${Transcripts.hdfsCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'fsnamesystem.audit' AS event_kind,
+  'prod-hdfs' AS database_instance,
+  CASE (CAST(FLOOR(b.event_id / 24.0) AS BIGINT) % 4) WHEN 0 THEN 'getfileinfo'
+       WHEN 1 THEN 'open' WHEN 2 THEN 'mkdirs' ELSE 'delete' END AS process_command_line,
+  '/data/f' || CAST(b.event_id % 500 AS STRING) AS url_path,
+  CASE WHEN (CAST(FLOOR(b.event_id / 24.0) AS BIGINT) % 3) = 0
+       THEN '/data/moved' || CAST(b.event_id % 500 AS STRING)
+       ELSE NULL END AS file_target_path, -- 'null' scrubbed by the 94 pass
+  b.uname || ':supergroup:rw-r--r--' AS event_code,
+  b.cip AS source_ip,
+  'rpc' AS network_protocol,
+  'access success' AS event_action, -- ref :43-49 literal condition, always true
+  b.uname AS user_name,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_created_ms
+FROM hdfs_turns t JOIN hdfs_base b USING (event_id)""",
+
+    "qlb01_f5" ->
+      s"""WITH ${Transcripts.f5Cte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.rsel WHEN 0 THEN 'rule 3' WHEN 1 THEN 'rule 4' WHEN 2 THEN 'rule 4 (a)'
+       WHEN 3 THEN 'rule 5' WHEN 4 THEN 'rule 7' WHEN 5 THEN 'rule 10(a)'
+       ELSE 'rule 13' END AS parse_rule,
+  CASE WHEN b.rsel = 4 THEN NULL ELSE 'lb' || CAST(b.user_id % 9 AS STRING) END AS source_address,
+  CASE WHEN b.rsel = 4 THEN NULL ELSE 'corp.example' END AS source_domain,
+  CASE WHEN b.rsel = 4 THEN 'lb' || CAST(b.user_id % 9 AS STRING) ELSE NULL END AS destination_address,
+  CASE WHEN b.rsel = 4 THEN 'corp.example' ELSE NULL END AS destination_domain,
+  CASE b.rsel WHEN 0 THEN 'emdeviced' WHEN 1 THEN 'logger' WHEN 2 THEN 'httpd-ssl'
+       WHEN 3 THEN 'tmm1' WHEN 4 THEN 'auditd' WHEN 5 THEN 'sshd'
+       ELSE 'icrd_child' END AS process_name,
+  CASE WHEN b.rsel = 1 THEN NULL ELSE CAST(b.pid AS BIGINT) END AS process_pid,
+  CASE b.rsel
+    WHEN 0 THEN 'device heartbeat lost ' || b.eid_s
+    WHEN 1 THEN 'config saved by admin' || CAST(b.event_id % 9 AS STRING)
+    WHEN 2 THEN 'invalid uri /p/' || b.eid_s
+    WHEN 3 THEN 'connection error: timeout after ' || CAST(b.event_id % 60 AS STRING) || 's'
+    WHEN 4 THEN 'audit configuration changed by ' || b.uname
+    WHEN 5 THEN 'accepted publickey for ' || b.uname
+    ELSE 'generic status report ' || b.eid_s END AS rule_description,
+  CASE WHEN b.rsel IN (2, 5) THEN b.sip ELSE NULL END AS source_ip,
+  'others' AS rule_category, -- numeric pri never matches the label keys
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  CASE (b.event_id % 8) WHEN 0 THEN 'emergency' WHEN 1 THEN 'alert'
+       WHEN 2 THEN 'critical' WHEN 3 THEN 'error' WHEN 4 THEN 'warning'
+       WHEN 5 THEN 'notice' WHEN 6 THEN 'informational' ELSE 'debug' END AS sev_name
+FROM f5_turns t JOIN f5_base b USING (event_id)""",
 
     "qii01_iis" ->
       s"""WITH ${Transcripts.iisCte}

@@ -795,6 +795,90 @@ iis_turns AS (
   FROM iis_base
 )"""
 
+  /** hadoop.hdfs_audit additive corpus (ref: hadoop_hdfs_audit.conf) —
+    * NameNode audit lines with tab-separated KVs. */
+  val hdfsCte: String = s"""
+hdfs_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS cip,
+    LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0') || '-'
+      || LPAD(CAST(EXTRACT(MONTH FROM ts) AS STRING), 2, '0') || '-'
+      || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0')
+      || ',' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') AS hts
+  FROM events WHERE (event_id % 24) = 19
+),
+hdfs_turns AS (
+  SELECT 'hd_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    hts || ' INFO FSNamesystem.audit: allowed='
+    || CASE WHEN (event_id % 5) = 0 THEN 'false' ELSE 'true' END
+    || chr(9) || 'ugi=' || uname || ' (auth:SIMPLE)'
+    || chr(9) || 'ip=/' || cip
+    || chr(9) || 'cmd=' || CASE (CAST(FLOOR(event_id / 24.0) AS BIGINT) % 4) WHEN 0 THEN 'getfileinfo' WHEN 1 THEN 'open' WHEN 2 THEN 'mkdirs' ELSE 'delete' END
+    || chr(9) || 'src=/data/f' || CAST(event_id % 500 AS STRING)
+    || chr(9) || 'dst=' || CASE WHEN (CAST(FLOOR(event_id / 24.0) AS BIGINT) % 3) = 0 THEN '/data/moved' || CAST(event_id % 500 AS STRING) ELSE 'null' END
+    || chr(9) || 'perm=' || uname || ':supergroup:rw-r--r--'
+    || chr(9) || 'proto=rpc' AS text,
+    'hadoop.hdfs_audit' AS tool, ts, event_id
+  FROM hdfs_base
+)"""
+
+  /** f5.loadbalancer additive corpus (ref: syslog_audit_f5.big.ip.ltm.conf)
+    * — seven ladder arms: emdeviced (R3), logger: (R4), [client ...] (R4a),
+    * Connection error: (R5), auditd (R7, destination address), sshd-from
+    * (R10a), fallback (R13). */
+  val f5Cte: String = s"""
+f5_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(FLOOR(event_id / 25.0) AS BIGINT) % 7 AS rsel,
+    CAST(event_id AS STRING) AS eid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    'lb' || CAST(user_id % 9 AS STRING) || '.corp.example' AS lbaddr,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    1000 + (event_id % 9000) AS pid,
+    32 + (event_id % 8) AS pri4,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS sylts
+  FROM events WHERE (event_id % 25) = 21
+),
+f5_turns AS (
+  SELECT 'f5_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri4 AS STRING) || '>' || sylts || ' ' || lbaddr || ' ' ||
+    CASE rsel
+      WHEN 0 THEN 'err emdeviced[' || CAST(pid AS STRING) || ']: E123 device heartbeat lost ' || eid_s
+      WHEN 1 THEN 'notice logger: config saved by admin' || CAST(event_id % 9 AS STRING)
+      WHEN 2 THEN 'err httpd-ssl[' || CAST(pid AS STRING) || ']: [client ' || sip || '] invalid uri /p/' || eid_s
+      WHEN 3 THEN 'warning tmm1[' || CAST(pid AS STRING) || ']: Connection error: timeout after ' || CAST(event_id % 60 AS STRING) || 's'
+      WHEN 4 THEN 'info auditd[' || CAST(pid AS STRING) || ']: AUDIT configuration changed by ' || uname
+      WHEN 5 THEN 'info sshd[' || CAST(pid AS STRING) || ']: Accepted publickey for ' || uname || ' from ' || sip
+      ELSE 'notice icrd_child[' || CAST(pid AS STRING) || ']: generic status report ' || eid_s
+    END AS text,
+    'f5.loadbalancer' AS tool, ts, event_id
+  FROM f5_base
+)"""
+
+  def hdfsInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $hdfsCte SELECT conv_id, turn_idx, role, text, tool, ts FROM hdfs_turns")
+  }
+
+  def f5Input(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $f5Cte SELECT conv_id, turn_idx, role, text, tool, ts FROM f5_turns")
+  }
+
   def iisInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $iisCte SELECT conv_id, turn_idx, role, text, tool, ts FROM iis_turns")

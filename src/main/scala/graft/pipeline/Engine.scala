@@ -255,6 +255,9 @@ object Engine {
       observer_port = l("[observer][port]"),
       process_command_line = s("[process][command_line]"),
       network_name = s("[network][name]"),
-      labels_tags = s("[labels][tags]"))
+      labels_tags = s("[labels][tags]"),
+      file_target_path = s("[file][target_path]"),
+      database_instance = s("[database][instance]"),
+      process_name = s("[process][name]"))
   }
 }

@@ -321,6 +321,9 @@ object RowKernel {
     s("[process][command_line]")
     s("[network][name]")
     s("[labels][tags]")
+    s("[file][target_path]")
+    s("[database][instance]")
+    s("[process][name]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

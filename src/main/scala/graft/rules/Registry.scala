@@ -74,6 +74,10 @@ object Registry {
       Vector("elastic", "s3"), Set.empty, "high"),
     "iis.w3c" -> TechnologyConfig("iis.w3c", "logs-iis.w3c",
       Vector("elastic"), Set.empty, "medium"),
+    "hadoop.hdfs_audit" -> TechnologyConfig("hadoop.hdfs_audit",
+      "logs-hadoop.hdfs_audit", Vector("elastic"), Set.empty, "medium"),
+    "f5.loadbalancer" -> TechnologyConfig("f5.loadbalancer",
+      "logs-f5.loadbalancer", Vector("elastic", "s3"), Set.empty, "high"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -366,5 +370,7 @@ object Registry {
     "azure.officeactivity" -> ApiRules.azureOfficeactivity,
     "cisco.ise" -> IseRules.ciscoIse,
     "iis.w3c" -> IisRules.iisW3c,
+    "hadoop.hdfs_audit" -> OpsRules.hdfsAudit,
+    "f5.loadbalancer" -> OpsRules.f5Ltm,
     "unknown" -> unknown)
 }

@@ -44,7 +44,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("proofpoint", Transcripts.ppInput), ("atp", Transcripts.atpInput),
       ("ppmessages", Transcripts.ppmInput), ("elb", Transcripts.elbInput),
       ("snowflake", Transcripts.sfInput), ("office", Transcripts.offInput),
-      ("ise", Transcripts.iseInput), ("iis", Transcripts.iisInput))
+      ("ise", Transcripts.iseInput), ("iis", Transcripts.iisInput),
+      ("hdfs", Transcripts.hdfsInput), ("f5", Transcripts.f5Input))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
