@@ -427,6 +427,37 @@ px AS (
         col("user_roles"), col("database_user_name"), col("event_category"),
         col("log_source_hostname"), col("route_index"))),
 
+    // aws.cloudfront end-to-end: 33-field tab grok with '-' alternations,
+    // composed date+time field, flat-key rename quirk, drop on directives;
+    // event.duration is created then deleted by its own 02 long coercion
+    "qcf01_cloudfront" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.cfInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("http_response_bytes"), col("source_ip"), col("http_request_method"),
+        col("cloud_instance_id"), col("url_path"), col("http_response_status_code"),
+        col("http_request_referrer"), col("user_agent_original"), col("url_query"),
+        col("http_cookie_name"), col("event_outcome"), col("event_reason"),
+        col("event_id_s"), col("url_domain"), col("url_scheme"),
+        col("http_request_bytes"), col("event_duration"),
+        col("network_forwarded_ip"), col("tls_version_protocol"), col("tls_cipher"),
+        col("tls_next_protocol"), col("source_port"), col("http_request_mime_type"),
+        col("event_created_ms"), col("log_source_hostname"))),
+
+    // cisco.netflow end-to-end: codec-decoded record re-encoded into
+    // message, positional ECS renames with the dead flat-key ipv4 rename
+    // (destination.ip only via ipv6, which the 02 validity pass then
+    // migrates to destination.address), both dates targeting event.created
+    "qnf01_netflow" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.nfInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("event_sequence"), col("event_id_s"), col("network_transport"),
+        col("network_bytes"), col("network_packets"), col("service_version"),
+        col("destination_as_number"), col("destination_ip"),
+        col("destination_address"), col("destination_port"),
+        col("observer_egress_interface_id"), col("observer_ingress_interface_id"),
+        col("source_ip"), col("source_port"), col("source_as_number"),
+        col("event_created_ms"))),
+
     // hadoop hdfs audit end-to-end: tab-split KV, ugi grok, the reference's
     // always-truthy literal condition and its "null"-valued dst being
     // scrubbed by the 94 invalid-value pass
@@ -1118,6 +1149,58 @@ SELECT t.conv_id, t.turn_idx,
   'sql_snowflake_failed_login',
   'logs-snowflake.failed_login_' || strftime(t.ts, '%Y.%m.%d')
 FROM sff_turns t JOIN sff_base b USING (event_id)""",
+
+    "qcf01_cloudfront" ->
+      s"""WITH ${Transcripts.cfCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CAST(b.sbytes AS BIGINT) AS http_response_bytes,
+  b.cip AS source_ip,
+  CASE WHEN (b.q26 % 2) = 0 THEN 'get' ELSE 'post' END AS http_request_method,
+  'd' || CAST(b.event_id % 900 AS STRING) || '.cloudfront.net' AS cloud_instance_id,
+  '/p/' || b.eid_s AS url_path,
+  CAST(b.status AS BIGINT) AS http_response_status_code,
+  CASE WHEN (b.event_id % 3) = 1 THEN 'https://ref.example/r' || CAST(b.event_id % 40 AS STRING) ELSE NULL END AS http_request_referrer,
+  'Mozilla/5.0%20(Windows%20NT%2010.0)' AS user_agent_original,
+  CASE WHEN (b.event_id % 7) = 0 THEN 'q=' || CAST(b.event_id % 9 AS STRING) ELSE NULL END AS url_query,
+  CASE WHEN (b.q26 % 2) = 0 THEN 'session=s' || CAST(b.event_id % 500 AS STRING) ELSE NULL END AS http_cookie_name,
+  LOWER(b.rtype) AS event_outcome,
+  LOWER(b.rtype) AS event_reason,
+  MD5(b.eid_s) AS event_id_s,
+  'www.app' || CAST(b.event_id % 30 AS STRING) || '.co.uk' AS url_domain,
+  CASE WHEN (b.q26 % 2) = 0 THEN 'https' ELSE 'http' END AS url_scheme,
+  CAST(b.cbytes AS BIGINT) AS http_request_bytes,
+  CAST(NULL AS STRING) AS event_duration, -- deleted by the 02 long coercion
+  CASE WHEN (b.event_id % 7) = 0 THEN '10.9.' || CAST(b.event_id % 200 AS STRING) || '.7' ELSE NULL END AS network_forwarded_ip,
+  CASE WHEN (b.q26 % 2) = 0 THEN 'tlsv1.2' ELSE NULL END AS tls_version_protocol,
+  CASE WHEN (b.q26 % 2) = 0 THEN 'ecdhe-rsa-aes128-gcm-sha256' ELSE NULL END AS tls_cipher,
+  'http/2.0' AS tls_next_protocol,
+  CAST(b.cport AS BIGINT) AS source_port,
+  CASE (b.event_id % 3) WHEN 0 THEN 'text/html' WHEN 1 THEN 'application/json' ELSE 'image/png' END AS http_request_mime_type,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  'aws_cloudfront' AS log_source_hostname
+FROM cf_turns t JOIN cf_base b USING (event_id)
+WHERE (b.event_id % 29) <> 0""",
+
+    "qnf01_netflow" ->
+      s"""WITH ${Transcripts.nfCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  b.eid_s AS event_sequence,
+  CAST(256 + (b.event_id % 4) AS STRING) AS event_id_s,
+  CASE WHEN (b.event_id % 3) = 0 THEN '17' ELSE '6' END AS network_transport,
+  CAST(b.nbytes AS BIGINT) AS network_bytes,
+  CAST(b.npkts AS BIGINT) AS network_packets,
+  '9' AS service_version,
+  CAST(64496 + (b.event_id % 100) AS BIGINT) AS destination_as_number,
+  CAST(NULL AS STRING) AS destination_ip, -- ipv4 rename is dead; ipv6 migrates
+  CASE WHEN (b.event_id % 2) = 1 THEN b.dip6 ELSE NULL END AS destination_address,
+  CASE WHEN (b.event_id % 4) = 0 THEN CAST(53 AS BIGINT) ELSE CAST(443 AS BIGINT) END AS destination_port,
+  CAST(1 + (b.event_id % 8) AS STRING) AS observer_egress_interface_id,
+  CAST(1 + (b.event_id % 4) AS STRING) AS observer_ingress_interface_id,
+  b.sip AS source_ip,
+  CAST(b.spt AS BIGINT) AS source_port,
+  CAST(64500 + (b.user_id % 50) AS BIGINT) AS source_as_number,
+  epoch_ms(date_trunc('minute', t.ts)) AS event_created_ms -- first_switched wins
+FROM nf_turns t JOIN nf_base b USING (event_id)""",
 
     "qh01_hdfs" ->
       s"""WITH ${Transcripts.hdfsCte}

@@ -869,6 +869,129 @@ f5_turns AS (
   FROM f5_base
 )"""
 
+  /** aws.cloudfront additive corpus (ref: s3_log_aws.cloudfront.conf) —
+    * 33 tab-separated fields with '-' placeholders; '#Version/#Fields'
+    * directive rows exercise the drop branch. */
+  val cfCte: String = s"""
+cf_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS cip,
+    1024 + (event_id % 40000) AS cport,
+    CAST(FLOOR(event_id / 26.0) AS BIGINT) AS q26,
+    CASE WHEN (CAST(FLOOR(event_id / 26.0) AS BIGINT) % 4) = 0 THEN 403 ELSE 200 END AS status,
+    (event_id % 100000) AS sbytes,
+    100 + (event_id % 3000) AS cbytes,
+    CASE (event_id % 3) WHEN 0 THEN 'Hit' WHEN 1 THEN 'Miss' ELSE 'Error' END AS rtype,
+    LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0') || '-'
+      || LPAD(CAST(EXTRACT(MONTH FROM ts) AS STRING), 2, '0') || '-'
+      || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS cfdate,
+    LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS cftime
+  FROM events WHERE (event_id % 26) = 23
+),
+cf_turns AS (
+  SELECT 'cf_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE WHEN (event_id % 29) = 0 THEN '#Fields: date time x-edge-location' ELSE
+      cfdate || chr(9) || cftime
+      || chr(9) || 'IAD89-C' || CAST(event_id % 4 AS STRING)
+      || chr(9) || CAST(sbytes AS STRING)
+      || chr(9) || cip
+      || chr(9) || CASE WHEN (q26 % 2) = 0 THEN 'GET' ELSE 'POST' END
+      || chr(9) || 'd' || CAST(event_id % 900 AS STRING) || '.cloudfront.net'
+      || chr(9) || '/p/' || eid_s
+      || chr(9) || CAST(status AS STRING)
+      || chr(9) || CASE WHEN (event_id % 3) = 1 THEN 'https://ref.example/r' || CAST(event_id % 40 AS STRING) ELSE '-' END
+      || chr(9) || 'Mozilla/5.0%20(Windows%20NT%2010.0)'
+      || chr(9) || CASE WHEN (event_id % 7) = 0 THEN 'q=' || CAST(event_id % 9 AS STRING) ELSE '-' END
+      || chr(9) || CASE WHEN (q26 % 2) = 0 THEN 'session=s' || CAST(event_id % 500 AS STRING) ELSE '-' END
+      || chr(9) || rtype
+      || chr(9) || MD5(eid_s)
+      || chr(9) || 'www.app' || CAST(event_id % 30 AS STRING) || '.co.uk'
+      || chr(9) || CASE WHEN (q26 % 2) = 0 THEN 'https' ELSE 'http' END
+      || chr(9) || CAST(cbytes AS STRING)
+      || chr(9) || '0.0' || CAST(event_id % 90 AS STRING)
+      || chr(9) || CASE WHEN (event_id % 7) = 0 THEN '10.9.' || CAST(event_id % 200 AS STRING) || '.7' ELSE '-' END
+      || chr(9) || CASE WHEN (q26 % 2) = 0 THEN 'TLSv1.2' ELSE '-' END
+      || chr(9) || CASE WHEN (q26 % 2) = 0 THEN 'ECDHE-RSA-AES128-GCM-SHA256' ELSE '-' END
+      || chr(9) || rtype
+      || chr(9) || 'HTTP/2.0'
+      || chr(9) || '-'
+      || chr(9) || '-'
+      || chr(9) || CAST(cport AS STRING)
+      || chr(9) || '0.0' || CAST(event_id % 80 AS STRING)
+      || chr(9) || rtype
+      || chr(9) || CASE (event_id % 3) WHEN 0 THEN 'text/html' WHEN 1 THEN 'application/json' ELSE 'image/png' END
+      || chr(9) || '-'
+      || chr(9) || '-'
+      || chr(9) || '-'
+    END AS text,
+    'aws.cloudfront' AS tool, ts, event_id
+  FROM cf_base
+)"""
+
+  /** cisco.netflow additive corpus (ref: flow_audit_cisco_netflow.conf) —
+    * codec-decoded netflow records as JSON datagrams; alternating
+    * ipv4/ipv6 destinations exercise the ref's dead flat-key ipv4 rename. */
+  val nfCte: String = s"""
+nf_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS dip4,
+    '2001:db8::' || CAST(1 + (event_id % 9000) AS STRING) AS dip6,
+    1024 + (event_id % 40000) AS spt,
+    (event_id % 100000) AS nbytes,
+    1 + (event_id % 1000) AS npkts,
+    $isoSec || 'Z' AS lastsw,
+    LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0') || '-'
+      || LPAD(CAST(EXTRACT(MONTH FROM ts) AS STRING), 2, '0') || '-'
+      || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || 'T'
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':00Z' AS firstsw
+  FROM events WHERE (event_id % 27) = 16
+),
+nf_turns AS (
+  SELECT 'nf_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"netflow":{"first_switched":"' || firstsw || '","last_switched":"' || lastsw || '"'
+    || ',"flow_seq_num":' || eid_s
+    || ',"flowset_id":' || CAST(256 + (event_id % 4) AS STRING)
+    || ',"protocol":' || CASE WHEN (event_id % 3) = 0 THEN '17' ELSE '6' END
+    || ',"in_bytes":' || CAST(nbytes AS STRING)
+    || ',"in_pkts":' || CAST(npkts AS STRING)
+    || ',"version":9'
+    || ',"dst_as":' || CAST(64496 + (event_id % 100) AS STRING)
+    || CASE WHEN (event_id % 2) = 0 THEN ',"ipv4_dst_addr":"' || dip4 || '"'
+            ELSE ',"ipv6_dst_addr":"' || dip6 || '"' END
+    || ',"l4_dst_port":' || CASE WHEN (event_id % 4) = 0 THEN '53' ELSE '443' END
+    || ',"output_snmp":' || CAST(1 + (event_id % 8) AS STRING)
+    || ',"ipv4_src_addr":"' || sip || '"'
+    || ',"l4_src_port":' || CAST(spt AS STRING)
+    || ',"src_as":' || CAST(64500 + (user_id % 50) AS STRING)
+    || ',"input_snmp":' || CAST(1 + (event_id % 4) AS STRING)
+    || '}}' AS text,
+    'cisco.netflow' AS tool, ts, event_id
+  FROM nf_base
+)"""
+
+  def cfInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $cfCte SELECT conv_id, turn_idx, role, text, tool, ts FROM cf_turns")
+  }
+
+  def nfInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $nfCte SELECT conv_id, turn_idx, role, text, tool, ts FROM nf_turns")
+  }
+
   def hdfsInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $hdfsCte SELECT conv_id, turn_idx, role, text, tool, ts FROM hdfs_turns")

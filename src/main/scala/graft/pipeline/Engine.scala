@@ -258,6 +258,13 @@ object Engine {
       labels_tags = s("[labels][tags]"),
       file_target_path = s("[file][target_path]"),
       database_instance = s("[database][instance]"),
-      process_name = s("[process][name]"))
+      process_name = s("[process][name]"),
+      network_forwarded_ip = s("[network][forwarded_ip]"),
+      cloud_instance_id = s("[cloud][instance][id]"),
+      http_request_mime_type = s("[http][request][mime_type]"),
+      http_cookie_name = s("[http][cookie][name]"),
+      source_as_number = l("[source][as][number]"),
+      destination_as_number = l("[destination][as][number]"),
+      observer_ingress_interface_id = s("[observer][ingress][interface][id]"))
   }
 }

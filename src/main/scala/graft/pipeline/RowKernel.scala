@@ -324,6 +324,13 @@ object RowKernel {
     s("[file][target_path]")
     s("[database][instance]")
     s("[process][name]")
+    s("[network][forwarded_ip]")
+    s("[cloud][instance][id]")
+    s("[http][request][mime_type]")
+    s("[http][cookie][name]")
+    l("[source][as][number]")
+    l("[destination][as][number]")
+    s("[observer][ingress][interface][id]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -78,6 +78,10 @@ object Registry {
       "logs-hadoop.hdfs_audit", Vector("elastic"), Set.empty, "medium"),
     "f5.loadbalancer" -> TechnologyConfig("f5.loadbalancer",
       "logs-f5.loadbalancer", Vector("elastic", "s3"), Set.empty, "high"),
+    "aws.cloudfront" -> TechnologyConfig("aws.cloudfront",
+      "logs-aws.cloudfront", Vector("elastic", "s3"), Set.empty, "high"),
+    "cisco.netflow" -> TechnologyConfig("cisco.netflow",
+      "logs-cisco.netflow", Vector("s3"), Set("dns"), "high"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -372,5 +376,7 @@ object Registry {
     "iis.w3c" -> IisRules.iisW3c,
     "hadoop.hdfs_audit" -> OpsRules.hdfsAudit,
     "f5.loadbalancer" -> OpsRules.f5Ltm,
+    "aws.cloudfront" -> EdgeRules.awsCloudfront,
+    "cisco.netflow" -> EdgeRules.ciscoNetflow,
     "unknown" -> unknown)
 }

@@ -45,7 +45,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ppmessages", Transcripts.ppmInput), ("elb", Transcripts.elbInput),
       ("snowflake", Transcripts.sfInput), ("office", Transcripts.offInput),
       ("ise", Transcripts.iseInput), ("iis", Transcripts.iisInput),
-      ("hdfs", Transcripts.hdfsInput), ("f5", Transcripts.f5Input))
+      ("hdfs", Transcripts.hdfsInput), ("f5", Transcripts.f5Input),
+      ("cloudfront", Transcripts.cfInput), ("netflow", Transcripts.nfInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
