@@ -427,6 +427,36 @@ px AS (
         col("user_roles"), col("database_user_name"), col("event_category"),
         col("log_source_hostname"), col("route_index"))),
 
+    // aws.guardduty end-to-end: recursive key-downcase normalizer, deep
+    // nested renames, [0][N] security-group merge chain, sample-flag
+    // conditional, four remove-on-failure dates, dead array renames
+    "qg01_guardduty" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.gdInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("event_severity"), col("event_created_ms"), col("event_modified_ms"),
+        col("event_reason"), col("rule_description"), col("service_version"),
+        col("cloud_account_id"), col("cloud_region"), col("cloud_provider"),
+        col("event_id_s"), col("rule_name"), col("cloud_availability_zone"),
+        col("container_image_name"), col("cloud_instance_id"), col("service_state"),
+        col("cloud_machine_type"), col("user_name"), col("source_as_number"),
+        col("source_as_organization_name"), col("service_name"), col("source_ip"),
+        col("destination_ip"), col("rule_category"), col("rule_id"),
+        col("event_start_ms"), col("event_end_ms"), col("log_source_hostname"),
+        col("log_syslog_priority"),
+        array_join(array_sort(col("cloud_project_name")), ",").as("cloud_project_name_s"))),
+
+    // azure.securityalert end-to-end: shared event-hub envelope machinery,
+    // Sentinel alert renames, three ISO dates on lowercased timestamps
+    "qsa01_securityalert" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.saInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("rule_name"), col("event_severity_name"), col("rule_category"),
+        col("rule_description"), col("user_name"), col("event_end_ms"),
+        col("event_provider"), col("event_start_ms"), col("event_outcome"),
+        col("event_id_s"), col("threat_tactic_name"), col("threat_technique_name"),
+        col("rule_id"), col("event_ingested_ms"), col("observer_vendor"),
+        col("event_type"), col("log_source_hostname"))),
+
     // aws.cloudfront end-to-end: 33-field tab grok with '-' alternations,
     // composed date+time field, flat-key rename quirk, drop on directives;
     // event.duration is created then deleted by its own 02 long coercion
@@ -1149,6 +1179,65 @@ SELECT t.conv_id, t.turn_idx,
   'sql_snowflake_failed_login',
   'logs-snowflake.failed_login_' || strftime(t.ts, '%Y.%m.%d')
 FROM sff_turns t JOIN sff_base b USING (event_id)""",
+
+    "qg01_guardduty" ->
+      s"""WITH ${Transcripts.gdCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CAST(1 + (b.event_id % 8) AS BIGINT) AS event_severity,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  epoch_ms(date_trunc('second', t.ts)) AS event_modified_ms,
+  'finding ' || CAST(b.event_id % 40 AS STRING) AS event_reason,
+  'desc ' || b.eid_s AS rule_description,
+  '2.0' AS service_version,
+  b.acct AS cloud_account_id,
+  'us-east-1' AS cloud_region,
+  'aws' AS cloud_provider,
+  'gd' || b.eid_s AS event_id_s,
+  CASE b.fsel WHEN 0 THEN 'unauthorizedaccess:ec2/sshbruteforce'
+       ELSE 'recon:iamuser/userpermissions' END AS rule_name,
+  'us-east-1' || (CASE (b.event_id % 3) WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END) AS cloud_availability_zone,
+  'amazon linux 2' AS container_image_name,
+  'i-' || CAST(b.event_id % 4000 AS STRING) AS cloud_instance_id,
+  'running' AS service_state,
+  't3.' || (CASE (b.event_id % 3) WHEN 0 THEN 'micro' WHEN 1 THEN 'small' ELSE 'large' END) AS cloud_machine_type,
+  CASE WHEN b.fsel = 1 THEN b.uname ELSE NULL END AS user_name,
+  CASE WHEN b.fsel = 1 THEN CAST(64496 + (b.event_id % 90) AS BIGINT) ELSE NULL END AS source_as_number,
+  CASE WHEN b.fsel = 1 THEN 'examplenet ' || CAST(b.event_id % 7 AS STRING) ELSE NULL END AS source_as_organization_name,
+  CASE WHEN b.fsel = 1 THEN 'iam.amazonaws.com' ELSE NULL END AS service_name,
+  CASE WHEN b.fsel = 0 THEN b.rip ELSE NULL END AS source_ip,
+  CASE WHEN b.fsel = 0 THEN b.lip ELSE NULL END AS destination_ip,
+  CASE b.fsel WHEN 0 THEN 'network_connection' ELSE 'aws_api_call' END AS rule_category,
+  'det' || CAST(b.user_id % 40 AS STRING) AS rule_id,
+  epoch_ms(date_trunc('second', t.ts)) AS event_start_ms,
+  epoch_ms(date_trunc('second', t.ts)) AS event_end_ms,
+  b.acct AS log_source_hostname,
+  CASE WHEN (b.event_id % 5) = 0 THEN '0' ELSE NULL END AS log_syslog_priority,
+  CASE WHEN (b.event_id % 3) = 0
+       THEN 'sg-db' || CAST(b.event_id % 20 AS STRING) || ',sg-web' || CAST(b.event_id % 20 AS STRING)
+       ELSE 'sg-web' || CAST(b.event_id % 20 AS STRING) END AS cloud_project_name_s
+FROM gd_turns t JOIN gd_base b USING (event_id)""",
+
+    "qsa01_securityalert" ->
+      s"""WITH ${Transcripts.saCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 0 AS sub_idx, 1 AS parse_ok_i,
+  'suspicious sign-in ' || CAST(b.event_id % 25 AS STRING) AS rule_name,
+  CASE (b.event_id % 3) WHEN 0 THEN 'high' WHEN 1 THEN 'medium' ELSE 'low' END AS event_severity_name,
+  'unfamiliarlocation' AS rule_category,
+  'alert desc ' || b.eid_s AS rule_description,
+  'user ' || b.uname AS user_name,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_end_ms,
+  'ipc' AS event_provider,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_start_ms,
+  CASE WHEN (b.event_id % 4) = 0 THEN 'resolved' ELSE 'new' END AS event_outcome,
+  'sa' || b.eid_s AS event_id_s,
+  'initialaccess' AS threat_tactic_name,
+  't10' || CAST(70 + (b.event_id % 9) AS STRING) AS threat_technique_name,
+  b.tenant AS rule_id,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_ingested_ms,
+  'microsoft' AS observer_vendor,
+  'securityalert' AS event_type,
+  b.tenant AS log_source_hostname
+FROM sa_turns t JOIN sa_base b USING (event_id)""",
 
     "qcf01_cloudfront" ->
       s"""WITH ${Transcripts.cfCte}

@@ -982,6 +982,108 @@ nf_turns AS (
   FROM nf_base
 )"""
 
+  /** aws.guardduty additive corpus (ref: api_security_aws.guardduty.conf) —
+    * camelCase finding JSON (the ruby normalizer downcases keys), two
+    * finding shapes (network connection / api call), 1-2 security groups. */
+  val gdCte: String = s"""
+gd_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    LPAD(CAST(user_id AS STRING), 12, '0') AS acct,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS rip,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS lip,
+    (event_id % 2) AS fsel,
+    $isoSec || 'Z' AS iso
+  FROM events WHERE (event_id % 29) = 3
+),
+gd_turns AS (
+  SELECT 'gd_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"schemaVersion":"2.0","accountId":"' || acct || '","region":"us-east-1","partition":"aws"'
+    || ',"id":"gd' || eid_s || '"'
+    || ',"type":"' || CASE fsel WHEN 0 THEN 'UnauthorizedAccess:EC2/SSHBruteForce' ELSE 'Recon:IAMUser/UserPermissions' END || '"'
+    || ',"severity":' || CAST(1 + (event_id % 8) AS STRING)
+    || ',"createdAt":"' || iso || '","updatedAt":"' || iso || '"'
+    || ',"title":"Finding ' || CAST(event_id % 40 AS STRING) || '"'
+    || ',"description":"desc ' || eid_s || '"'
+    || ',"resource":{"instanceDetails":{"availabilityZone":"us-east-1' || CASE (event_id % 3) WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END || '"'
+    || ',"imageDescription":"Amazon Linux 2","instanceId":"i-' || CAST(event_id % 4000 AS STRING) || '"'
+    || ',"instanceState":"running","instanceType":"t3.' || CASE (event_id % 3) WHEN 0 THEN 'micro' WHEN 1 THEN 'small' ELSE 'large' END || '"'
+    || ',"networkInterfaces":[{"subnetId":"subnet-' || CAST(event_id % 12 AS STRING) || '"'
+    || ',"securityGroups":[{"groupName":"sg-web' || CAST(event_id % 20 AS STRING) || '","groupId":"sg-0' || CAST(event_id % 20 AS STRING) || '"}'
+    || CASE WHEN (event_id % 3) = 0 THEN ',{"groupName":"sg-db' || CAST(event_id % 20 AS STRING) || '","groupId":"sg-1' || CAST(event_id % 20 AS STRING) || '"}' ELSE '' END
+    || '],"privateIpAddresses":[{"privateIpAddress":"' || lip || '"}]}]'
+    || ',"tags":[{"key":"env","value":"prod"}]}'
+    || CASE WHEN fsel = 1 THEN ',"accessKeyDetails":{"userName":"' || uname || '"}' ELSE '' END
+    || '}'
+    || ',"service":{"detectorId":"det' || CAST(user_id % 40 AS STRING) || '"'
+    || ',"eventFirstSeen":"' || iso || '","eventLastSeen":"' || iso || '"'
+    || CASE WHEN (event_id % 5) = 0 THEN ',"additionalInfo":{"sample":true}' ELSE '' END
+    || ',"action":{"actionType":"' || CASE fsel WHEN 0 THEN 'NETWORK_CONNECTION' ELSE 'AWS_API_CALL' END || '"'
+    || CASE fsel
+         WHEN 0 THEN ',"networkConnectionAction":{"remoteIpDetails":{"ipAddressV4":"' || rip || '"},"localIpDetails":{"ipAddressV4":"' || lip || '"}}'
+         ELSE ',"awsApiCallAction":{"serviceName":"iam.amazonaws.com","remoteIpDetails":{"organization":{"asn":' || CAST(64496 + (event_id % 90) AS STRING) || ',"asnOrg":"ExampleNet ' || CAST(event_id % 7 AS STRING) || '"}}}'
+       END
+    || '}}'
+    || '}' AS text,
+    'aws.guardduty' AS tool, ts, event_id
+  FROM gd_base
+)"""
+
+  /** azure.securityalert additive corpus (ref: event_hub_audit_azure.
+    * event_hub_securityalert.conf) — same envelope machinery as
+    * officeactivity over Sentinel SecurityAlert rows. */
+  val saCte: String = s"""
+sa_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    'tnt' || CAST(user_id % 9 AS STRING) AS tenant,
+    $isoSec || '.' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') || '4567Z' AS iso7
+  FROM events WHERE (event_id % 31) = 26
+),
+sa_rec AS (
+  SELECT *,
+    '{"AlertName":"Suspicious sign-in ' || CAST(event_id % 25 AS STRING) || '"'
+    || ',"AlertSeverity":"' || CASE (event_id % 3) WHEN 0 THEN 'High' WHEN 1 THEN 'Medium' ELSE 'Low' END || '"'
+    || ',"AlertType":"UnfamiliarLocation"'
+    || ',"Description":"alert desc ' || eid_s || '"'
+    || ',"DisplayName":"User ' || uname || '"'
+    || ',"EndTime":"' || iso7 || '","StartTime":"' || iso7 || '","TimeGenerated":"' || iso7 || '"'
+    || ',"ProviderName":"IPC"'
+    || ',"Status":"' || CASE WHEN (event_id % 4) = 0 THEN 'Resolved' ELSE 'New' END || '"'
+    || ',"SystemAlertId":"sa' || eid_s || '"'
+    || ',"Tactics":"InitialAccess"'
+    || ',"Techniques":"T10' || CAST(70 + (event_id % 9) AS STRING) || '"'
+    || ',"TenantId":"' || tenant || '"'
+    || ',"VendorName":"Microsoft"'
+    || ',"Type":"SecurityAlert"'
+    || '}' AS rec
+  FROM sa_base
+),
+sa_turns AS (
+  SELECT 'sa_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE WHEN (event_id % 2) = 0 THEN '{"Records": [' || rec || ']}' ELSE rec END AS text,
+    'azure.securityalert' AS tool, ts, event_id
+  FROM sa_rec
+)"""
+
+  def gdInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $gdCte SELECT conv_id, turn_idx, role, text, tool, ts FROM gd_turns")
+  }
+
+  def saInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $saCte SELECT conv_id, turn_idx, role, text, tool, ts FROM sa_turns")
+  }
+
   def cfInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $cfCte SELECT conv_id, turn_idx, role, text, tool, ts FROM cf_turns")

@@ -38,6 +38,30 @@ object Mutate {
     if (ev.get(path).isDefined) ev.mergeInto(path, v) else ev.set(path, v)
   }
 
+  /** Recursive key-downcasing of every top-level field except `ignore` —
+    * the guardduty ruby normalizer (ref: api_security_aws.guardduty
+    * .conf:19-56): keys lowercase at every depth, values untouched. */
+  def deepDowncaseKeys(ev: Event, ignore: Set[String]): Unit = {
+    def processValue(v: Any): Any = v match {
+      case m: Event.FMap =>
+        val out = new Event.FMap()
+        m.forEach((k, x) => out.put(k.toLowerCase, processValue(x)))
+        out
+      case a: mutable.ArrayBuffer[Any @unchecked] =>
+        val out = mutable.ArrayBuffer.empty[Any]
+        a.foreach(x => out += processValue(x))
+        out
+      case other => other
+    }
+    val keys = new java.util.ArrayList[String](ev.root.keySet())
+    keys.forEach { k =>
+      if (!ignore.contains(k)) {
+        val v = ev.root.remove(k)
+        ev.root.put(k.toLowerCase, processValue(v))
+      }
+    }
+  }
+
   def gsub(ev: Event, path: String, regex: String, replacement: String): Unit = {
     var p = gsubCache.get(regex)
     if (p == null) { p = Pattern.compile(regex); gsubCache.putIfAbsent(regex, p) }

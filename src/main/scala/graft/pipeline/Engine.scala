@@ -265,6 +265,16 @@ object Engine {
       http_cookie_name = s("[http][cookie][name]"),
       source_as_number = l("[source][as][number]"),
       destination_as_number = l("[destination][as][number]"),
-      observer_ingress_interface_id = s("[observer][ingress][interface][id]"))
+      observer_ingress_interface_id = s("[observer][ingress][interface][id]"),
+      cloud_availability_zone = s("[cloud][availability_zone]"),
+      container_image_name = s("[container][image][name]"),
+      service_state = s("[service][state]"),
+      cloud_machine_type = s("[cloud][machine][type]"),
+      user_group_name = s("[user][group][name]"),
+      user_group_id = s("[user][group][id]"),
+      cloud_project_name = arr("[cloud][project][name]"),
+      source_as_organization_name = s("[source][as][organization][name]"),
+      log_syslog_priority = s("[log][syslog][priority]"),
+      threat_technique_name = s("[threat][technique][name]"))
   }
 }

@@ -331,6 +331,16 @@ object RowKernel {
     l("[source][as][number]")
     l("[destination][as][number]")
     s("[observer][ingress][interface][id]")
+    s("[cloud][availability_zone]")
+    s("[container][image][name]")
+    s("[service][state]")
+    s("[cloud][machine][type]")
+    s("[user][group][name]")
+    s("[user][group][id]")
+    arr("[cloud][project][name]")
+    s("[source][as][organization][name]")
+    s("[log][syslog][priority]")
+    s("[threat][technique][name]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -82,6 +82,10 @@ object Registry {
       "logs-aws.cloudfront", Vector("elastic", "s3"), Set.empty, "high"),
     "cisco.netflow" -> TechnologyConfig("cisco.netflow",
       "logs-cisco.netflow", Vector("s3"), Set("dns"), "high"),
+    "aws.guardduty" -> TechnologyConfig("aws.guardduty",
+      "logs-aws.guardduty", Vector("elastic"), Set.empty, "low"),
+    "azure.securityalert" -> TechnologyConfig("azure.securityalert",
+      "logs-azure.securityalert", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -378,5 +382,7 @@ object Registry {
     "f5.loadbalancer" -> OpsRules.f5Ltm,
     "aws.cloudfront" -> EdgeRules.awsCloudfront,
     "cisco.netflow" -> EdgeRules.ciscoNetflow,
+    "aws.guardduty" -> SecRules.awsGuardduty,
+    "azure.securityalert" -> SecRules.azureSecurityalert,
     "unknown" -> unknown)
 }

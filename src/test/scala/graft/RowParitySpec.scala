@@ -46,7 +46,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("snowflake", Transcripts.sfInput), ("office", Transcripts.offInput),
       ("ise", Transcripts.iseInput), ("iis", Transcripts.iisInput),
       ("hdfs", Transcripts.hdfsInput), ("f5", Transcripts.f5Input),
-      ("cloudfront", Transcripts.cfInput), ("netflow", Transcripts.nfInput))
+      ("cloudfront", Transcripts.cfInput), ("netflow", Transcripts.nfInput),
+      ("guardduty", Transcripts.gdInput), ("securityalert", Transcripts.saInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
