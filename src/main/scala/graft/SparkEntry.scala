@@ -427,6 +427,19 @@ px AS (
         col("user_roles"), col("database_user_name"), col("event_category"),
         col("log_source_hostname"), col("route_index"))),
 
+    // linux.host end-to-end: pri-keyed nested dissect ladder, STACKED
+    // parse_rule arrays (add_field promotion), whole-phrase severity
+    // translate, the leading-space Slice user.name quirk
+    "qlh01_linuxhost" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.lhInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_type"), col("process_pid"), col("event_severity_name"),
+        col("rule_description"), col("rule_category"), col("user_name"),
+        col("host_hostname"), col("log_source_hostname"), col("host_name"),
+        col("event_start_ms"),
+        col("log_syslog_severity_name").as("sev_name"),
+        col("log_syslog_facility_name").as("fac_name"))),
+
     // aws.guardduty end-to-end: recursive key-downcase normalizer, deep
     // nested renames, [0][N] security-group merge chain, sample-flag
     // conditional, four remove-on-failure dates, dead array renames
@@ -1179,6 +1192,46 @@ SELECT t.conv_id, t.turn_idx,
   'sql_snowflake_failed_login',
   'logs-snowflake.failed_login_' || strftime(t.ts, '%Y.%m.%d')
 FROM sff_turns t JOIN sff_base b USING (event_id)""",
+
+    "qlh01_linuxhost" ->
+      s"""WITH ${Transcripts.lhCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.rsel WHEN 0 THEN 'rule 1,rule 2' WHEN 1 THEN 'rule 1,rule 3'
+       WHEN 2 THEN 'rule 4' WHEN 3 THEN 'rule 5' WHEN 4 THEN 'rule 6'
+       WHEN 5 THEN 'rule 7,rule 8' WHEN 6 THEN 'rule 7,rule 9'
+       ELSE 'rule 1,rule 3' END AS parse_rule,
+  CASE b.rsel WHEN 0 THEN 'sshd' WHEN 1 THEN 'passwd' WHEN 2 THEN 'rhnsd'
+       WHEN 3 THEN 'gdm' WHEN 4 THEN 'dhclient' WHEN 7 THEN 'sshd'
+       ELSE 'systemd' END AS event_type,
+  CASE WHEN b.rsel IN (5, 6) THEN NULL ELSE CAST(b.pid AS BIGINT) END AS process_pid,
+  CASE b.rsel WHEN 0 THEN 'error' WHEN 1 THEN 'failed to change password'
+       WHEN 3 THEN 'error' WHEN 7 THEN 'fatal: access denied'
+       ELSE NULL END AS event_severity_name,
+  CASE b.rsel
+    WHEN 0 THEN 'password: token has expired (error)'
+    WHEN 1 THEN 'failed to change password for ' || b.uname
+    WHEN 2 THEN 'running rhn_check ' || b.eid_s
+    WHEN 3 THEN 'gdm check failed ' || b.eid_s
+    WHEN 4 THEN 'dhcprequest on eth0 to 10.1.1.1 port 67'
+    WHEN 5 THEN 'started session ' || CAST(b.event_id % 900 AS STRING) || ' of user ' || b.uname
+    WHEN 6 THEN 'created slice of user ' || b.uname
+    ELSE 'fatal: access denied for user root from 8.9.' || CAST(b.event_id % 200 AS STRING) || '.7'
+  END AS rule_description,
+  CASE b.rsel WHEN 0 THEN 'ops error' WHEN 1 THEN 'security denial of service'
+       WHEN 3 THEN 'ops error' WHEN 7 THEN 'ops network deny'
+       ELSE NULL END AS rule_category,
+  CASE b.rsel WHEN 5 THEN b.uname WHEN 6 THEN ' user ' || b.uname
+       ELSE NULL END AS user_name,
+  b.hname AS host_hostname,
+  b.hname AS log_source_hostname,
+  CAST(NULL AS STRING) AS host_name, -- copied then renamed away
+  epoch_ms(date_trunc('second', t.ts)) AS event_start_ms,
+  CASE b.rsel WHEN 0 THEN 'critical' WHEN 1 THEN 'notice' WHEN 2 THEN 'debug'
+       WHEN 3 THEN 'error' WHEN 7 THEN 'critical'
+       ELSE 'informational' END AS sev_name,
+  CASE WHEN b.rsel IN (0, 1, 7) THEN 'security/authorization'
+       ELSE 'daemon' END AS fac_name
+FROM lh_turns t JOIN lh_base b USING (event_id)""",
 
     "qg01_guardduty" ->
       s"""WITH ${Transcripts.gdCte}

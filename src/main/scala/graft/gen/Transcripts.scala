@@ -1074,6 +1074,50 @@ sa_turns AS (
   FROM sa_rec
 )"""
 
+  /** linux.host additive corpus (ref: syslog_audit_linux.host.conf) —
+    * eight shapes across the pri-keyed ladder (82/85/31/27/30), incl. the
+    * stacked RULE 1+2/1+3 and RULE 7+8/7+9 array parse_rules and the
+    * leading-space user.name of the Slice arm. */
+  val lhCte: String = s"""
+lh_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(FLOOR(event_id / 33.0) AS BIGINT) % 8 AS rsel,
+    CAST(event_id AS STRING) AS eid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    'lnx' || CAST(user_id % 20 AS STRING) AS hname,
+    1000 + (event_id % 9000) AS pid,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS sylts
+  FROM events WHERE (event_id % 33) = 29
+),
+lh_turns AS (
+  SELECT 'lh_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CASE rsel WHEN 0 THEN '82' WHEN 1 THEN '85' WHEN 2 THEN '31' WHEN 3 THEN '27'
+                     WHEN 7 THEN '82' ELSE '30' END || '>'
+    || sylts || ' ' || hname || ' ' ||
+    CASE rsel
+      WHEN 0 THEN 'sshd[' || CAST(pid AS STRING) || ']: password: token has expired (ERROR)'
+      WHEN 1 THEN 'passwd[' || CAST(pid AS STRING) || ']: failed to change password for ' || uname
+      WHEN 2 THEN 'rhnsd[' || CAST(pid AS STRING) || ']: running rhn_check ' || eid_s
+      WHEN 3 THEN 'gdm[' || CAST(pid AS STRING) || ']: TID:12 : ERROR: gdm check failed ' || eid_s
+      WHEN 4 THEN 'dhclient[' || CAST(pid AS STRING) || ']: DHCPREQUEST on eth0 to 10.1.1.1 port 67'
+      WHEN 5 THEN 'systemd: Started Session ' || CAST(event_id % 900 AS STRING) || ' of user ' || uname
+      WHEN 6 THEN 'systemd: Created Slice of user ' || uname
+      ELSE 'sshd[' || CAST(pid AS STRING) || ']: fatal: Access denied for user root from 8.9.' || CAST(event_id % 200 AS STRING) || '.7'
+    END AS text,
+    'linux.host' AS tool, ts, event_id
+  FROM lh_base
+)"""
+
+  def lhInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $lhCte SELECT conv_id, turn_idx, role, text, tool, ts FROM lh_turns")
+  }
+
   def gdInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $gdCte SELECT conv_id, turn_idx, role, text, tool, ts FROM gd_turns")

@@ -91,7 +91,17 @@ object Engine {
       ts = t.ts,
       text = t.text,
       technology = cfg.tech,
-      parse_rule = { val pr = s("[agent][parse_rule]"); if (pr == null) "not parsed" else pr },
+      parse_rule = {
+        // Logstash add_field on an existing field promotes to array
+        // (linux.host stacks RULE 1 + RULE 2) — surfaced comma-joined
+        val pr = ev.get("[agent][parse_rule]") match {
+          case Some(x: String) => x
+          case Some(a: scala.collection.mutable.ArrayBuffer[Any @unchecked]) =>
+            a.collect { case x: String => x }.mkString(",")
+          case _ => null
+        }
+        if (pr == null) "not parsed" else pr
+      },
       parse_ok = parseOk,
       tags = ev.tags.toVector.sorted,
       route_index = routeIndex(cfg, tsMillis),

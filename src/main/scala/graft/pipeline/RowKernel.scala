@@ -151,7 +151,12 @@ object RowKernel {
     put(tsMicros)                     // ts
     put(textU8)                       // text — UNTOUCHED passthrough
     put(tech.techU8)                  // technology
-    val pr = ev.stringOrNull("[agent][parse_rule]")
+    val pr = ev.valueOrNull("[agent][parse_rule]") match {
+      case x: String => x
+      case a: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
+        a.collect { case x: String => x }.mkString(",") // stacked add_field rules
+      case _ => null
+    }
     put(if (pr == null) notParsed else UTF8String.fromString(pr)) // parse_rule
     put(parseOk)                      // parse_ok
     if (ev.tags.isEmpty) put(emptyArray) // tags (sorted)

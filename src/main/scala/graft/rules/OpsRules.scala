@@ -55,6 +55,98 @@ object OpsRules {
     Parsed(Seq(ev))
   }
 
+  // ------------------------------------------------------------ linux.host
+  /** linux.syslog host lines (ref: syslog_audit_linux.host.conf): a
+    * pri-keyed ladder (82/85 auth, 31/27 daemon, 30 systemd) of nested
+    * dissects; `add_field` stacks parse_rule into an ARRAY when an inner
+    * rule follows an outer one (surfaced comma-joined). syslog_pri keeps
+    * pri until the cleanup remove (:127). The severity translate's
+    * dictionary keys are whole captured phrases ("fatal: Access denied");
+    * absent severity skips the translate (no fallback fires). */
+  def linuxHost(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "linux") // ref :9-12
+    ev.set("[event][dataset]", "linux.syslog")
+    Grok(ev, "message", Seq(Registry.HeaderGrok), Seq("_parsefailure_header")) // ref :13-17
+    SyslogPri(ev, removeField = false) // ref :18-20 — pri kept
+    if (!Dissect(ev, "actual_msg", // ref :21-25
+      "%{[[event][start]]->} %{+[[event][start]]} %{+[[event][start]]} %{[host][hostname]} %{rest_msg}",
+      Seq("_dissectfailure"))) {
+      ev.set("[agent][parse_rule]", "not parsed")
+      ev.addTag("_parse_failure")
+      return Parsed(Seq(ev))
+    }
+    val pri = ev.getString("pri").getOrElse("")
+    val msg = ev.getString("actual_msg").getOrElse("")
+    if (pri == "82" || pri == "85") { // ref :26-55
+      Mutate.addField(ev, "[agent][parse_rule]", "RULE 1")
+      Dissect(ev, "rest_msg",
+        "%{[[event][type]]}[%{[[process][pid]]}]: %{event_description}",
+        Seq("_dissectfailure"))
+      if (ev.getString("event_description").exists(_.contains("has expired"))) {
+        Mutate.addField(ev, "[agent][parse_rule]", "RULE 2")
+        Dissect(ev, "event_description",
+          "%{del}: %{del1} (%{[event][severity_name]})", Seq("_dissectfailure"))
+      } else {
+        Mutate.addField(ev, "[agent][parse_rule]", "RULE 3")
+        Dissect(ev, "event_description",
+          "%{[event][severity_name]} for %{del}", Seq("_dissectfailure"))
+      }
+    } else if (pri == "31" || pri == "27") { // ref :56-78
+      if (msg.contains("rhnsd")) {
+        Mutate.addField(ev, "[agent][parse_rule]", "RULE 4")
+        Dissect(ev, "rest_msg",
+          "%{[[event][type]]}[%{[[process][pid]]}]: %{[[rule][description]]}",
+          Seq("_dissectfailure"))
+      } else {
+        Mutate.addField(ev, "[agent][parse_rule]", "RULE 5")
+        Dissect(ev, "rest_msg",
+          "%{[[event][type]]}[%{[[process][pid]]}]: TID:%{?tid} : %{[[event][severity_name]]}: %{[[rule][description]]}",
+          Seq("_dissectfailure"))
+      }
+    } else if (pri == "30") { // ref :79-118
+      if (msg.contains("dhclient")) {
+        Mutate.addField(ev, "[agent][parse_rule]", "RULE 6")
+        Dissect(ev, "rest_msg",
+          "%{[[event][type]]}[%{[[process][pid]]}]: %{event_description}",
+          Seq("_dissectfailure"))
+      } else {
+        Mutate.addField(ev, "[agent][parse_rule]", "RULE 7")
+        Dissect(ev, "rest_msg", "%{[[event][type]]}: %{event_description}",
+          Seq("_dissectfailure"))
+        val desc = ev.getString("event_description").getOrElse("")
+        if (desc.contains("Started Session")) {
+          Mutate.addField(ev, "[agent][parse_rule]", "RULE 8")
+          Dissect(ev, "event_description",
+            "Started Session %{?[[session][id]]} of user %{[[user][name]]}",
+            Seq("_dissectfailure"))
+        } else if (desc.contains("Slice of")) {
+          Mutate.addField(ev, "[agent][parse_rule]", "RULE 9")
+          // ref :109-111 — no space after 'of', so user.name keeps its
+          // leading ' user ' prefix, verbatim
+          Dissect(ev, "event_description", "%{del} Slice of%{[[user][name]]}",
+            Seq("_dissectfailure"))
+        }
+      }
+    }
+    Dates(ev, "[event][start]", Seq("MMM dd HH:mm:ss", "MMM dd HH:mm:ss.SSS"),
+      "[event][start_ms]", timezone = "GMT", defaultYear = ctx.tsYear) // ref :120-125
+    if (ev.has("[event][start_ms]")) ev.remove("[event][start]")
+    ev.rename("event_description", "[rule][description]") // ref :126-129
+    Seq("del", "del1", "rest_msg", "[log][date]", "code", "actual_msg", "pri")
+      .foreach(ev.remove)
+    ev.getString("[event][severity_name]").foreach { sev => // ref :132-141
+      ev.set("[rule][category]", Map(
+        "ERROR" -> "Ops Error",
+        "fatal: Access denied" -> "Ops Network deny",
+        "failed to change password" -> "Security Denial of Service")
+        .getOrElse(sev, "Others"))
+    }
+    if (ev.has("[host][hostname]")) // ref :143-147
+      ev.copyField("[host][hostname]", "[host][name]")
+    ev.rename("[host][name]", "[log][source][hostname]") // ref :148-150
+    Parsed(Seq(ev))
+  }
+
   // ------------------------------------------------------- f5.loadbalancer
   // Shared dissect prefix: 3-token timestamp, reporting address, a skipped
   // severity word, then the per-rule process/message tail.

@@ -86,6 +86,8 @@ object Registry {
       "logs-aws.guardduty", Vector("elastic"), Set.empty, "low"),
     "azure.securityalert" -> TechnologyConfig("azure.securityalert",
       "logs-azure.securityalert", Vector("elastic"), Set.empty, "low"),
+    "linux.host" -> TechnologyConfig("linux.host", "logs-linux.syslog",
+      Vector("elastic"), Set.empty, "high"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -384,5 +386,6 @@ object Registry {
     "cisco.netflow" -> EdgeRules.ciscoNetflow,
     "aws.guardduty" -> SecRules.awsGuardduty,
     "azure.securityalert" -> SecRules.azureSecurityalert,
+    "linux.host" -> OpsRules.linuxHost,
     "unknown" -> unknown)
 }

@@ -47,7 +47,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ise", Transcripts.iseInput), ("iis", Transcripts.iisInput),
       ("hdfs", Transcripts.hdfsInput), ("f5", Transcripts.f5Input),
       ("cloudfront", Transcripts.cfInput), ("netflow", Transcripts.nfInput),
-      ("guardduty", Transcripts.gdInput), ("securityalert", Transcripts.saInput))
+      ("guardduty", Transcripts.gdInput), ("securityalert", Transcripts.saInput),
+      ("linuxhost", Transcripts.lhInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
