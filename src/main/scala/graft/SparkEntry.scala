@@ -427,6 +427,21 @@ px AS (
         col("user_roles"), col("database_user_name"), col("event_category"),
         col("log_source_hostname"), col("route_index"))),
 
+    // checkpoint.fw end-to-end: bracket-envelope dissect, last-]-lookahead
+    // gsub, '='/','-normalized kv, composite values re-kv'd (sic/policy),
+    // UNIX date from a kv, the event.module array quirk (flattens null)
+    "qck01_checkpoint" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ckInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("observer_name"), col("event_action"), col("observer_product"),
+        col("event_severity"), col("destination_ip"), col("destination_port"),
+        col("source_port"), col("source_ip"), col("host_ip"),
+        col("network_iana_number"), col("network_transport"),
+        col("network_protocol"), col("network_direction"), col("rule_id"),
+        col("rule_category"), col("rule_ruleset"), col("event_created_ms"),
+        col("log_source_hostname"), col("event_module"), col("event_kind"),
+        col("error_message"))),
+
     // linux.host end-to-end: pri-keyed nested dissect ladder, STACKED
     // parse_rule arrays (add_field promotion), whole-phrase severity
     // translate, the leading-space Slice user.name quirk
@@ -1192,6 +1207,37 @@ SELECT t.conv_id, t.turn_idx,
   'sql_snowflake_failed_login',
   'logs-snowflake.failed_login_' || strftime(t.ts, '%Y.%m.%d')
 FROM sff_turns t JOIN sff_base b USING (event_id)""",
+
+    "qck01_checkpoint" ->
+      s"""WITH ${Transcripts.ckCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE WHEN b.rsel = 4 THEN 'type 2' WHEN b.rsel = 5 THEN 'other' ELSE 'type 1' END AS parse_rule,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL ELSE b.gw END AS observer_name,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL
+       WHEN (b.event_id % 5) < 3 THEN 'accept' ELSE 'drop' END AS event_action,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL ELSE 'vpn-1 & firewall-1' END AS observer_product,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL ELSE CAST(1 + (b.event_id % 5) AS BIGINT) END AS event_severity,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL ELSE b.dip END AS destination_ip,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL ELSE CAST(443 AS BIGINT) END AS destination_port,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL ELSE CAST(b.spt AS BIGINT) END AS source_port,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL ELSE b.sip END AS source_ip,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL ELSE '10.9.' || CAST(b.event_id % 200 AS STRING) || '.1' END AS host_ip,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL ELSE '6' END AS network_iana_number,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL ELSE 'tcp' END AS network_transport,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL ELSE 'https' END AS network_protocol,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL
+       WHEN (b.event_id % 2) = 0 THEN 'inbound' ELSE 'outbound' END AS network_direction,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL ELSE CAST(b.event_id % 40 AS STRING) END AS rule_id,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL ELSE 'implied rule' END AS rule_category,
+  CASE WHEN b.rsel IN (4, 5) THEN NULL ELSE 'standard_' || CAST(b.event_id % 12 AS STRING) END AS rule_ruleset,
+  CASE WHEN b.rsel IN (4, 5) THEN epoch_ms(t.ts) -- enrichment default
+       ELSE b.stime * 1000 END AS event_created_ms,
+  CASE WHEN b.rsel IN (4, 5) THEN 'checkpoint_fw' ELSE b.gw END AS log_source_hostname,
+  CAST(NULL AS STRING) AS event_module, -- :141 add_field → array, flattens null
+  'checkpoint.fw' AS event_kind,
+  CASE WHEN b.rsel = 4 THEN 'unable to reach peer ' || CAST(b.event_id % 50 AS STRING) ELSE NULL END AS error_message
+FROM ck_turns t JOIN ck_base b USING (event_id)
+WHERE b.rsel <> 0""",
 
     "qlh01_linuxhost" ->
       s"""WITH ${Transcripts.lhCte}

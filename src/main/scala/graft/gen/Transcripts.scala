@@ -1113,6 +1113,60 @@ lh_turns AS (
   FROM lh_base
 )"""
 
+  /** checkpoint.fw additive corpus (ref: syslog_audit_checkpoint.fw.conf) —
+    * bracket-enveloped k=v Type-1 lines (incl. composite sic/policy values
+    * re-kv'd downstream), Type-2 plain messages, 'Other' rows, and Debug
+    * lines for the drop branch. */
+  val ckCte: String = s"""
+ck_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(FLOOR(event_id / 34.0) AS BIGINT) % 6 AS rsel,
+    CAST(event_id AS STRING) AS eid_s,
+    'cp-gw' || CAST(user_id % 8 AS STRING) AS gw,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    '172.16.' || CAST(event_id % 100 AS STRING) || '.' || CAST(1 + (user_id % 254) AS STRING) AS dip,
+    1024 + (event_id % 40000) AS spt,
+    1600000000 + (event_id % 10000000) AS stime,
+    $isoSec || 'Z' AS iso
+  FROM events WHERE (event_id % 34) = 31
+),
+ck_turns AS (
+  SELECT 'ck_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<134>' ||
+    CASE rsel
+      WHEN 0 THEN '1 ' || iso || ' ' || gw || ' CheckPoint 999 - [action=drop; syslog_severity=Debug; src=' || sip || ']'
+      WHEN 4 THEN 'cpd: unable to reach peer ' || CAST(event_id % 50 AS STRING)
+      WHEN 5 THEN 'status;ok;ping ' || CAST(event_id % 50 AS STRING)
+      ELSE '1 ' || iso || ' ' || gw || ' CheckPoint ' || CAST(event_id % 999 AS STRING) || ' - ['
+        || 'action=' || CASE WHEN (event_id % 5) < 3 THEN 'accept' ELSE 'drop' END
+        || '; origin=10.9.' || CAST(event_id % 200 AS STRING) || '.1'
+        || '; date=' || CAST(stime AS STRING)
+        || '; dst=' || dip
+        || '; message_info=Implied rule'
+        || '; product=VPN-1 & FireWall-1'
+        || '; proto=6'
+        || '; rule=' || CAST(event_id % 40 AS STRING)
+        || '; s_port=' || CAST(spt AS STRING)
+        || '; service=443'
+        || '; severity=' || CAST(1 + (event_id % 5) AS STRING)
+        || '; src=' || sip
+        || '; ifdir=' || CASE WHEN (event_id % 2) = 0 THEN 'inbound' ELSE 'outbound' END
+        || '; origin_sic_name=cn=' || gw
+        || '; __policy_id_tag=policy_name=Standard_' || CAST(event_id % 12 AS STRING)
+        || ']'
+    END AS text,
+    'checkpoint.fw' AS tool, ts, event_id
+  FROM ck_base
+)"""
+
+  def ckInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ckCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ck_turns")
+  }
+
   def lhInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $lhCte SELECT conv_id, turn_idx, role, text, tool, ts FROM lh_turns")

@@ -285,6 +285,7 @@ object Engine {
       cloud_project_name = arr("[cloud][project][name]"),
       source_as_organization_name = s("[source][as][organization][name]"),
       log_syslog_priority = s("[log][syslog][priority]"),
-      threat_technique_name = s("[threat][technique][name]"))
+      threat_technique_name = s("[threat][technique][name]"),
+      network_direction = s("[network][direction]"))
   }
 }

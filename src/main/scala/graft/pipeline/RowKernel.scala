@@ -346,6 +346,7 @@ object RowKernel {
     s("[source][as][organization][name]")
     s("[log][syslog][priority]")
     s("[threat][technique][name]")
+    s("[network][direction]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

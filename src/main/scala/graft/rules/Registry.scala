@@ -88,6 +88,8 @@ object Registry {
       "logs-azure.securityalert", Vector("elastic"), Set.empty, "low"),
     "linux.host" -> TechnologyConfig("linux.host", "logs-linux.syslog",
       Vector("elastic"), Set.empty, "high"),
+    "checkpoint.fw" -> TechnologyConfig("checkpoint.fw", "logs-checkpoint.fw",
+      Vector("elastic", "s3"), Set.empty, "high"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -387,5 +389,6 @@ object Registry {
     "aws.guardduty" -> SecRules.awsGuardduty,
     "azure.securityalert" -> SecRules.azureSecurityalert,
     "linux.host" -> OpsRules.linuxHost,
+    "checkpoint.fw" -> SecRules.checkpointFw,
     "unknown" -> unknown)
 }

@@ -93,6 +93,83 @@ object SecRules {
     Parsed(Seq(ev))
   }
 
+  // ----------------------------------------------------------- checkpoint.fw
+  /** CheckPoint firewall syslog (ref: syslog_audit_checkpoint.fw.conf):
+    * Debug lines drop; Type-1 lines dissect off the bracket envelope, strip
+    * the LAST ']' with a lookahead gsub, normalize '='→':' and ','→';' and
+    * kv-split on ;/:, then RE-kv two composite values (__policy_id_tag,
+    * origin_sic_name) into their own namespaces before the ECS renames.
+    * Quirk kept: :141 add_field on the existing event.module promotes it to
+    * an ARRAY [checkpoint, checkpoint.fw] — a non-scalar that flattens to
+    * null, exactly what an opensearch mapping would reject. The :140 copy
+    * of observer.name overwrites the sic-derived log.source.hostname. */
+  def checkpointFw(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "checkpoint") // ref :9-13
+    ev.set("[event][dataset]", "checkpoint.fw")
+    ev.set("[log][source][hostname]", "checkpoint_fw")
+    Grok(ev, "message", Seq(Registry.HeaderGrok), Seq("_parsefailure_header")) // ref :14-18
+    SyslogPri(ev) // ref :19-22
+    val msg = ev.getString("actual_msg").getOrElse("")
+    if (msg.contains("syslog_severity=Debug")) return Dropped // ref :23-25
+    if (msg.contains("=") && msg.contains(";")) { // ref :26-51 Type 1
+      Mutate.addField(ev, "[agent][parse_rule]", "Type 1")
+      if (Dissect(ev, "actual_msg",
+        "%{?data} %{?data} %{[[observer][name]]} %{?data} %{?data} - [%{msg}",
+        Seq("_dissectfailure"))) {
+        Mutate.gsub(ev, "msg", "[\\]](?=[^\\]]*$)", "") // strip the LAST ]
+        Mutate.gsub(ev, "msg", "=", ":")
+        Mutate.gsub(ev, "msg", ",", ";")
+        Kv(ev, "msg", ';', ':', target = "fw", trimKey = " ")
+      }
+    } else if (!msg.contains(";")) { // ref :52-61 Type 2
+      Mutate.addField(ev, "[agent][parse_rule]", "Type 2")
+      Dissect(ev, "actual_msg", "%{tmp_data}: %{[[error][message]]}",
+        Seq("_dissectfailure"))
+    } else { // ref :62-66
+      Mutate.addField(ev, "[agent][parse_rule]", "Other")
+    }
+    Kv(ev, "[fw][__policy_id_tag]", ';', ':', target = "pn") // ref :67-73
+    Kv(ev, "[fw][origin_sic_name]", ';', ':', target = "sic") // ref :74-80
+    Kv(ev, "[fw][originsicname]", ';', ':', target = "sic") // ref :81-87
+    Mutate.gsub(ev, "[pn][policy_name]", "\\\\]", "") // ref :89-92
+    ev.rename("[fw][facility]", "[log][syslog][facility][name]") // ref :94-132
+    ev.rename("[fw][default_device_message]", "[rule][description]")
+    ev.rename("[fw][action]", "[event][action]")
+    ev.rename("[fw][product]", "[observer][product]")
+    ev.rename("[fw][severity]", "[event][severity]")
+    ev.rename("[fw][dst]", "[destination][ip]")
+    ev.rename("[fw][service]", "[destination][port]")
+    ev.rename("[fw][s_port]", "[source][port]")
+    ev.rename("[fw][src]", "[source][ip]")
+    ev.rename("[fw][origin]", "[host][ip]")
+    ev.rename("[fw][host]", "[observer][ip]")
+    ev.rename("[fw][proto]", "[network][iana_number]")
+    ev.rename("[fw][ifdir]", "[network][direction]")
+    ev.rename("[fw][inzone]", "[network][inner][vlan][name]")
+    ev.rename("[fw][outzone]", "[network][vlan][name]")
+    ev.rename("[fw][service_id]", "[network][protocol]")
+    ev.rename("[sic][cn]", "[log][source][hostname]")
+    ev.rename("[pn][mgmt]", "[host][type]")
+    ev.rename("[fw][message_info]", "[rule][category]")
+    ev.rename("[fw][match_id]", "[rule][id]")
+    ev.rename("[fw][rule]", "[rule][id]")
+    ev.rename("[fw][layer_name]", "[rule][description]")
+    ev.rename("[fw][rule_name]", "[rule][name]")
+    ev.rename("[pn][policy_name]", "[rule][ruleset]")
+    ev.rename("[sic][o]", "[log][logger]")
+    ev.rename("[fw][attack]", "[rule][name]")
+    ev.rename("[fw][attack_info]", "[rule][category]")
+    ev.rename("[fw][protection_id]", "[rule][id]")
+    Dates(ev, "[fw][date]", Seq("UNIX"), "[event][created_ms]", timezone = "GMT") // ref :133-138
+    if (ev.has("[observer][name]")) // ref :139-144
+      ev.copyField("[observer][name]", "[log][source][hostname]")
+    Mutate.addField(ev, "[event][module]", "checkpoint.fw") // → array, ref quirk
+    Seq("[log][date_time]", "msg", "actual_msg", "fw", "sic", "pn")
+      .foreach(ev.remove) // ref :142 — tmp_data is NOT removed (stray field)
+    ev.set("[event][kind]", "checkpoint.fw")
+    Parsed(Seq(ev))
+  }
+
   // ------------------------------------------------------ azure.securityalert
   /** Sentinel SecurityAlert rows through the shared event-hub envelope
     * (message-level lowercase, records[] split or bare object — same
