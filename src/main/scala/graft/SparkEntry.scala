@@ -427,6 +427,30 @@ px AS (
         col("user_roles"), col("database_user_name"), col("event_category"),
         col("log_source_hostname"), col("route_index"))),
 
+    // github.audit (GHE) end-to-end: flat JSON renames, year-less date
+    "qgh01_github" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ghInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("server_address"), col("client_port"), col("http_request_bytes"),
+        col("url_query"), col("http_version"), col("client_ip"),
+        col("http_response_status_code"), col("http_request_method"),
+        col("service_name"), col("log_source_hostname"), col("process_pid"),
+        col("rule_description"), col("event_created_ms"))),
+
+    // citrix.session end-to-end: jdbc map rows, copy (not rename) onto ECS,
+    // three ISO dates with sss/'t' dead pattern variants, message re-render
+    "qcx01_citrix" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.cxInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("source_address"), col("source_ip"), col("source_user_id"),
+        col("source_user_full_name"), col("source_user_domain"),
+        col("source_nat_ip"), col("destination_address"),
+        col("destination_nat_ip"), col("service_ephemeral_id"),
+        col("event_code"), col("network_protocol"), col("host_os_name"),
+        col("event_id_s"), col("service_type"), col("user_agent_name"),
+        col("server_address"), col("host_os_version"), col("service_name"),
+        col("event_start_ms"), col("event_ingested_ms"), col("event_created_ms"))),
+
     // checkpoint.fw end-to-end: bracket-envelope dissect, last-]-lookahead
     // gsub, '='/','-normalized kv, composite values re-kv'd (sic/policy),
     // UNIX date from a kv, the event.module array quirk (flattens null)
@@ -1207,6 +1231,50 @@ SELECT t.conv_id, t.turn_idx,
   'sql_snowflake_failed_login',
   'logs-snowflake.failed_login_' || strftime(t.ts, '%Y.%m.%d')
 FROM sff_turns t JOIN sff_base b USING (event_id)""",
+
+    "qgh01_github" ->
+      s"""WITH ${Transcripts.ghCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'ghe' AS server_address, -- host-split keeps the name, domain splits off
+  CAST(50000 + (b.event_id % 9000) AS BIGINT) AS client_port,
+  CAST(b.event_id % 60000 AS BIGINT) AS http_request_bytes,
+  '/api/v3/repos?page=' || CAST(b.event_id % 30 AS STRING) AS url_query,
+  'http/1.1' AS http_version,
+  b.cip AS client_ip,
+  CASE WHEN (b.event_id % 6) = 0 THEN CAST(404 AS BIGINT) ELSE CAST(200 AS BIGINT) END AS http_response_status_code,
+  CASE WHEN (b.event_id % 2) = 0 THEN 'get' ELSE 'post' END AS http_request_method,
+  'github-unicorn' AS service_name,
+  'ghe-node' || CAST(b.user_id % 4 AS STRING) AS log_source_hostname,
+  CAST(1000 + (b.event_id % 9000) AS BIGINT) AS process_pid,
+  'request completed ' || b.eid_s AS rule_description,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms
+FROM gh_turns t JOIN gh_base b USING (event_id)""",
+
+    "qcx01_citrix" ->
+      s"""WITH ${Transcripts.cxCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'wks' || CAST(b.user_id % 30 AS STRING) AS source_address,
+  b.cip AS source_ip,
+  b.uname AS source_user_id,
+  'User ' || b.uname AS source_user_full_name,
+  'corp' AS source_user_domain,
+  '10.20.' || CAST(b.event_id % 200 AS STRING) || '.9' AS source_nat_ip,
+  'xen' || CAST(b.event_id % 9 AS STRING) AS destination_address,
+  '10.30.' || CAST(b.event_id % 200 AS STRING) || '.9' AS destination_nat_ip,
+  'desktop' || CAST(b.event_id % 5 AS STRING) AS service_ephemeral_id,
+  '1' AS event_code,
+  'hdx' AS network_protocol,
+  'windows' AS host_os_name,
+  's' || b.eid_s AS event_id_s,
+  'hostedondesktop' AS service_type,
+  'receiver' AS user_agent_name,
+  'gw' || CAST(b.event_id % 4 AS STRING) AS server_address,
+  '19.12.0.' || CAST(b.event_id % 300 AS STRING) AS host_os_version,
+  'session' || b.eid_s AS service_name,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_start_ms,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_ingested_ms,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_created_ms
+FROM cx_turns t JOIN cx_base b USING (event_id)""",
 
     "qck01_checkpoint" ->
       s"""WITH ${Transcripts.ckCte}

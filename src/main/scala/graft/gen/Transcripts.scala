@@ -1162,6 +1162,92 @@ ck_turns AS (
   FROM ck_base
 )"""
 
+  /** github.audit (GHE) additive corpus (ref: api_audit_aws.ghe.conf). */
+  val ghCte: String = s"""
+gh_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS cip,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS sylts
+  FROM events WHERE (event_id % 35) = 12
+),
+gh_turns AS (
+  SELECT 'gh_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"server_name":"ghe.corp.example"'
+    || ',"client_port":' || CAST(50000 + (event_id % 9000) AS STRING)
+    || ',"bytes_read":' || CAST(event_id % 60000 AS STRING)
+    || ',"http_request":"/api/v3/repos?page=' || CAST(event_id % 30 AS STRING) || '"'
+    || ',"http_version":"HTTP/1.1"'
+    || ',"client_ip":"' || cip || '"'
+    || ',"http_status_code":' || CASE WHEN (event_id % 6) = 0 THEN '404' ELSE '200' END
+    || ',"http_verb":"' || CASE WHEN (event_id % 2) = 0 THEN 'GET' ELSE 'POST' END || '"'
+    || ',"ident":"github-unicorn"'
+    || ',"timestamp":"' || sylts || '"'
+    || ',"host":"ghe-node' || CAST(user_id % 4 AS STRING) || '"'
+    || ',"pid":' || CAST(1000 + (event_id % 9000) AS STRING)
+    || ',"message":"request completed ' || eid_s || '"}' AS text,
+    'github.audit' AS tool, ts, event_id
+  FROM gh_base
+)"""
+
+  /** citrix.session additive corpus (ref: db_audit_citrix.session.conf) —
+    * jdbc rows as JSON maps; the program re-renders message to its string
+    * form after the copies. */
+  val cxCte: String = s"""
+cx_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS cip,
+    $isoSec || '.' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') || 'Z' AS isoz
+  FROM events WHERE (event_id % 37) = 5
+),
+cx_turns AS (
+  SELECT 'cx_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"clientname":"wks' || CAST(user_id % 30 AS STRING) || '"'
+    || ',"clientaddress":"' || cip || '"'
+    || ',"username":"' || uname || '"'
+    || ',"usr_full_name":"User ' || uname || '"'
+    || ',"usr_domain":"corp"'
+    || ',"connectedviaipaddress":"10.20.' || CAST(event_id % 200 AS STRING) || '.9"'
+    || ',"launchedviahostname":"xen' || CAST(event_id % 9 AS STRING) || '"'
+    || ',"launchedviaipaddress":"10.30.' || CAST(event_id % 200 AS STRING) || '.9"'
+    || ',"publishedname":"Desktop' || CAST(event_id % 5 AS STRING) || '"'
+    || ',"enabled":"1"'
+    || ',"protocol":"HDX"'
+    || ',"clientplatform":"Windows"'
+    || ',"id":"s' || eid_s || '"'
+    || ',"applicationtype":"HostedOnDesktop"'
+    || ',"browsername":"Receiver"'
+    || ',"connectedviahostname":"gw' || CAST(event_id % 4 AS STRING) || '"'
+    || ',"clientversion":"19.12.0.' || CAST(event_id % 300 AS STRING) || '"'
+    || ',"name":"session' || eid_s || '"'
+    || ',"logonstartdate":"' || isoz || '"'
+    || ',"establishmentdate":"' || isoz || '"'
+    || ',"createddate":"' || isoz || '"}' AS text,
+    'citrix.session' AS tool, ts, event_id
+  FROM cx_base
+)"""
+
+  def ghInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ghCte SELECT conv_id, turn_idx, role, text, tool, ts FROM gh_turns")
+  }
+
+  def cxInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $cxCte SELECT conv_id, turn_idx, role, text, tool, ts FROM cx_turns")
+  }
+
   def ckInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $ckCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ck_turns")

@@ -286,6 +286,16 @@ object Engine {
       source_as_organization_name = s("[source][as][organization][name]"),
       log_syslog_priority = s("[log][syslog][priority]"),
       threat_technique_name = s("[threat][technique][name]"),
-      network_direction = s("[network][direction]"))
+      network_direction = s("[network][direction]"),
+      server_address = s("[server][address]"),
+      client_port = l("[client][port]"),
+      http_version = s("[http][version]"),
+      source_user_id = s("[source][user][id]"),
+      source_user_full_name = s("[source][user][full_name]"),
+      source_user_domain = s("[source][user][domain]"),
+      destination_nat_ip = s("[destination][nat][ip]"),
+      service_ephemeral_id = s("[service][ephemeral_id]"),
+      host_os_name = s("[host][os][name]"),
+      host_os_version = s("[host][os][version]"))
   }
 }

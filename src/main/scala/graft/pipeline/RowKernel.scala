@@ -347,6 +347,16 @@ object RowKernel {
     s("[log][syslog][priority]")
     s("[threat][technique][name]")
     s("[network][direction]")
+    s("[server][address]")
+    l("[client][port]")
+    s("[http][version]")
+    s("[source][user][id]")
+    s("[source][user][full_name]")
+    s("[source][user][domain]")
+    s("[destination][nat][ip]")
+    s("[service][ephemeral_id]")
+    s("[host][os][name]")
+    s("[host][os][version]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -90,6 +90,10 @@ object Registry {
       Vector("elastic"), Set.empty, "high"),
     "checkpoint.fw" -> TechnologyConfig("checkpoint.fw", "logs-checkpoint.fw",
       Vector("elastic", "s3"), Set.empty, "high"),
+    "github.audit" -> TechnologyConfig("github.audit", "logs-github.audit",
+      Vector("elastic"), Set.empty, "low"),
+    "citrix.session" -> TechnologyConfig("citrix.session", "logs-citrix.session",
+      Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -390,5 +394,7 @@ object Registry {
     "azure.securityalert" -> SecRules.azureSecurityalert,
     "linux.host" -> OpsRules.linuxHost,
     "checkpoint.fw" -> SecRules.checkpointFw,
+    "github.audit" -> DbRules.githubAudit,
+    "citrix.session" -> DbRules.citrixSession,
     "unknown" -> unknown)
 }

@@ -48,7 +48,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("hdfs", Transcripts.hdfsInput), ("f5", Transcripts.f5Input),
       ("cloudfront", Transcripts.cfInput), ("netflow", Transcripts.nfInput),
       ("guardduty", Transcripts.gdInput), ("securityalert", Transcripts.saInput),
-      ("linuxhost", Transcripts.lhInput), ("checkpoint", Transcripts.ckInput))
+      ("linuxhost", Transcripts.lhInput), ("checkpoint", Transcripts.ckInput),
+      ("github", Transcripts.ghInput), ("citrix", Transcripts.cxInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
