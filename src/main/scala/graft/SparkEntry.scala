@@ -427,6 +427,19 @@ px AS (
         col("user_roles"), col("database_user_name"), col("event_category"),
         col("log_source_hostname"), col("route_index"))),
 
+    // cisco.meraki.fw end-to-end: content ladder + space/= kv + conditional
+    // ip:port dissects whose results the later rename block overwrites with
+    // the raw ip:port values (migrated to address fields by 02, then split
+    // by 18); severity translate overwrites category with its Others bug
+    "qmk01_meraki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mkInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_action"), col("source_address"), col("source_domain"),
+        col("source_port"), col("destination_address"), col("destination_domain"),
+        col("destination_port"), col("network_protocol"), col("source_nat_ip"),
+        col("url_full"), col("rule_category"),
+        col("log_syslog_severity_name").as("sev_name"))),
+
     // github.audit (GHE) end-to-end: flat JSON renames, year-less date
     "qgh01_github" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ghInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -1231,6 +1244,37 @@ SELECT t.conv_id, t.turn_idx,
   'sql_snowflake_failed_login',
   'logs-snowflake.failed_login_' || strftime(t.ts, '%Y.%m.%d')
 FROM sff_turns t JOIN sff_base b USING (event_id)""",
+
+    "qmk01_meraki" ->
+      s"""WITH ${Transcripts.mkCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.rsel WHEN 0 THEN 'rule 2,rule 5,rule 6' WHEN 1 THEN 'rule 3,rule 5,rule 6'
+       WHEN 2 THEN 'rule 4' ELSE 'rule 1' END AS parse_rule,
+  CASE b.rsel WHEN 2 THEN '1:' || CAST(20000 + (b.event_id % 9000) AS STRING) || '/blocked'
+       WHEN 3 THEN 'filteringblocked' ELSE NULL END AS event_action,
+  CASE WHEN b.rsel IN (0, 1) THEN '8' ELSE NULL END AS source_address,
+  CASE WHEN b.rsel IN (0, 1) THEN
+    CAST(b.user_id % 200 AS STRING) || '.' || CAST(b.event_id % 250 AS STRING)
+    || '.' || CAST(1 + (b.event_id % 254) AS STRING) || ':' || CAST(b.spt AS STRING)
+  ELSE NULL END AS source_domain,
+  CASE WHEN b.rsel IN (0, 1) THEN CAST(b.spt AS BIGINT) ELSE NULL END AS source_port,
+  CASE WHEN b.rsel IN (0, 1) THEN '172' ELSE NULL END AS destination_address,
+  CASE WHEN b.rsel = 0 THEN '16.' || CAST(b.event_id % 100 AS STRING) || '.' || CAST(1 + (b.user_id % 254) AS STRING) || ':443'
+       WHEN b.rsel = 1 THEN '16.' || CAST(b.event_id % 100 AS STRING) || '.' || CAST(1 + (b.user_id % 254) AS STRING) || ':80'
+       ELSE NULL END AS destination_domain,
+  CASE WHEN b.rsel = 0 THEN CAST(443 AS BIGINT)
+       WHEN b.rsel = 1 THEN CAST(80 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE WHEN b.rsel = 0 THEN 'tcp' WHEN b.rsel = 1 THEN 'http' ELSE NULL END AS network_protocol,
+  CASE WHEN b.rsel = 0 THEN '10.99.' || CAST(b.event_id % 200 AS STRING) || '.9' ELSE NULL END AS source_nat_ip,
+  CASE WHEN b.rsel = 1 THEN 'https://www.app' || CAST(b.event_id % 30 AS STRING) || '.co.uk/p/' || b.eid_s
+       WHEN b.rsel = 3 THEN 'https://bad' || CAST(b.event_id % 40 AS STRING) || '.example/x'
+       ELSE NULL END AS url_full,
+  CASE (b.event_id % 8) WHEN 3 THEN 'security/vulnerability' WHEN 4 THEN 'security/warning'
+       WHEN 5 THEN 'security/activity' ELSE 'others' END AS rule_category,
+  CASE (b.event_id % 8) WHEN 0 THEN 'emergency' WHEN 1 THEN 'alert'
+       WHEN 2 THEN 'critical' WHEN 3 THEN 'error' WHEN 4 THEN 'warning'
+       WHEN 5 THEN 'notice' WHEN 6 THEN 'informational' ELSE 'debug' END AS sev_name
+FROM mk_turns t JOIN mk_base b USING (event_id)""",
 
     "qgh01_github" ->
       s"""WITH ${Transcripts.ghCte}

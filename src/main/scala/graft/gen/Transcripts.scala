@@ -1238,6 +1238,48 @@ cx_turns AS (
   FROM cx_base
 )"""
 
+  /** cisco.meraki.fw additive corpus (ref: syslog_security_cisco.meraki.fw
+    * .conf) — flows (RULE 2 + ip:port dissects), urls (RULE 3 + 5/6),
+    * ids pattern (RULE 4), content block (RULE 1). */
+  val mkCte: String = s"""
+mk_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(FLOOR(event_id / 38.0) AS BIGINT) % 4 AS rsel,
+    CAST(event_id AS STRING) AS eid_s,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    '172.16.' || CAST(event_id % 100 AS STRING) || '.' || CAST(1 + (user_id % 254) AS STRING) AS dip,
+    1024 + (event_id % 40000) AS spt,
+    128 + (event_id % 8) AS pri5,
+    1600000000 + (event_id % 10000000) AS stime,
+    'mx' || CAST(user_id % 12 AS STRING) AS mx
+  FROM events WHERE (event_id % 38) = 33
+),
+mk_turns AS (
+  SELECT 'mk_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri5 AS STRING) || '>1 ' || CAST(stime AS STRING) || ' ' ||
+    CASE rsel
+      WHEN 0 THEN mx || '_mfw flows src=' || sip || ':' || CAST(spt AS STRING)
+        || ' dst=' || dip || ':443 mac=aa:bb:cc:dd:ee:' || LPAD(CAST(event_id % 100 AS STRING), 2, '0')
+        || ' protocol=tcp translated_src_ip=10.99.' || CAST(event_id % 200 AS STRING) || '.9'
+        || ' translated_port=' || CAST(5000 + (event_id % 900) AS STRING)
+      WHEN 1 THEN mx || ' urls src=' || sip || ':' || CAST(spt AS STRING)
+        || ' dst=' || dip || ':80 mac=aa:bb:cc:dd:ee:' || LPAD(CAST(event_id % 100 AS STRING), 2, '0')
+        || ' url=https://www.app' || CAST(event_id % 30 AS STRING) || '.co.uk/p/' || eid_s
+      WHEN 2 THEN mx || ' security_event ids_alerted pattern: 1:' || CAST(20000 + (event_id % 9000) AS STRING) || '/blocked'
+      ELSE mx || ' content_ing_block filteringBlocked url=https://bad' || CAST(event_id % 40 AS STRING) || '.example/x'
+    END AS text,
+    'cisco.meraki.fw' AS tool, ts, event_id
+  FROM mk_base
+)"""
+
+  def mkInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $mkCte SELECT conv_id, turn_idx, role, text, tool, ts FROM mk_turns")
+  }
+
   def ghInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $ghCte SELECT conv_id, turn_idx, role, text, tool, ts FROM gh_turns")

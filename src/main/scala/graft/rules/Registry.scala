@@ -94,6 +94,8 @@ object Registry {
       Vector("elastic"), Set.empty, "low"),
     "citrix.session" -> TechnologyConfig("citrix.session", "logs-citrix.session",
       Vector("elastic"), Set.empty, "low"),
+    "cisco.meraki.fw" -> TechnologyConfig("cisco.meraki.fw",
+      "logs-cisco.meraki.fw", Vector("elastic", "s3"), Set.empty, "high"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -396,5 +398,6 @@ object Registry {
     "checkpoint.fw" -> SecRules.checkpointFw,
     "github.audit" -> DbRules.githubAudit,
     "citrix.session" -> DbRules.citrixSession,
+    "cisco.meraki.fw" -> SecRules.merakiFw,
     "unknown" -> unknown)
 }

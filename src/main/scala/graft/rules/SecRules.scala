@@ -170,6 +170,83 @@ object SecRules {
     Parsed(Seq(ev))
   }
 
+  // ---------------------------------------------------------- cisco.meraki.fw
+  /** Meraki MX syslog (ref: syslog_security_cisco.meraki.fw.conf): strip
+    * quotes, skip the two header tokens, a content ladder (RULE 1
+    * content_ing_block — note the literal misses real
+    * content_filtering_block lines, RULE 2 '_mfw flows', RULE 4 'pattern:',
+    * RULE 3 fallback), space/= kv, conditional ip:port dissects (RULE 5/6,
+    * stacking parse_rule). Quirk kept: the rename block runs AFTER those
+    * dissects and overwrites source/destination.ip with the full ip:port kv
+    * value — which the 02 validity pass then migrates into the address
+    * fields. The closing severity translate keys on lowercase-shorthand
+    * labels ('info' never matches the real 'informational'), overwriting
+    * any category0/1 value. */
+  def merakiFw(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "cisco.meraki") // ref :9-12
+    ev.set("[event][dataset]", "cisco.meraki.fw_traffic")
+    Mutate.strip(ev, "message") // ref :13-17
+    Mutate.gsub(ev, "message", "[\\\"]", "")
+    Grok(ev, "message", Seq(Registry.HeaderGrok), Seq("_parsefailure_header")) // ref :18-22
+    SyslogPri(ev) // ref :23-26
+    if (!Dissect(ev, "actual_msg", "%{?data} %{?data} %{rest_msg}",
+      Seq("_dissectfailure"))) { // ref :27-31
+      ev.set("[agent][parse_rule]", "not parsed")
+      ev.addTag("_parse_failure")
+      return Parsed(Seq(ev))
+    }
+    val rest = ev.getString("rest_msg").getOrElse("")
+    if (rest.contains("content_ing_block")) { // ref :32-41 RULE 1
+      Mutate.addField(ev, "[agent][parse_rule]", "RULE 1")
+      Dissect(ev, "rest_msg", "%{?data} %{?data} %{[[event][action]]} %{rest_msg1}",
+        Seq("_dissectfailure"))
+    } else if (rest.contains("_mfw flows ")) { // ref :42-51 RULE 2
+      Mutate.addField(ev, "[agent][parse_rule]", "RULE 2")
+      Dissect(ev, "rest_msg", "%{?data} %{?data} %{rest_msg1}", Seq("_dissectfailure"))
+    } else if (rest.contains("pattern:")) { // ref :52-61 RULE 4
+      Mutate.addField(ev, "[agent][parse_rule]", "RULE 4")
+      Dissect(ev, "rest_msg", "%{?data}pattern: %{[[event][action]]}", Seq("_dissectfailure"))
+    } else { // ref :62-70 RULE 3
+      Mutate.addField(ev, "[agent][parse_rule]", "RULE 3")
+      Dissect(ev, "rest_msg", "%{?data} %{rest_msg1}", Seq("_dissectfailure"))
+    }
+    Kv(ev, "rest_msg1", ' ', '=', target = "meraki") // ref :71-76
+    def ipPort(kvField: String, rule: String, ipF: String, portF: String): Unit =
+      if (ev.getString(kvField).exists(_.contains(":"))) { // ref :77-116
+        Mutate.addField(ev, "[agent][parse_rule]", rule)
+        Dissect(ev, kvField, s"%{[$ipF]}:%{[$portF]}", Seq("_dissectfailure"))
+      }
+    ipPort("[meraki][src]", "RULE 5", "[source][ip]", "[source][port]")
+    ipPort("[meraki][dst]", "RULE 6", "[destination][ip]", "[destination][port]")
+    ipPort("[meraki][client_ip]", "RULE 5 (a)", "[source][ip]", "[source][port]")
+    ipPort("[meraki][server]", "RULE 6 (a)", "[destination][ip]", "[destination][port]")
+    ev.rename("[meraki][mac]", "[destination][mac]") // ref :117-132
+    ev.rename("[meraki][sport]", "[source][port]")
+    ev.rename("[meraki][dport]", "[destination][port]")
+    ev.rename("[meraki][dst]", "[destination][ip]") // overwrites with ip:port
+    ev.rename("[meraki][src]", "[source][ip]")
+    ev.rename("[meraki][protocol]", "[network][protocol]")
+    ev.rename("[meraki][translated_port]", "[source][nat][port]")
+    ev.rename("[meraki][translated_src_ip]", "[source][nat][ip]")
+    ev.rename("[meraki][translated_dst_ip]", "[destination][nat][ip]")
+    ev.rename("[meraki][server]", "[destination][ip]")
+    ev.rename("[meraki][client_ip]", "[source][ip]")
+    ev.rename("[meraki][category0]", "[rule][category]")
+    ev.rename("[meraki][category1]", "[rule][category]")
+    ev.rename("[meraki][url]", "[url][full]")
+    Seq("rest_msg", "rest_msg1", "meraki", "actual_msg").foreach(ev.remove) // ref :136-138
+    // ref :139-149 — translate on the syslog_pri label; 'info' never matches
+    // the real 'informational', so those fall through to Others
+    ev.getString("syslog_severity").foreach { sev =>
+      ev.set("[rule][category]", Map(
+        "Error" -> "Security/Vulnerability",
+        "Notice" -> "Security/Activity",
+        "Warning" -> "Security/Warning")
+        .getOrElse(sev, "Others"))
+    }
+    Parsed(Seq(ev))
+  }
+
   // ------------------------------------------------------ azure.securityalert
   /** Sentinel SecurityAlert rows through the shared event-hub envelope
     * (message-level lowercase, records[] split or bare object — same

@@ -49,7 +49,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("cloudfront", Transcripts.cfInput), ("netflow", Transcripts.nfInput),
       ("guardduty", Transcripts.gdInput), ("securityalert", Transcripts.saInput),
       ("linuxhost", Transcripts.lhInput), ("checkpoint", Transcripts.ckInput),
-      ("github", Transcripts.ghInput), ("citrix", Transcripts.cxInput))
+      ("github", Transcripts.ghInput), ("citrix", Transcripts.cxInput),
+      ("meraki", Transcripts.mkInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
