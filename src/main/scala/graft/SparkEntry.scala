@@ -427,6 +427,23 @@ px AS (
         col("user_roles"), col("database_user_name"), col("event_category"),
         col("log_source_hostname"), col("route_index"))),
 
+    // proofpoint.trap end-to-end: incident JSON with array-valued renames
+    // (flatten to null like an ES mapping conflict would), the
+    // users/quarantine/incident_field_values ruby block with its
+    // always-true recipient test, cnc hosts into related.ip
+    "qpt01_trap" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ptInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("event_reason"), col("event_category"), col("event_created_ms"),
+        col("event_id_s"), col("rule_description"), col("trace_id"),
+        col("event_risk_score"), col("event_outcome"), col("event_end_ms"),
+        col("event_modified_ms"), col("event_sequence"),
+        col("event_recommendation"), col("event_risk_score_norm"),
+        col("threat_list_category"), col("threat_list_attribute_tag"),
+        col("event_severity_name"), col("user_email"),
+        array_join(array_sort(col("related_ip")), ",").as("related_ip_s"),
+        col("log_source_hostname"))),
+
     // cisco.meraki.fw end-to-end: content ladder + space/= kv + conditional
     // ip:port dissects whose results the later rename block overwrites with
     // the raw ip:port values (migrated to address fields by 02, then split
@@ -1244,6 +1261,30 @@ SELECT t.conv_id, t.turn_idx,
   'sql_snowflake_failed_login',
   'logs-snowflake.failed_login_' || strftime(t.ts, '%Y.%m.%d')
 FROM sff_turns t JOIN sff_base b USING (event_id)""",
+
+    "qpt01_trap" ->
+      s"""WITH ${Transcripts.ptCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'phish campaign ' || CAST(b.event_id % 25 AS STRING) AS event_reason,
+  CAST(NULL AS STRING) AS event_category, -- array-valued event_sources
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  CAST(NULL AS STRING) AS event_id_s, -- array-valued event_ids
+  'incident desc ' || b.eid_s AS rule_description,
+  b.eid_s AS trace_id,
+  CAST(b.event_id % 100 AS BIGINT) AS event_risk_score,
+  CASE WHEN (b.event_id % 2) = 0 THEN 'closed' ELSE 'open' END AS event_outcome,
+  epoch_ms(date_trunc('second', t.ts)) AS event_end_ms,
+  epoch_ms(date_trunc('second', t.ts)) AS event_modified_ms,
+  CAST(1 + (b.event_id % 9) AS STRING) AS event_sequence,
+  'resolved by analyst ' || CAST(b.event_id % 8 AS STRING) AS event_recommendation,
+  CAST(b.event_id % 5 AS BIGINT) AS event_risk_score_norm,
+  'phish' AS threat_list_category,
+  'email' AS threat_list_attribute_tag,
+  CASE (b.event_id % 3) WHEN 0 THEN 'critical' WHEN 1 THEN 'high' ELSE 'medium' END AS event_severity_name,
+  CAST(NULL AS STRING) AS user_email, -- array (every recipient, the or-'null' bug)
+  b.cnc2 || ',' || b.cnc1 AS related_ip_s, -- 198.x sorts before 203.x
+  'api_proofpoint_trap' AS log_source_hostname
+FROM pt_turns t JOIN pt_base b USING (event_id)""",
 
     "qmk01_meraki" ->
       s"""WITH ${Transcripts.mkCte}

@@ -1275,6 +1275,50 @@ mk_turns AS (
   FROM mk_base
 )"""
 
+  /** proofpoint.trap additive corpus (ref: log_security_proofpoint.trap
+    * .conf) — incident JSON with array-valued fields and the
+    * users/quarantine/incident_field_values ruby surfaces. */
+  val ptCte: String = s"""
+pt_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    'u' || CAST(user_id % 50 AS STRING) AS uname,
+    '203.0.113.' || CAST(1 + (event_id % 250) AS STRING) AS cnc1,
+    '198.51.100.' || CAST(1 + (user_id % 250) AS STRING) AS cnc2,
+    $isoSec || 'Z' AS isoz
+  FROM events WHERE (event_id % 39) = 7
+),
+pt_turns AS (
+  SELECT 'pt_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"summary":"Phish campaign ' || CAST(event_id % 25 AS STRING) || '"'
+    || ',"event_sources":["email"]'
+    || ',"created_at":"' || isoz || '"'
+    || ',"event_ids":[' || eid_s || ',' || CAST(event_id + 1 AS STRING) || ']'
+    || ',"hosts":{"cnc":["' || cnc1 || '","' || cnc2 || '"],"attacker":["203.0.113.9"],"forensics":["f' || CAST(event_id % 40 AS STRING) || '"]}'
+    || ',"description":"incident desc ' || eid_s || '"'
+    || ',"id":' || eid_s
+    || ',"score":' || CAST(event_id % 100 AS STRING)
+    || ',"state":"' || CASE WHEN (event_id % 2) = 0 THEN 'closed' ELSE 'open' END || '"'
+    || ',"closed_at":"' || isoz || '","updated_at":"' || isoz || '"'
+    || ',"team":"soc","assignee":"' || uname || '"'
+    || ',"event_count":' || CAST(1 + (event_id % 9) AS STRING)
+    || ',"close_detail":"resolved by analyst ' || CAST(event_id % 8 AS STRING) || '"'
+    || ',"failed_quarantines":' || CAST(event_id % 5 AS STRING)
+    || ',"users":["' || uname || '",""]'
+    || ',"quarantine_results":[{"recipient":"' || uname || '@example.com"},{"recipient":""}]'
+    || ',"incident_field_values":[{"name":"Classification","value":"phish"},{"name":"Attack Vector","value":"email"},{"name":"Severity","value":"' || CASE (event_id % 3) WHEN 0 THEN 'Critical' WHEN 1 THEN 'High' ELSE 'Medium' END || '"}]'
+    || '}' AS text,
+    'proofpoint.trap' AS tool, ts, event_id
+  FROM pt_base
+)"""
+
+  def ptInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ptCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pt_turns")
+  }
+
   def mkInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $mkCte SELECT conv_id, turn_idx, role, text, tool, ts FROM mk_turns")

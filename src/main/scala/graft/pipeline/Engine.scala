@@ -296,6 +296,8 @@ object Engine {
       destination_nat_ip = s("[destination][nat][ip]"),
       service_ephemeral_id = s("[service][ephemeral_id]"),
       host_os_name = s("[host][os][name]"),
-      host_os_version = s("[host][os][version]"))
+      host_os_version = s("[host][os][version]"),
+      threat_list_category = s("[threat][list][category]"),
+      threat_list_attribute_tag = s("[threat][list][attribute_tag]"))
   }
 }

@@ -357,6 +357,8 @@ object RowKernel {
     s("[service][ephemeral_id]")
     s("[host][os][name]")
     s("[host][os][version]")
+    s("[threat][list][category]")
+    s("[threat][list][attribute_tag]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

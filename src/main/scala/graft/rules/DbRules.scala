@@ -45,6 +45,91 @@ object DbRules {
     Parsed(Seq(ev))
   }
 
+  // -------------------------------------------------------- proofpoint.trap
+  /** TRAP incident JSON (ref: log_security_proofpoint.trap.conf:8-104):
+    * renames (several array-valued — event_ids, event_sources, hosts.cnc —
+    * which flatten to null/arrays exactly as an ES mapping would see them)
+    * plus the :39-78 ruby block over users / quarantine_results /
+    * incident_field_values. Ruby quirk kept: the recipient test
+    * `item['recipient'] != '' or 'null'` parses as `(x != '') or 'null'`
+    * and 'null' is truthy, so EVERY recipient is collected, empties
+    * included. */
+  def proofpointTrap(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "proofpoint") // ref :9-13
+    ev.set("[event][dataset]", "proofpoint.trap")
+    ev.set("[log][source][hostname]", "api_proofpoint_trap")
+    if (!JsonOps.parse(ev, "message", "tmp")) { // ref :14-17
+      ev.set("[agent][parse_rule]", "not parsed")
+      ev.addTag("_parse_failure")
+      return Parsed(Seq(ev))
+    }
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.rename("[tmp][summary]", "[event][reason]") // ref :18-38
+    ev.rename("[tmp][event_sources]", "[event][category]")
+    ev.rename("[tmp][created_at]", "[event][created]")
+    ev.rename("[tmp][event_ids]", "[event][id]")
+    ev.rename("[tmp][hosts][cnc]", "[related][ip]")
+    ev.rename("[tmp][hosts][attacker]", "[threat][list][ioc]")
+    ev.rename("[tmp][hosts][forensics]", "[threat][list][event_analysis]")
+    ev.rename("[tmp][description]", "[rule][description]")
+    ev.rename("[tmp][id]", "[trace][id]")
+    ev.rename("[tmp][score]", "[event][risk_score]")
+    ev.rename("[tmp][state]", "[event][outcome]")
+    ev.rename("[tmp][closed_at]", "[event][end]")
+    ev.rename("[tmp][updated_at]", "[event][modified]")
+    ev.rename("[tmp][team]", "[team][name]")
+    ev.rename("[tmp][assignee]", "[assignee][user][name]")
+    ev.rename("[tmp][event_count]", "[event][sequence]")
+    ev.rename("[tmp][close_detail]", "[event][recommendation]")
+    ev.rename("[tmp][failed_quarantines]", "[event][risk_score_norm]")
+    // ref :39-78 — the msgparts ruby block
+    import scala.collection.mutable
+    ev.get("[tmp][users]").foreach {
+      case a: mutable.ArrayBuffer[Any @unchecked] =>
+        val users = a.collect { case s: String if s != "" => s: Any }
+        if (users.nonEmpty)
+          ev.set("[source][user][name]", users)
+      case _ => ()
+    }
+    ev.get("[tmp][quarantine_results]").foreach {
+      case a: mutable.ArrayBuffer[Any @unchecked] =>
+        val emails = mutable.ArrayBuffer.empty[Any]
+        a.foreach {
+          case m: Event.FMap =>
+            // `!= '' or 'null'` — always true in ruby; every recipient lands
+            val r = m.get("recipient")
+            if (r != null) emails += r
+          case _ => ()
+        }
+        if (emails.nonEmpty) ev.set("[user][email]", emails)
+      case _ => ()
+    }
+    ev.get("[tmp][incident_field_values]").foreach {
+      case a: mutable.ArrayBuffer[Any @unchecked] =>
+        a.foreach {
+          case m: Event.FMap =>
+            (m.get("name"), m.get("value")) match {
+              case ("Classification", v) if v != null => ev.set("[threat][list][category]", v)
+              case ("Attack Vector", v) if v != null => ev.set("[threat][list][attribute_tag]", v)
+              case ("Severity", v) if v != null => ev.set("[event][severity_name]", v)
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    ev.remove("tmp") // ref :80-82
+    def dateRm(f: String, target: String, tag: String): Unit = {
+      Dates(ev, f, Seq("yyyy-MM-dd'T'HH:mm:ss'Z'"), target,
+        timezone = "GMT", tagOnFailure = Seq(tag))
+      if (ev.has(target)) ev.remove(f)
+    }
+    dateRm("[event][created]", "[event][created_ms]", "_dateparsefailure_ec") // ref :83-103
+    dateRm("[event][end]", "[event][end_ms]", "_dateparsefailure_ee")
+    dateRm("[event][modified]", "[event][modified_ms]", "_dateparsefailure_em")
+    Parsed(Seq(ev))
+  }
+
   // ---------------------------------------------------------- citrix.session
   /** Citrix session DB rows (ref: db_audit_citrix.session.conf:8-64): the
     * jdbc input delivers `message` as a MAP of columns; fields are COPIED

@@ -96,6 +96,8 @@ object Registry {
       Vector("elastic"), Set.empty, "low"),
     "cisco.meraki.fw" -> TechnologyConfig("cisco.meraki.fw",
       "logs-cisco.meraki.fw", Vector("elastic", "s3"), Set.empty, "high"),
+    "proofpoint.trap" -> TechnologyConfig("proofpoint.trap",
+      "logs-proofpoint.trap", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -399,5 +401,6 @@ object Registry {
     "github.audit" -> DbRules.githubAudit,
     "citrix.session" -> DbRules.citrixSession,
     "cisco.meraki.fw" -> SecRules.merakiFw,
+    "proofpoint.trap" -> DbRules.proofpointTrap,
     "unknown" -> unknown)
 }

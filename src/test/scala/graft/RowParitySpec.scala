@@ -50,7 +50,7 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("guardduty", Transcripts.gdInput), ("securityalert", Transcripts.saInput),
       ("linuxhost", Transcripts.lhInput), ("checkpoint", Transcripts.ckInput),
       ("github", Transcripts.ghInput), ("citrix", Transcripts.cxInput),
-      ("meraki", Transcripts.mkInput))
+      ("meraki", Transcripts.mkInput), ("trap", Transcripts.ptInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
