@@ -427,6 +427,17 @@ px AS (
         col("user_roles"), col("database_user_name"), col("event_category"),
         col("log_source_hostname"), col("route_index"))),
 
+    // aws.securityhub end-to-end: message lowercased pre-parse, the ruby
+    // loop where the LAST finding wins, array-collected resource ids
+    "qsh01_securityhub" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.shInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("cloud_account_id"), col("event_created_ms"), col("rule_description"),
+        col("rule_id"), col("event_id_s"), col("service_version"),
+        col("event_severity_name"), col("event_kind"), col("event_type"),
+        col("event_modified_ms"), col("log_source_hostname"),
+        col("cloud_instance_id"), col("cloud_region"))),
+
     // proofpoint.trap end-to-end: incident JSON with array-valued renames
     // (flatten to null like an ES mapping conflict would), the
     // users/quarantine/incident_field_values ruby block with its
@@ -1261,6 +1272,25 @@ SELECT t.conv_id, t.turn_idx,
   'sql_snowflake_failed_login',
   'logs-snowflake.failed_login_' || strftime(t.ts, '%Y.%m.%d')
 FROM sff_turns t JOIN sff_base b USING (event_id)""",
+
+    // the LAST finding wins (ref :22-33): 'b' values on two-finding events
+    "qsh01_securityhub" ->
+      s"""WITH ${Transcripts.shCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  b.acct || (CASE WHEN b.two = 0 THEN 'b' ELSE '' END) AS cloud_account_id,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  'finding desc ' || b.eid_s || (CASE WHEN b.two = 0 THEN 'b' ELSE '' END) AS rule_description,
+  'aws-guard-' || CAST(b.event_id % 9 AS STRING) || (CASE WHEN b.two = 0 THEN 'b' ELSE '' END) AS rule_id,
+  'arn:finding/' || b.eid_s || (CASE WHEN b.two = 0 THEN 'b' ELSE '' END) AS event_id_s,
+  '2018-10-08' AS service_version,
+  CASE (b.event_id % 3) WHEN 0 THEN 'high' WHEN 1 THEN 'medium' ELSE 'low' END AS event_severity_name,
+  'finding title ' || CAST(b.event_id % 25 AS STRING) || (CASE WHEN b.two = 0 THEN 'b' ELSE '' END) AS event_kind,
+  CAST(NULL AS STRING) AS event_type, -- array-valued types
+  epoch_ms(date_trunc('second', t.ts)) AS event_modified_ms,
+  b.acct || (CASE WHEN b.two = 0 THEN 'b' ELSE '' END) AS log_source_hostname,
+  CAST(NULL AS STRING) AS cloud_instance_id, -- ruby collects into arrays
+  CAST(NULL AS STRING) AS cloud_region
+FROM sh_turns t JOIN sh_base b USING (event_id)""",
 
     "qpt01_trap" ->
       s"""WITH ${Transcripts.ptCte}

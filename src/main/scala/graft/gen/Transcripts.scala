@@ -1314,6 +1314,57 @@ pt_turns AS (
   FROM pt_base
 )"""
 
+  /** aws.securityhub additive corpus (ref: api_aws_securityhub.conf) —
+    * 1-2 findings per event (the ruby loop keeps only the LAST), resources
+    * with an empty second entry for the non-empty filters. */
+  val shCte: String = s"""
+sh_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    LPAD(CAST(user_id AS STRING), 12, '0') AS acct,
+    $isoSec || 'Z' AS isoz,
+    (event_id % 2) AS two
+  FROM events WHERE (event_id % 41) = 19
+),
+sh_rec AS (
+  SELECT *,
+    '{"awsaccountid":"' || acct || '","createdat":"' || isoz || '"'
+    || ',"description":"finding desc ' || eid_s || '"'
+    || ',"generatorid":"aws-guard-' || CAST(event_id % 9 AS STRING) || '"'
+    || ',"id":"arn:finding/' || eid_s || '"'
+    || ',"productarn":"arn:product/securityhub","schemaversion":"2018-10-08"'
+    || ',"severity":{"label":"' || CASE (event_id % 3) WHEN 0 THEN 'HIGH' WHEN 1 THEN 'MEDIUM' ELSE 'LOW' END || '"}'
+    || ',"title":"finding title ' || CAST(event_id % 25 AS STRING) || '"'
+    || ',"types":["software and configuration checks"]'
+    || ',"resources":[{"id":"arn:ec2:i-' || eid_s || '","region":"us-east-1"},{"id":"","region":""}]'
+    || ',"updatedat":"' || isoz || '"}' AS rec1,
+    '{"awsaccountid":"' || acct || 'b","createdat":"' || isoz || '"'
+    || ',"description":"finding desc ' || eid_s || 'b"'
+    || ',"generatorid":"aws-guard-' || CAST(event_id % 9 AS STRING) || 'b"'
+    || ',"id":"arn:finding/' || eid_s || 'b"'
+    || ',"productarn":"arn:product/securityhub","schemaversion":"2018-10-08"'
+    || ',"severity":{"label":"' || CASE (event_id % 3) WHEN 0 THEN 'HIGH' WHEN 1 THEN 'MEDIUM' ELSE 'LOW' END || '"}'
+    || ',"title":"finding title ' || CAST(event_id % 25 AS STRING) || 'b"'
+    || ',"types":["software and configuration checks"]'
+    || ',"resources":[{"id":"arn:ec2:i-' || eid_s || 'b","region":"us-west-2"},{"id":"","region":""}]'
+    || ',"updatedat":"' || isoz || '"}' AS rec2
+  FROM sh_base
+),
+sh_turns AS (
+  SELECT 'sh_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"detail-type":"Security Hub Findings - Imported","detail":{"findings":['
+    || rec1 || CASE WHEN two = 0 THEN ',' || rec2 ELSE '' END || ']}}' AS text,
+    'aws.securityhub' AS tool, ts, event_id
+  FROM sh_rec
+)"""
+
+  def shInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $shCte SELECT conv_id, turn_idx, role, text, tool, ts FROM sh_turns")
+  }
+
   def ptInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $ptCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pt_turns")

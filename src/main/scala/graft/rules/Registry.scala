@@ -98,6 +98,8 @@ object Registry {
       "logs-cisco.meraki.fw", Vector("elastic", "s3"), Set.empty, "high"),
     "proofpoint.trap" -> TechnologyConfig("proofpoint.trap",
       "logs-proofpoint.trap", Vector("elastic"), Set.empty, "low"),
+    "aws.securityhub" -> TechnologyConfig("aws.securityhub",
+      "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -402,5 +404,6 @@ object Registry {
     "citrix.session" -> DbRules.citrixSession,
     "cisco.meraki.fw" -> SecRules.merakiFw,
     "proofpoint.trap" -> DbRules.proofpointTrap,
+    "aws.securityhub" -> SecRules.awsSecurityhub,
     "unknown" -> unknown)
 }

@@ -170,6 +170,65 @@ object SecRules {
     Parsed(Seq(ev))
   }
 
+  // ----------------------------------------------------------- aws.securityhub
+  /** SecurityHub findings (ref: api_aws_securityhub.conf:8-89): message
+    * lowercased BEFORE the json parse (keys and values), then the :22-33
+    * ruby loop sets [data] to each finding in turn — so a multi-finding
+    * event silently keeps only the LAST finding. The resources ruby
+    * collects non-empty ids/regions into ARRAYS (cloud.instance.id /
+    * cloud.region scalar columns therefore flatten null). */
+  def awsSecurityhub(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "aws") // ref :9-14
+    ev.set("[event][dataset]", "aws.securityhub")
+    Mutate.lowercase(ev, "message") // ref :15-17
+    if (!JsonOps.parse(ev, "message", "tmp")) { // ref :18-21
+      ev.set("[agent][parse_rule]", "not parsed")
+      ev.addTag("_parse_failure")
+      return Parsed(Seq(ev))
+    }
+    ev.set("[agent][parse_rule]", "Rule 1")
+    import scala.collection.mutable
+    ev.get("[tmp][detail][findings]").foreach { // ref :22-33 — last finding wins
+      case a: mutable.ArrayBuffer[Any @unchecked] =>
+        a.foreach(item => ev.set("data", item))
+      case _ => ()
+    }
+    Mutate.addField(ev, "[log][source][hostname]", "%{[data][awsaccountid]}") // ref :34-36
+    ev.rename("[data][awsaccountid]", "[cloud][account][id]") // ref :37-49
+    ev.rename("[data][createdat]", "[event][created]")
+    ev.rename("[data][description]", "[rule][description]")
+    ev.rename("[data][generatorid]", "[rule][id]")
+    ev.rename("[data][id]", "[event][id]")
+    ev.rename("[data][productarn]", "[service][id]")
+    ev.rename("[data][schemaversion]", "[service][version]")
+    ev.rename("[data][severity][label]", "[event][severity_name]")
+    ev.rename("[data][title]", "[event][kind]")
+    ev.rename("[data][types]", "[event][type]")
+    ev.rename("[data][updatedat]", "[event][modified]")
+    ev.get("[data][resources]").foreach { // ref :50-74
+      case a: mutable.ArrayBuffer[Any @unchecked] =>
+        val ids = mutable.ArrayBuffer.empty[Any]
+        val regions = mutable.ArrayBuffer.empty[Any]
+        a.foreach {
+          case m: Event.FMap =>
+            m.get("id") match { case s: String if s != "" => ids += s; case _ => () }
+            m.get("region") match { case s: String if s != "" => regions += s; case _ => () }
+          case _ => ()
+        }
+        if (ids.nonEmpty) ev.set("[cloud][instance][id]", ids)
+        if (regions.nonEmpty) ev.set("[cloud][region]", regions)
+      case _ => ()
+    }
+    def dateRm(f: String, target: String, tag: String): Unit = {
+      Dates(ev, f, Seq("ISO8601"), target, timezone = "GMT", tagOnFailure = Seq(tag))
+      if (ev.has(target)) ev.remove(f)
+    }
+    dateRm("[event][created]", "[event][created_ms]", "_dateparsefailure_ec") // ref :75-86
+    dateRm("[event][modified]", "[event][modified_ms]", "_dateparsefailure_em")
+    ev.remove("tmp"); ev.remove("data") // ref :87-89
+    Parsed(Seq(ev))
+  }
+
   // ---------------------------------------------------------- cisco.meraki.fw
   /** Meraki MX syslog (ref: syslog_security_cisco.meraki.fw.conf): strip
     * quotes, skip the two header tokens, a content ladder (RULE 1

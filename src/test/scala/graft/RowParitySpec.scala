@@ -50,7 +50,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("guardduty", Transcripts.gdInput), ("securityalert", Transcripts.saInput),
       ("linuxhost", Transcripts.lhInput), ("checkpoint", Transcripts.ckInput),
       ("github", Transcripts.ghInput), ("citrix", Transcripts.cxInput),
-      ("meraki", Transcripts.mkInput), ("trap", Transcripts.ptInput))
+      ("meraki", Transcripts.mkInput), ("trap", Transcripts.ptInput),
+      ("securityhub", Transcripts.shInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
