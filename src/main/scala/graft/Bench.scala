@@ -145,15 +145,35 @@ object Bench {
 
     // ---- headline query timings at the driver-requested level ----
     spark = session(cpus.toInt)
+    // Component breakdown of the session's first-touch fixed costs (round-2
+    // verdict #1: q05 absorbed dict build+broadcast, Janino/JIT of the
+    // generator CTE and registry, AND parse+persist inside one timed number
+    // — 21 s that was unattributable). Time each once, separately; the
+    // headline q05 then measures the steady-state aggregation like q06.
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val cDicts = timed(Pipeline.dictsBroadcast(spark)) // build ~280k entries + broadcast
+    val cGen = timed(Transcripts.input(spark, sfDir).count()) // generator CTE materialization
+    val cParse = timed(SparkEntry.parsed(spark, sfDir).count()) // gen (again) + kernel + persist
+    val components = Vector(
+      "c_dicts_build_broadcast" -> cDicts,
+      "c_generator_materialize" -> cGen,
+      "c_parse_persist" -> cParse)
     val headline = Vector("q05_sink_counts", "q06_salted_counts", "q02_parse_core",
       "d01_exact_dedup", "d02_minhash_pairs", "d03_simhash", "d05_cosine_topk",
       "d08_tokens", "r01_lineitem_agg", "r02_join_agg", "r04_sessionize")
     val all = SparkEntry.queries
+    // min-of-2 per query: one co-tenant burst cannot poison a per-query
+    // number (round-2 verdict #4)
     val results = headline.flatMap { name =>
       all.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> ts.min
       }
     }
     // Kernel-only thread-scaling (no Spark layer): cache-local and far less
@@ -201,8 +221,9 @@ object Bench {
     spark.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val cs = components.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$n32,"turns_per_sec_2":$tput2%.0f,"turns_per_sec_8":$tput8%.0f,"turns_per_sec_32":$tput32%.0f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff832%.3f,"kernel_turns_per_sec_32":$kTput32%.0f,"kernel_scaling_efficiency_8_32":$kEff%.3f,"ann_recall":$recall%.3f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"components":$cs,"sf":"$sfDir","turns":$n32,"turns_per_sec_2":$tput2%.0f,"turns_per_sec_8":$tput8%.0f,"turns_per_sec_32":$tput32%.0f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff832%.3f,"kernel_turns_per_sec_32":$kTput32%.0f,"kernel_scaling_efficiency_8_32":$kEff%.3f,"ann_recall":$recall%.3f}""")
   }
 }

@@ -107,7 +107,7 @@ px AS (
       col("conv_id"), col("turn_idx"), col("sub_idx"), col("technology"),
       col("parse_rule"), col("parse_ok").cast("int").as("parse_ok_i"),
       col("source_ip"), col("destination_ip"), col("source_port"),
-      col("destination_port"), col("event_action"))),
+      col("destination_port"), col("event_action"), col("agent_name"))),
 
     // syslog_pri decode + ECS renames
     "q03_syslog_pri" -> ((s, dir) => parsed(s, dir)
@@ -438,6 +438,24 @@ px AS (
         col("event_modified_ms"), col("log_source_hostname"),
         col("cloud_instance_id"), col("cloud_region"))),
 
+    // a10.proxy end-to-end: json input codec (shipper envelope) + the
+    // GENERIC host→agent.name input normalization
+    // (1_kafka_input_template.conf:37-43), the a10/A10 drop, RULE 1
+    // persist-xff grok, RULE 3 proxy-flow grok, and the no-failure-tag
+    // "does not match rule" else branch
+    "qa01_a10" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.a10Input(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("agent_name"),
+        col("host_hostname"), col("process_name"), col("event_provider"),
+        col("event_type"), col("user_agent_original"), col("url_path"),
+        col("source_ip"), col("destination_ip"), col("destination_port"),
+        col("network_protocol"), col("event_action"),
+        col("log_syslog_facility_code"), col("log_syslog_facility_name"),
+        col("log_syslog_severity_code"), col("log_syslog_severity_name"),
+        col("event_created_ms"), col("event_module"), col("event_dataset"),
+        col("route_index"))),
+
     // proofpoint.trap end-to-end: incident JSON with array-valued renames
     // (flatten to null like an ES mapping conflict would), the
     // users/quarantine/incident_field_values ruby block with its
@@ -674,7 +692,8 @@ SELECT conv_id, turn_idx, sub_idx, tool AS technology,
   CASE WHEN tsel <= 2 OR tsel = 7 THEN act
        WHEN tsel IN (3,4) THEN (CASE WHEN act = 'allow' THEN 'accept' ELSE 'reject' END)
        WHEN tsel IN (5,6) THEN (CASE WHEN (event_id % 3) = 0 THEN 'logged-in' ELSE 'logon-failed' END)
-       ELSE NULL END AS event_action
+       ELSE NULL END AS event_action,
+  CASE WHEN tsel = 8 THEN 'azure.eventhub' ELSE NULL END AS agent_name
 FROM px""",
 
     "q03_syslog_pri" ->
@@ -1291,6 +1310,38 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   CAST(NULL AS STRING) AS cloud_instance_id, -- ruby collects into arrays
   CAST(NULL AS STRING) AS cloud_region
 FROM sh_turns t JOIN sh_base b USING (event_id)""",
+
+    // agent_name = the envelope's scalar host (generic input normalization);
+    // severity/facility from the wire pri (RULE 1's in-body <6> is
+    // overwritten by the 04_syslog_pri_ecs rename, like the reference)
+    "qa01_a10" ->
+      s"""WITH ${Transcripts.a10Cte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'a10.proxy' AS technology,
+  CASE b.asel WHEN 1 THEN 'rule 1' WHEN 2 THEN 'rule 3' ELSE 'does not match rule' END AS parse_rule,
+  b.hostv AS agent_name,
+  CASE WHEN b.asel = 1 THEN b.hostv || '-hn' ELSE NULL END AS host_hostname,
+  CASE WHEN b.asel = 1 THEN 'a10d' ELSE NULL END AS process_name,
+  CASE WHEN b.asel = 1 THEN 'tmm' ELSE NULL END AS event_provider,
+  CASE WHEN b.asel = 1 THEN 'persist-xff' ELSE NULL END AS event_type,
+  CASE WHEN b.asel = 1 THEN b.ua ELSE NULL END AS user_agent_original,
+  CASE WHEN b.asel = 1 THEN '/app/' || b.eid_s ELSE NULL END AS url_path,
+  CASE WHEN b.asel IN (1,2) THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.asel = 2 THEN b.dip ELSE NULL END AS destination_ip,
+  CASE WHEN b.asel = 2 THEN CAST(b.dpt AS BIGINT) ELSE NULL END AS destination_port,
+  CASE WHEN b.asel = 2 THEN b.proto ELSE NULL END AS network_protocol,
+  CASE WHEN b.asel = 2 THEN b.act ELSE NULL END AS event_action,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  'local' || CAST(b.event_id % 8 AS STRING) AS log_syslog_facility_name,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  CASE (b.event_id % 5) WHEN 0 THEN 'emergency' WHEN 1 THEN 'alert'
+    WHEN 2 THEN 'critical' WHEN 3 THEN 'error' ELSE 'warning' END AS log_syslog_severity_name,
+  CASE WHEN b.asel = 1 THEN epoch_ms(date_trunc('second', t.ts))
+       ELSE epoch_ms(t.ts) END AS event_created_ms,
+  'a10' AS event_module, 'a10.proxy' AS event_dataset,
+  'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM a10_turns t JOIN a10_base b USING (event_id)
+WHERE b.asel <> 0""",
 
     "qpt01_trap" ->
       s"""WITH ${Transcripts.ptCte}

@@ -1360,6 +1360,59 @@ sh_turns AS (
   FROM sh_rec
 )"""
 
+  /** a10.proxy — the inner syslog line wrapped in the kafka `codec => json`
+    * shipper envelope {"message", "host"}: the ONE reference tech with a
+    * json input codec (build_scripts/settings.json), carrying the generic
+    * host→agent.name input normalization end-to-end. asel 0 = the a10/A10
+    * `drop {}` line, 1 = RULE 1 persist-xff, 2 = RULE 3 proxy flow,
+    * 3 = the "does not match rule" else branch. */
+  val a10Cte: String = s"""
+a10_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    (event_id % 4) AS asel,
+    $monCase AS mon,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dday,
+    LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS t1,
+    'a10-' || CAST(user_id % 20 AS STRING) AS hostv,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    '172.16.' || CAST(event_id % 100 AS STRING) || '.' || CAST(1 + (user_id % 254) AS STRING) AS dip,
+    CASE (user_id % 4) WHEN 0 THEN 443 WHEN 1 THEN 80 WHEN 2 THEN 53 ELSE 22 END AS dpt,
+    CASE (event_id % 3) WHEN 0 THEN 'https' WHEN 1 THEN 'http' ELSE 'dns' END AS proto,
+    CASE WHEN (event_id % 5) < 3 THEN 'reset' ELSE 'forwarded' END AS act,
+    CASE WHEN (event_id % 2) = 0 THEN 'Mozilla/5.0' ELSE 'curl/8.5' END AS ua
+  FROM events WHERE (event_id % 43) = 17
+),
+a10_line AS (
+  SELECT *,
+    CASE asel
+      WHEN 0 THEN CASE WHEN (event_id % 8) = 0 THEN 'a10' ELSE 'A10' END
+      WHEN 1 THEN mon || ' ' || dday || ' ' || t1 || ' ' || hostv
+        || '-hn a10d: [tmm]<6>persist-xff:' || ua || ', /app/' || eid_s || '] ' || sip
+      WHEN 2 THEN '[ssl] ' || proto || ' ' || sip || ' > ' || dip || ':'
+        || CAST(dpt AS STRING) || ' ' || act || ' (client)'
+      ELSE 'session cleanup ' || eid_s
+    END AS line
+  FROM a10_base
+),
+a10_turns AS (
+  SELECT 'a10_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"message":"<' || CAST(pri AS STRING) || '>' || line || '","host":"' || hostv || '"}' AS text,
+    'a10.proxy' AS tool, ts, event_id
+  FROM a10_line
+)"""
+
+  def a10Input(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $a10Cte SELECT conv_id, turn_idx, role, text, tool, ts FROM a10_turns")
+  }
+
   def shInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $shCte SELECT conv_id, turn_idx, role, text, tool, ts FROM sh_turns")

@@ -37,6 +37,23 @@ object Engine {
     graft.rules.RuleDicts.set(dicts) // parse-stage translates (cisco)
     val ev = new Event
     ev.set("message", if (text == null) "" else text)
+    // Input-stage codec: `kafka_input.codec == "json"` decodes the payload
+    // object into the event root (the only tech shipping this in the
+    // reference's settings is a10.proxy — ref: build_scripts/settings.json
+    // "kafka_input": {"codec": "json"}); a non-object / invalid payload
+    // keeps the raw text in `message` with `_jsonparsefailure`.
+    if (cfg.jsonCodec) graft.parse.JsonOps.parse(ev, "message", "")
+    // Generic input normalization from the shared kafka input template
+    // (ref: config/inputs/kafka/1_kafka_input_template.conf:37-43): if
+    // `host` is not a Hash, copy it to [agent][name]. When `host` is absent
+    // the reference sets [agent][name] to Ruby nil (nil.is_a?(Hash) is
+    // false) — output-identical to leaving it unset, so we skip the write
+    // rather than storing a null the enrichment walkers would re-scrub.
+    ev.valueOrNull("host") match {
+      case null => ()
+      case _: Event.FMap => ()
+      case hostScalar => ev.set("[agent][name]", Event.deepCopy(hostScalar))
+    }
     program(ev, ctx) match {
       case Dropped => null
       case Parsed(events) =>
@@ -298,6 +315,7 @@ object Engine {
       host_os_name = s("[host][os][name]"),
       host_os_version = s("[host][os][version]"),
       threat_list_category = s("[threat][list][category]"),
-      threat_list_attribute_tag = s("[threat][list][attribute_tag]"))
+      threat_list_attribute_tag = s("[threat][list][attribute_tag]"),
+      agent_name = s("[agent][name]"))
   }
 }

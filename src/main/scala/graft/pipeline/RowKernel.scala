@@ -359,6 +359,7 @@ object RowKernel {
     s("[host][os][version]")
     s("[threat][list][category]")
     s("[threat][list][attribute_tag]")
+    s("[agent][name]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -3,9 +3,9 @@ package graft.rules
 import graft.model.Event
 import graft.parse._
 
-/** aws.cloudfront + cisco.netflow — semantic ports of
-  * config/processors/s3_log_aws.cloudfront.conf and
-  * flow_audit_cisco_netflow.conf. */
+/** aws.cloudfront + cisco.netflow + a10.proxy — semantic ports of
+  * config/processors/s3_log_aws.cloudfront.conf,
+  * flow_audit_cisco_netflow.conf and syslog_audit_a10.proxy.conf. */
 object EdgeRules {
 
   // --------------------------------------------------------- aws.cloudfront
@@ -120,6 +120,64 @@ object EdgeRules {
     if (ev.has("[event][created_ms]")) ev.remove("[event][created]")
     Dates(ev, "[event][start]", Seq("ISO8601"), "[event][created_ms]",
       timezone = "GMT", tagOnFailure = Seq("_dateparsefailure_es"))
+    Parsed(Seq(ev))
+  }
+
+  // -------------------------------------------------------------- a10.proxy
+  /** Semantic port of config/processors/syslog_audit_a10.proxy.conf — the
+    * ONE technology whose kafka input ships `codec => json`
+    * (ref: build_scripts/settings.json), so the generic host→agent.name
+    * input normalization (1_kafka_input_template.conf:37-43) is observable
+    * end-to-end here: the shipper envelope {"message", "host"} decodes at
+    * the input, the scalar `host` lands in [agent][name], and the per-tech
+    * rules below parse the inner syslog line.
+    *
+    * RULE 1 (persist-xff, ref :25-38), RULE 3 (bracket-prefixed proxy flow,
+    * ref :52-61), the a10/A10 `drop {}` (ref :22-24) and the
+    * "does not match rule" else-branch (ref :71-75 — note: NO failure tag,
+    * so parse_ok stays true; mirrored verbatim). RULE 2 (cef waf) and
+    * RULE 4 (axapi) are not generated by the corpus and take the else path
+    * shape-wise; their regexes are ported for completeness. */
+  private val a10Rule1Grok: String =
+    "^((?<[month]>.*?)(\\s)? (?<[date]>.*?) (?<[time]>.*?) (?<[host][hostname]>.*?) " +
+      "(?<[process][name]>.*?)\\: \\[(?<[event][provider]>.*?)\\]\\<(?<[log][syslog][severity][code]>.*?)\\>)?" +
+      "(?<[event][type]>.*?):(?<[user_agent][original]>.*?)" +
+      "(\\, (?<[url][path]>\\S*)(\\] (?<[source][ip]>.*?)))?$"
+  private val a10Rule3Grok: String =
+    "^\\[\\w+.*?\\] (?<[network][protocol]>.*?) (?<[source][ip]>.*?) \\> " +
+      "(?<[destination][ip]>.*?):(?<[destination][port]>\\d+) (?<[event][action]>.*?) \\(\\w+\\)"
+  private val a10DateFormats = Seq(
+    "MMM dd yyyy HH:mm:ss", "MMM dd yyyy HH:mm:ss.SSS", "yyyy-mm-dd HH:mm:ss",
+    "yyyy-mm-dd HH:mm:ss.SSS", "MMM dd HH:mm:ss", "MMM dd HH:mm:ss.SSS",
+    "yyyy/MM/dd 'at' HH:mm:ss", "MMM d HH:mm:ss") // ref :80 (lowercase mm kept verbatim)
+
+  def a10Proxy(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "a10") // ref :9-12
+    ev.set("[event][dataset]", "a10.proxy")
+    Grok(ev, "message", Seq(Registry.HeaderGrok), Seq("_parsefailure_header")) // ref :13-17
+    SyslogPri(ev) // ref :18-21
+    val msg = ev.getString("actual_msg").getOrElse("")
+    if (msg == "a10" || msg == "A10") return Dropped // ref :22-24
+    if (msg.contains("persist-xff:")) { // ref :25-38
+      ev.set("[agent][parse_rule]", "RULE 1")
+      Grok(ev, "actual_msg", Seq(a10Rule1Grok), Seq("_parsefailure_body2"))
+      if (ev.has("month") && ev.has("date") && ev.has("time"))
+        Mutate.addField(ev, "[event][created]", "%{month} %{date} %{time}")
+    } else if (msg.startsWith("[") && msg.matches("^\\[\\w+.*?\\].*")) { // ref :52-61
+      ev.set("[agent][parse_rule]", "RULE 3")
+      Grok(ev, "actual_msg", Seq(a10Rule3Grok), Seq("_parsefailure_body2"))
+    } else {
+      ev.set("[agent][parse_rule]", "does not match rule") // ref :71-75
+    }
+    Mutate.gsub(ev, "[event][created]", "  ", " ") // ref :76-79
+    if (Dates(ev, "[event][created]", a10DateFormats, "[event][created_ms]",
+      timezone = "GMT", locale = "en",
+      tagOnFailure = Seq("_dateparsefailure_ec"), defaultYear = ctx.tsYear)) {
+      ev.remove("[event][created]")
+    } else if (ev.hasTag("_dateparsefailure_ec")) {
+      ev.remove("[event][created]") // ref :86-90
+    }
+    ev.remove("actual_msg"); ev.remove("month"); ev.remove("date"); ev.remove("time") // ref :91-93
     Parsed(Seq(ev))
   }
 }

@@ -12,7 +12,8 @@ final case class TechnologyConfig(
   indexName: String,
   outputs: Vector[String],
   disabledEnrichments: Set[String],
-  volumeClass: String // high|medium|low — maps to the 8/4/2-worker classes
+  volumeClass: String, // high|medium|low — maps to the 8/4/2-worker classes
+  jsonCodec: Boolean = false // kafka_input.codec == "json" (settings.json)
 )
 
 /** Outcome of a parse program. `Dropped` mirrors the `drop {}` filter;
@@ -100,6 +101,8 @@ object Registry {
       "logs-proofpoint.trap", Vector("elastic"), Set.empty, "low"),
     "aws.securityhub" -> TechnologyConfig("aws.securityhub",
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
+    "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
+      Vector("elastic"), Set.empty, "medium", jsonCodec = true),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low"))
 
@@ -405,5 +408,6 @@ object Registry {
     "cisco.meraki.fw" -> SecRules.merakiFw,
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
+    "a10.proxy" -> EdgeRules.a10Proxy,
     "unknown" -> unknown)
 }

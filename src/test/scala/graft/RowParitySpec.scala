@@ -51,7 +51,7 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("linuxhost", Transcripts.lhInput), ("checkpoint", Transcripts.ckInput),
       ("github", Transcripts.ghInput), ("citrix", Transcripts.cxInput),
       ("meraki", Transcripts.mkInput), ("trap", Transcripts.ptInput),
-      ("securityhub", Transcripts.shInput))
+      ("securityhub", Transcripts.shInput), ("a10", Transcripts.a10Input))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
