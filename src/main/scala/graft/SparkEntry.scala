@@ -670,7 +670,7 @@ px AS (
         col("url_full"), col("url_path"), col("host_hostname"),
         col("log_source_hostname")))
     )
-    base ++ MlEntry.queries
+    base ++ MlEntry.queries ++ graft.rules.SnowflakeFamily.queries
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1777,5 +1777,5 @@ SELECT conv_id, turn_idx, sub_idx, 1 AS parse_ok_i,
   CASE WHEN sub_idx = 0 THEN 'team ' || CAST(event_id % 12 AS STRING) || ' site' ELSE NULL END AS host_hostname,
   tenant AS log_source_hostname
 FROM offx"""
-  ) ++ MlEntry.oracleSql
+  ) ++ MlEntry.oracleSql ++ graft.rules.SnowflakeFamily.oracleSql
 }

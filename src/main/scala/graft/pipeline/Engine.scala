@@ -316,6 +316,22 @@ object Engine {
       host_os_version = s("[host][os][version]"),
       threat_list_category = s("[threat][list][category]"),
       threat_list_attribute_tag = s("[threat][list][attribute_tag]"),
-      agent_name = s("[agent][name]"))
+      agent_name = s("[agent][name]"),
+      database_name = s("[database][name]"),
+      database_table = s("[database][table]"),
+      database_field_names = s("[database][field_names]"),
+      database_user_id = s("[database][user][id]"),
+      database_user_email = s("[database][user][email]"),
+      database_user_full_name = s("[database][user][full_name]"),
+      event_original = s("[event][original]"),
+      error_id = s("[error][id]"),
+      file_path = s("[file][path]"),
+      client_user_title = s("[client][user][title]"),
+      client_user_name = s("[client][user][name]"),
+      client_domain = s("[client][domain]"),
+      host_user_title = s("[host][user][title]"),
+      host_user_roles = s("[host][user][roles]"),
+      host_disk_read_bytes = l("[host][disk][read][bytes]"),
+      package_type = s("[package][type]"))
   }
 }

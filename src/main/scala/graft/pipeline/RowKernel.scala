@@ -360,6 +360,22 @@ object RowKernel {
     s("[threat][list][category]")
     s("[threat][list][attribute_tag]")
     s("[agent][name]")
+    s("[database][name]")
+    s("[database][table]")
+    s("[database][field_names]")
+    s("[database][user][id]")
+    s("[database][user][email]")
+    s("[database][user][full_name]")
+    s("[event][original]")
+    s("[error][id]")
+    s("[file][path]")
+    s("[client][user][title]")
+    s("[client][user][name]")
+    s("[client][domain]")
+    s("[host][user][title]")
+    s("[host][user][roles]")
+    l("[host][disk][read][bytes]")
+    s("[package][type]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -104,7 +104,7 @@ object Registry {
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
-      Vector("failed"), Set.empty, "low"))
+      Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
   /** The shared syslog header grok
     * (ref: syslog_security_palo.alto.fw.conf:13-17). */
@@ -374,7 +374,7 @@ object Registry {
     Parsed(Seq(ev))
   }
 
-  val programs: Map[String, (Event, ParseCtx) => ParseOutcome] = Map(
+  private val basePrograms: Map[String, (Event, ParseCtx) => ParseOutcome] = Map(
     "palo.alto.fw" -> paloAlto,
     "aws.vpcflow" -> vpcflow,
     "linux.rsyslog" -> rsyslog,
@@ -410,4 +410,7 @@ object Registry {
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
     "unknown" -> unknown)
+
+  val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =
+    basePrograms ++ SnowflakeFamily.programs
 }

@@ -51,7 +51,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("linuxhost", Transcripts.lhInput), ("checkpoint", Transcripts.ckInput),
       ("github", Transcripts.ghInput), ("citrix", Transcripts.cxInput),
       ("meraki", Transcripts.mkInput), ("trap", Transcripts.ptInput),
-      ("securityhub", Transcripts.shInput), ("a10", Transcripts.a10Input))
+      ("securityhub", Transcripts.shInput), ("a10", Transcripts.a10Input),
+      ("snowfam", graft.rules.SnowflakeFamily.allInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
