@@ -456,6 +456,125 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // --- event_hub_audit_azure.* family (EventHubRules) ---
+    // insights_audit: style-A envelope, dead correlationID rename, the
+    // unregister-device ruby extraction, always-true appid branch
+    "qeh01_insaudit" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ehaInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("agent_name"), col("log_source_hostname"), col("event_module"),
+        col("event_dataset"), col("route_index"), col("event_created_ms"),
+        col("user_name"), col("rule_name"), col("rule_version"),
+        col("rule_category"), col("rule_id"), col("event_action"),
+        col("error_code"), col("rule_description"), col("event_id_s"),
+        col("log_level"), col("source_ip"), col("source_user_email"),
+        col("user_email"), col("destination_user_id"), col("event_kind"),
+        col("event_reason"), col("user_id"))),
+
+    // insights_operational: top-level operationName/category win over the
+    // properties-level renames
+    "qeh02_insops" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ehoInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("agent_name"), col("log_source_hostname"), col("event_module"),
+        col("event_dataset"), col("route_index"), col("event_created_ms"),
+        col("rule_name"), col("rule_version"), col("rule_category"),
+        col("event_action"), col("error_code"), col("rule_description"),
+        col("event_id_s"), col("user_id"), col("log_level"),
+        col("host_os_version"), col("host_os_name"), col("rule_id"))),
+
+    // azure.audit: style-B lowercase envelope; targetresources ruby emits
+    // LISTS → destination.user.* scalars flatten to null
+    "qeh03_azaudit" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ehzInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("log_source_hostname"), col("event_module"), col("event_dataset"),
+        col("route_index"), col("event_action"), col("rule_id"),
+        col("event_created_ms"), col("rule_name"), col("event_category"),
+        col("event_duration"), col("event_id_s"), col("source_user_id"),
+        col("source_user_email"), col("source_ip"), col("event_severity"),
+        col("rule_version"), col("event_outcome"), col("rule_description"),
+        col("event_ingested_ms"), col("event_type"),
+        col("destination_user_id"), col("destination_user_email"))),
+
+    // riskyuser: risklastupdateddatetime lands on [event][end] with no date
+    // block — 02 removes it (NULL end_ms, mirrored)
+    "qeh04_risky" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ehrInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("log_source_hostname"), col("event_dataset"), col("route_index"),
+        col("rule_description"), col("event_end_ms"), col("event_severity_name"),
+        col("event_outcome"), col("user_name"), col("user_email"),
+        col("event_ingested_ms"), col("rule_name"), col("event_id_s"),
+        col("event_type"), col("event_created_ms"))),
+
+    // emailevents: constant hostname; url.original drives the 06 url split
+    "qeh05_email" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ehmInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("log_source_hostname"), col("event_dataset"), col("route_index"),
+        col("rule_id"), col("event_ingested_ms"), col("url_original"),
+        col("url_domain"), col("url_path"), col("url_tld"),
+        col("url_registered_domain"), col("event_type"), col("file_name"),
+        col("file_type"), col("source_user_email"), col("source_user_id"),
+        col("file_size"), col("destination_user_email"),
+        col("database_user_id"), col("event_created_ms"))),
+
+    // userriskevents
+    "qeh06_userrisk" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ehuInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("log_source_hostname"), col("event_dataset"), col("route_index"),
+        col("event_id_s"), col("user_id"), col("client_ip"),
+        col("source_geo_city"), col("transaction_id"), col("rule_description"),
+        col("event_kind"), col("event_severity_name"), col("event_outcome"),
+        col("observer_product"), col("source_as_organization_name"),
+        col("user_email"), col("event_ingested_ms"), col("rule_name"),
+        col("event_type"), col("event_created_ms"))),
+
+    // securityincident: four ISO dates, numeric incidentNumber → event.id
+    "qeh07_incident" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ehiInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("log_source_hostname"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("rule_description"), col("event_start_ms"),
+        col("event_id_s"), col("rule_name"), col("event_modified_ms"),
+        col("event_provider"), col("event_severity_name"),
+        col("event_ingested_ms"), col("event_type"), col("rule_id"),
+        col("event_kind"))),
+
+    // anomalies: in-place split, object-vs-array probe arms, boolean tag
+    // adds, tactics→scalar-null / techniques→array
+    "qeh08_anomalies" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ehnInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("log_source_hostname"), col("event_dataset"), col("route_index"),
+        col("user_name"), col("user_email"), col("user_full_name"),
+        col("user_id"), col("event_created_ms"), col("event_start_ms"),
+        col("event_end_ms"), col("rule_name"), col("rule_id"),
+        col("event_kind"), col("ua_device_name"), col("source_ip"),
+        col("event_risk_score"), col("threat_tactic_name"),
+        array_join(array_sort(col("threat_technique_id")), ",").as("threat_technique_id_s"))),
+
+    // interactive_signin: recursive key-downcase, the .SSS-destroying date
+    // gsub, json_encode'd conditionalaccesspolicies, outcome merged to array
+    "qeh09_signin" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ehsInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("cloud_account_id"), col("event_ingested_ms"), col("event_category"),
+        col("event_duration"), col("error_code"), col("event_id_s"),
+        col("event_created_ms"), col("source_ip"), col("user_agent_original"),
+        col("user_email"), col("process_name"), col("user_id"),
+        col("service_version"), col("event_reason"), col("error_message"),
+        col("source_as_number"), col("user_full_name"), col("event_action"),
+        col("cloud_instance_id"), col("rule_category"), col("rule_id"),
+        col("event_kind"), col("event_provider"), col("event_type"),
+        col("host_id"), col("host_os_name"), col("host_hostname"),
+        col("http_request_method"), col("rule_description"),
+        col("tls_version_protocol"), col("event_outcome"),
+        col("user_group_name"), col("tls_cipher"),
+        col("log_source_hostname"))),
+
     // proofpoint.trap end-to-end: incident JSON with array-valued renames
     // (flatten to null like an ES mapping conflict would), the
     // users/quarantine/incident_field_values ruby block with its
@@ -1342,6 +1461,320 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    // --- event_hub_audit_azure.* family oracles. Envelope convention:
+    // esel 0 → two records (sub_idx 0 + the UNION'd 'b' row), 1 → one
+    // record, 2 → bare object. Style-A bare rows never set the split
+    // target, so every record field is NULL and the tenant hostname stays
+    // an unresolved sprintf literal that 94 scrubs to NULL. ---
+    "qeh01_insaudit" ->
+      s"""WITH ${Transcripts.ehaCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 0 AS sub_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, 'azure.eventhub' AS agent_name,
+  -- the unresolved sprintf literal is NOT scrubbed by 94 (its bracketless
+  -- character-class pattern cannot match field refs) and 07 lowercases it
+  CASE WHEN b.esel = 2 THEN '%{[azaudit][tenantid]}' ELSE b.tnt END AS log_source_hostname,
+  'azure' AS event_module, 'azure.eventhub.insights_audit' AS event_dataset,
+  'logs-azure.eventhub.insights_audit_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'app' || b.eid_s END AS user_name,
+  CASE WHEN b.esel = 2 THEN NULL ELSE LOWER(b.op) END AS rule_name,
+  CASE WHEN b.esel = 2 THEN NULL ELSE '1.0' END AS rule_version,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'auditlogs' END AS rule_category,
+  CASE WHEN b.esel = 2 THEN NULL ELSE b.tnt END AS rule_id,
+  CASE WHEN b.esel = 2 THEN NULL ELSE LOWER(b.rt) END AS event_action,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'sig' || b.eid_s END AS error_code,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'desc ' || b.eid_s END AS rule_description,
+  CAST(NULL AS STRING) AS event_id_s,
+  CASE WHEN b.esel = 2 THEN NULL ELSE '4' END AS log_level,
+  CASE WHEN b.esel = 2 THEN NULL ELSE b.cip END AS source_ip,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'iu' || b.eid_s || '@corp.example' END AS source_user_email,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'tu' || b.eid_s || '@corp.example' END AS user_email,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'tid' || b.eid_s END AS destination_user_id,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'usermanagement' END AS event_kind,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'reason ' || b.eid_s END AS event_reason,
+  CASE WHEN b.esel = 2 THEN NULL WHEN b.usel = 0 THEN 'du' || b.eid_s ELSE 'uid' || b.eid_s END AS user_id
+FROM eha_turns t JOIN eha_base b USING (event_id)
+UNION ALL
+SELECT t.conv_id, t.turn_idx, 1, 1, 'rule 1', 'azure.eventhub', b.tnt,
+  'azure', 'azure.eventhub.insights_audit',
+  'logs-azure.eventhub.insights_audit_' || strftime(t.ts, '%Y.%m.%d'),
+  epoch_ms(t.ts),
+  'app' || b.eid_s || 'b', LOWER(b.op), '1.0', 'auditlogs', b.tnt, LOWER(b.rt),
+  'sig' || b.eid_s || 'b', 'desc ' || b.eid_s || 'b', NULL, '4', b.cip,
+  'iu' || b.eid_s || 'b@corp.example', 'tu' || b.eid_s || 'b@corp.example',
+  'tid' || b.eid_s || 'b', 'usermanagement', 'reason ' || b.eid_s || 'b',
+  CASE WHEN b.usel = 0 THEN 'du' || b.eid_s || 'b' ELSE 'uid' || b.eid_s || 'b' END
+FROM eha_turns t JOIN eha_base b USING (event_id) WHERE b.esel = 0""",
+
+    "qeh02_insops" ->
+      s"""WITH ${Transcripts.ehoCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 0 AS sub_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, 'azure.eventhub' AS agent_name,
+  CASE WHEN b.esel = 2 THEN '%{[azops][tenantid]}' ELSE b.tnt END AS log_source_hostname,
+  'azure' AS event_module, 'azure.eventhub.insights_operational' AS event_dataset,
+  'logs-azure.eventhub.insights_operational_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'topop' || b.eid_s END AS rule_name,
+  CASE WHEN b.esel = 2 THEN NULL ELSE '2' END AS rule_version,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'topcat' || b.eid_s END AS rule_category,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'ok' || b.eid_s END AS event_action,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'e' || b.eid_s END AS error_code,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'reason ' || b.eid_s END AS rule_description,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'ev' || b.eid_s END AS event_id_s,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'uid' || b.eid_s END AS user_id,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'information' END AS log_level,
+  CASE WHEN b.esel = 2 THEN NULL ELSE '10.0' END AS host_os_version,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'windows' END AS host_os_name,
+  CASE WHEN b.esel = 2 THEN NULL ELSE b.tnt END AS rule_id
+FROM eho_turns t JOIN eho_base b USING (event_id)
+UNION ALL
+SELECT t.conv_id, t.turn_idx, 1, 1, 'rule 1', 'azure.eventhub', b.tnt,
+  'azure', 'azure.eventhub.insights_operational',
+  'logs-azure.eventhub.insights_operational_' || strftime(t.ts, '%Y.%m.%d'),
+  epoch_ms(t.ts),
+  'topop' || b.eid_s || 'b', '2', 'topcat' || b.eid_s || 'b', 'ok' || b.eid_s || 'b',
+  'e' || b.eid_s || 'b', 'reason ' || b.eid_s || 'b', 'ev' || b.eid_s || 'b',
+  'uid' || b.eid_s || 'b', 'information', '10.0', 'windows', b.tnt
+FROM eho_turns t JOIN eho_base b USING (event_id) WHERE b.esel = 0""",
+
+    // style-B bare objects parse straight into [az] — full values, sub_idx 0
+    "qeh03_azaudit" ->
+      s"""WITH ${Transcripts.ehzCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 0 AS sub_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, b.tnt AS log_source_hostname,
+  'azure' AS event_module, 'azure.audit' AS event_dataset,
+  'logs-azure.audit_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  'add' AS event_action, 'aad-' || b.tnt AS rule_id,
+  epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) + (b.event_id % 1000) AS event_created_ms,
+  'add user ' || b.eid_s AS rule_name, 'auditlogs' AS event_category,
+  CAST(b.event_id % 5000 AS STRING) AS event_duration,
+  'id' || b.eid_s AS event_id_s, 'iuid' || b.eid_s AS source_user_id,
+  'iu' || b.eid_s || '@corp.example' AS source_user_email,
+  b.cip AS source_ip, CAST(3 AS BIGINT) AS event_severity,
+  '2.1' AS rule_version, b.res AS event_outcome,
+  'rdesc ' || b.eid_s AS rule_description,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_ingested_ms,
+  'auditlogs' AS event_type,
+  CAST(NULL AS STRING) AS destination_user_id,
+  CAST(NULL AS STRING) AS destination_user_email
+FROM ehz_turns t JOIN ehz_base b USING (event_id)
+UNION ALL
+SELECT t.conv_id, t.turn_idx, 1, 1, 'rule 1', b.tnt, 'azure', 'azure.audit',
+  'logs-azure.audit_' || strftime(t.ts, '%Y.%m.%d'),
+  'add', 'aad-' || b.tnt,
+  epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) + (b.event_id % 1000),
+  'add user ' || b.eid_s || 'b', 'auditlogs', CAST(b.event_id % 5000 AS STRING),
+  'id' || b.eid_s || 'b', 'iuid' || b.eid_s || 'b',
+  'iu' || b.eid_s || 'b@corp.example', b.cip, CAST(3 AS BIGINT), '2.1', b.res,
+  'rdesc ' || b.eid_s || 'b',
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000), 'auditlogs',
+  NULL, NULL
+FROM ehz_turns t JOIN ehz_base b USING (event_id) WHERE b.esel = 0""",
+
+    "qeh04_risky" ->
+      s"""WITH ${Transcripts.ehrCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 0 AS sub_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, b.tnt AS log_source_hostname,
+  'azure.riskyuser' AS event_dataset,
+  'logs-azure.riskyuser_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  'userpassedmfadrivenbyriskbasedpolicy' AS rule_description,
+  CAST(NULL AS BIGINT) AS event_end_ms,
+  b.lvl AS event_severity_name, LOWER(b.st) AS event_outcome,
+  'user ' || b.eid_s AS user_name, 'u' || b.eid_s || '@corp.example' AS user_email,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_ingested_ms,
+  'userriskevent' AS rule_name, 'c' || b.eid_s AS event_id_s,
+  'aaduserriskevents' AS event_type, epoch_ms(t.ts) AS event_created_ms
+FROM ehr_turns t JOIN ehr_base b USING (event_id)
+UNION ALL
+SELECT t.conv_id, t.turn_idx, 1, 1, 'rule 1', b.tnt, 'azure.riskyuser',
+  'logs-azure.riskyuser_' || strftime(t.ts, '%Y.%m.%d'),
+  'userpassedmfadrivenbyriskbasedpolicy', NULL, b.lvl, LOWER(b.st),
+  'user ' || b.eid_s || 'b', 'u' || b.eid_s || 'b@corp.example',
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000),
+  'userriskevent', 'c' || b.eid_s || 'b', 'aaduserriskevents', epoch_ms(t.ts)
+FROM ehr_turns t JOIN ehr_base b USING (event_id) WHERE b.esel = 0""",
+
+    "qeh05_email" ->
+      s"""WITH ${Transcripts.ehmCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 0 AS sub_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, 'api_azure_emailevents' AS log_source_hostname,
+  'azure.emailevents' AS event_dataset,
+  'logs-azure.emailevents_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  'rp' || b.eid_s AS rule_id,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_ingested_ms,
+  'https://portal.office.com/attach/' || b.eid_s AS url_original,
+  'portal.office.com' AS url_domain, '/attach/' || b.eid_s AS url_path,
+  'com' AS url_tld, 'office.com' AS url_registered_domain,
+  'emailevents' AS event_type, 'invoice ' || b.eid_s || '.pdf' AS file_name,
+  'pdf' AS file_type, 's' || b.eid_s || '@corp.example' AS source_user_email,
+  'so' || b.eid_s AS source_user_id,
+  CAST(1000 + (b.event_id % 900000) AS BIGINT) AS file_size,
+  'r' || b.eid_s || '@corp.example' AS destination_user_email,
+  'ro' || b.eid_s AS database_user_id, epoch_ms(t.ts) AS event_created_ms
+FROM ehm_turns t JOIN ehm_base b USING (event_id)
+UNION ALL
+SELECT t.conv_id, t.turn_idx, 1, 1, 'rule 1', 'api_azure_emailevents',
+  'azure.emailevents', 'logs-azure.emailevents_' || strftime(t.ts, '%Y.%m.%d'),
+  'rp' || b.eid_s || 'b',
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000),
+  'https://portal.office.com/attach/' || b.eid_s || 'b', 'portal.office.com',
+  '/attach/' || b.eid_s || 'b', 'com', 'office.com', 'emailevents',
+  'invoice ' || b.eid_s || 'b.pdf', 'pdf', 's' || b.eid_s || 'b@corp.example',
+  'so' || b.eid_s || 'b', CAST(1000 + (b.event_id % 900000) AS BIGINT),
+  'r' || b.eid_s || 'b@corp.example', 'ro' || b.eid_s || 'b', epoch_ms(t.ts)
+FROM ehm_turns t JOIN ehm_base b USING (event_id) WHERE b.esel = 0""",
+
+    "qeh06_userrisk" ->
+      s"""WITH ${Transcripts.ehuCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 0 AS sub_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, b.tnt AS log_source_hostname,
+  'azure.userriskevents' AS event_dataset,
+  'logs-azure.userriskevents_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  'id' || b.eid_s AS event_id_s, 'u' || b.eid_s AS user_id,
+  b.cip AS client_ip, 'city' || b.eid_s AS source_geo_city,
+  'rq' || b.eid_s AS transaction_id,
+  'adminconfirmedusercompromised' AS rule_description,
+  'unlikelytravel' AS event_kind, b.lvl AS event_severity_name,
+  'atrisk' AS event_outcome, 'identityprotection' AS observer_product,
+  'azuread' AS source_as_organization_name,
+  'u' || b.eid_s || '@corp.example' AS user_email,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_ingested_ms,
+  'userriskevents' AS rule_name, 'aaduserriskevents' AS event_type,
+  epoch_ms(t.ts) AS event_created_ms
+FROM ehu_turns t JOIN ehu_base b USING (event_id)
+UNION ALL
+SELECT t.conv_id, t.turn_idx, 1, 1, 'rule 1', b.tnt, 'azure.userriskevents',
+  'logs-azure.userriskevents_' || strftime(t.ts, '%Y.%m.%d'),
+  'id' || b.eid_s || 'b', 'u' || b.eid_s || 'b', b.cip, 'city' || b.eid_s || 'b',
+  'rq' || b.eid_s || 'b', 'adminconfirmedusercompromised', 'unlikelytravel',
+  b.lvl, 'atrisk', 'identityprotection', 'azuread',
+  'u' || b.eid_s || 'b@corp.example',
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000),
+  'userriskevents', 'aaduserriskevents', epoch_ms(t.ts)
+FROM ehu_turns t JOIN ehu_base b USING (event_id) WHERE b.esel = 0""",
+
+    "qeh07_incident" ->
+      s"""WITH ${Transcripts.ehiCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 0 AS sub_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, b.tnt AS log_source_hostname,
+  'azure.securityincident' AS event_dataset,
+  'logs-azure.securityincident_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_created_ms,
+  'desc ' || b.eid_s AS rule_description,
+  epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) + (b.event_id % 1000) AS event_start_ms,
+  b.inum AS event_id_s, 'inc-' || b.eid_s AS rule_name,
+  epoch_ms(date_trunc('second', t.ts + INTERVAL 131 SECOND)) + (b.event_id % 1000) AS event_modified_ms,
+  'azure sentinel' AS event_provider, LOWER(b.sev) AS event_severity_name,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_ingested_ms,
+  'securityincident' AS event_type, b.tnt AS rule_id,
+  'incident ' || b.eid_s AS event_kind
+FROM ehi_turns t JOIN ehi_base b USING (event_id)
+UNION ALL
+SELECT t.conv_id, t.turn_idx, 1, 1, 'rule 1', b.tnt, 'azure.securityincident',
+  'logs-azure.securityincident_' || strftime(t.ts, '%Y.%m.%d'),
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000),
+  'desc ' || b.eid_s || 'b',
+  epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) + (b.event_id % 1000),
+  b.inum, 'inc-' || b.eid_s || 'b',
+  epoch_ms(date_trunc('second', t.ts + INTERVAL 131 SECOND)) + (b.event_id % 1000),
+  'azure sentinel', LOWER(b.sev),
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000),
+  'securityincident', b.tnt, 'incident ' || b.eid_s || 'b'
+FROM ehi_turns t JOIN ehi_base b USING (event_id) WHERE b.esel = 0""",
+
+    // anomalies: bare objects hit the no-array split (tagged, all NULL);
+    // object-shaped entities/extendedlinks exercise the live probe arm,
+    // array-shaped ones the dead arm; tactics always flatten to NULL
+    // (array renamed onto a scalar), techniques keep their array column
+    "qeh08_anomalies" ->
+      s"""WITH ${Transcripts.ehnCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 0 AS sub_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule,
+  CASE WHEN b.esel = 2 THEN '%{[tmp][records][tenantid]}' ELSE b.tnt END AS log_source_hostname,
+  'azure.anomalies' AS event_dataset,
+  'logs-azure.anomalies_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'user ' || b.eid_s END AS user_name,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'u' || b.eid_s || '@corp.example' END AS user_email,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'acct ' || b.eid_s END AS user_full_name,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'ao' || b.eid_s END AS user_id,
+  CASE WHEN b.esel = 2 THEN epoch_ms(t.ts)
+       ELSE epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) END AS event_created_ms,
+  CASE WHEN b.esel = 2 THEN NULL
+       ELSE epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) + (b.event_id % 1000) END AS event_start_ms,
+  CASE WHEN b.esel = 2 THEN NULL
+       ELSE epoch_ms(date_trunc('second', t.ts + INTERVAL 131 SECOND)) + (b.event_id % 1000) END AS event_end_ms,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'anomalous sign-in' END AS rule_name,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'ar' || b.eid_s END AS rule_id,
+  CASE WHEN b.esel = 2 OR b.xobj <> 0 THEN NULL ELSE 'view anomaly' END AS event_kind,
+  CASE WHEN b.esel = 2 THEN NULL ELSE 'chrome' END AS ua_device_name,
+  CASE WHEN b.esel = 2 OR b.nobj <> 0 THEN NULL ELSE b.cip END AS source_ip,
+  CASE WHEN b.esel = 2 THEN NULL ELSE CAST(b.event_id % 100 AS BIGINT) END AS event_risk_score,
+  CAST(NULL AS STRING) AS threat_tactic_name,
+  CASE WHEN b.esel = 2 THEN '' ELSE 't1078,t1110' END AS threat_technique_id_s
+FROM ehn_turns t JOIN ehn_base b USING (event_id)
+UNION ALL
+SELECT t.conv_id, t.turn_idx, 1, 1, 'rule 1', b.tnt, 'azure.anomalies',
+  'logs-azure.anomalies_' || strftime(t.ts, '%Y.%m.%d'),
+  'user ' || b.eid_s || 'b', 'u' || b.eid_s || 'b@corp.example',
+  'acct ' || b.eid_s || 'b', 'ao' || b.eid_s || 'b',
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000),
+  epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) + (b.event_id % 1000),
+  epoch_ms(date_trunc('second', t.ts + INTERVAL 131 SECOND)) + (b.event_id % 1000),
+  'anomalous sign-in', 'ar' || b.eid_s || 'b',
+  CASE WHEN b.xobj <> 0 THEN NULL ELSE 'view anomaly' END, 'chrome',
+  CASE WHEN b.nobj <> 0 THEN NULL ELSE b.cip END,
+  CAST(b.event_id % 100 AS BIGINT), NULL, 't1078,t1110'
+FROM ehn_turns t JOIN ehn_base b USING (event_id) WHERE b.esel = 0""",
+
+    // interactive_signin: msel 0 = millisecond stamps (the date gsub fires
+    // and DESTROYS them → created falls to the 03 default, ingested lost);
+    // msel 1 = second-resolution stamps (gsub skipped, both parse)
+    "qeh09_signin" ->
+      s"""WITH ${Transcripts.ehsCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 0 AS sub_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, b.tnt AS cloud_account_id,
+  CASE WHEN b.msel = 0 THEN NULL
+       ELSE epoch_ms(date_trunc('second', t.ts)) END AS event_ingested_ms,
+  'signinlogs' AS event_category,
+  CAST(b.event_id % 5000 AS STRING) AS event_duration,
+  '0' AS error_code, 'c' || b.eid_s AS event_id_s,
+  CASE WHEN b.msel = 0 THEN epoch_ms(t.ts)
+       ELSE epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) END AS event_created_ms,
+  b.cip AS source_ip, 'Mozilla/5.0' AS user_agent_original,
+  'u' || b.eid_s || '@corp.example' AS user_email, 'office 365' AS process_name,
+  'uid' || b.eid_s AS user_id, '1.0' AS service_version,
+  'other.' AS event_reason, 'rd ' || b.eid_s AS error_message,
+  CAST(64512 + (b.event_id % 1000) AS BIGINT) AS source_as_number,
+  'User ' || b.eid_s AS user_full_name, 'success' AS event_action,
+  'rsp' || b.eid_s AS cloud_instance_id,
+  'mfa requirement satisfied' AS rule_category, '50140' AS rule_id,
+  'multifactorauthentication' AS event_kind, 'browser' AS event_provider,
+  'signinlogs' AS event_type, 'dev' || b.eid_s AS host_id,
+  'windows10' AS host_os_name, 'host-' || b.eid_s AS host_hostname,
+  'password' AS http_request_method, 'correct password' AS rule_description,
+  'azure ad joined' AS tls_version_protocol,
+  CAST(NULL AS STRING) AS event_outcome,
+  '[{"displayname":"policy a","result":"notapplied"}]' AS user_group_name,
+  'login hint present' AS tls_cipher,
+  'host-' || b.eid_s AS log_source_hostname
+FROM ehs_turns t JOIN ehs_base b USING (event_id)
+UNION ALL
+SELECT t.conv_id, t.turn_idx, 1, 1, 'rule 1', b.tnt,
+  CASE WHEN b.msel = 0 THEN NULL ELSE epoch_ms(date_trunc('second', t.ts)) END,
+  'signinlogs', CAST(b.event_id % 5000 AS STRING), '0', 'c' || b.eid_s || 'b',
+  CASE WHEN b.msel = 0 THEN epoch_ms(t.ts)
+       ELSE epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) END,
+  b.cip, 'Mozilla/5.0', 'u' || b.eid_s || 'b@corp.example', 'office 365',
+  'uid' || b.eid_s || 'b', '1.0', 'other.', 'rd ' || b.eid_s || 'b',
+  CAST(64512 + (b.event_id % 1000) AS BIGINT), 'User ' || b.eid_s || 'b',
+  'success', 'rsp' || b.eid_s || 'b', 'mfa requirement satisfied', '50140',
+  'multifactorauthentication', 'browser', 'signinlogs', 'dev' || b.eid_s || 'b',
+  'windows10', 'host-' || b.eid_s || 'b', 'password', 'correct password',
+  'azure ad joined', NULL,
+  '[{"displayname":"policy a","result":"notapplied"}]', 'login hint present',
+  'host-' || b.eid_s || 'b'
+FROM ehs_turns t JOIN ehs_base b USING (event_id) WHERE b.esel = 0""",
 
     "qpt01_trap" ->
       s"""WITH ${Transcripts.ptCte}

@@ -1550,6 +1550,378 @@ a10_turns AS (
     spark.sql(s"WITH $xmlCte SELECT conv_id, turn_idx, role, text, tool, ts FROM xml_turns")
   }
 
+  // ===================================================================
+  // event_hub_audit_azure.* family corpora (ref: config/processors/
+  // event_hub_audit_azure.event_hub_*.conf). Shared conventions:
+  //   esel = event_id % 3: 0 → records[] envelope with TWO records
+  //   (cardinality-up split), 1 → envelope with one record, 2 → bare
+  //   object. Record field suffix 'b' marks the second record.
+  // ===================================================================
+
+  /** Portable second-resolution ISO of an arbitrary timestamp column. */
+  private def isoSecOf(c: String): String =
+    s"""LPAD(CAST(EXTRACT(YEAR FROM $c) AS STRING), 4, '0') || '-'
+      || LPAD(CAST(EXTRACT(MONTH FROM $c) AS STRING), 2, '0') || '-'
+      || LPAD(CAST(EXTRACT(DAY FROM $c) AS STRING), 2, '0') || 'T'
+      || LPAD(CAST(EXTRACT(HOUR FROM $c) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM $c) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM $c)) AS INT) AS STRING), 2, '0')"""
+
+  private def isoMsOf(c: String): String =
+    s"${isoSecOf(c)} || '.' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') || 'Z'"
+
+  private val ehIp: String =
+    """'8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING)"""
+
+  // ------------------------- azure.eventhub.insights_audit (style A)
+  private def ehaRec(sfx: String): String =
+    s"""'{"tenantId":"' || tnt || '","operationName":"' || op
+      || '","operationVersion":"1.0","category":"AuditLogs","resultType":"' || rt
+      || '","resultSignature":"Sig' || eid_s || '$sfx","resultDescription":"Desc ' || eid_s
+      || '$sfx","correlationId":"corr' || eid_s || '$sfx","level":4,"callerIpAddress":"' || cip
+      || '","identity":"Ident' || eid_s
+      || '$sfx","properties":{"initiatedBy":{"app":{"displayName":"App' || eid_s
+      || '$sfx","appId":"aid' || eid_s || '$sfx","servicePrincipalId":"spn' || eid_s
+      || '$sfx"},"user":{"userPrincipalName":"IU' || eid_s
+      || '$sfx@corp.example","id":"uid' || eid_s
+      || '$sfx"}},"targetResources":[{"type":"User","userPrincipalName":"TU' || eid_s
+      || '$sfx@corp.example","id":"tid' || eid_s
+      || '$sfx","modifiedProperties":[{"newValue":"nv' || eid_s
+      || '$sfx"}]}],"category":"UserManagement","resultReason":"Reason ' || eid_s
+      || '$sfx","additionalDetails":[{"key":"additionalinfo","value":"Op for user du' || eid_s
+      || '$sfx."}]}}'"""
+
+  val ehaCte: String = s"""
+eha_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    'tnt' || CAST(user_id % 9 AS STRING) AS tnt,
+    (event_id % 3) AS esel, (event_id % 5) AS usel,
+    CASE WHEN (event_id % 5) = 0 THEN 'unregister device' ELSE 'Update user' END AS op,
+    CASE WHEN (event_id % 4) = 0 THEN 'Failure' ELSE 'Success' END AS rt,
+    $ehIp AS cip
+  FROM events WHERE (event_id % 47) = 11
+),
+eha_turns AS (
+  SELECT 'eha_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE esel
+      WHEN 2 THEN '{"tenantId":"' || tnt || '","operationName":"bare","category":"AuditLogs"}'
+      WHEN 1 THEN '{"records": [' || ${ehaRec("")} || ']}'
+      ELSE '{"records": [' || ${ehaRec("")} || ',' || ${ehaRec("b")} || ']}'
+    END AS text,
+    'azure.eventhub.insights_audit' AS tool, ts, event_id
+  FROM eha_base
+)"""
+
+  // ------------------ azure.eventhub.insights_operational (style A)
+  private def ehoRec(sfx: String): String =
+    s"""'{"tenantId":"' || tnt || '","operationName":"TopOp' || eid_s
+      || '$sfx","category":"TopCat' || eid_s
+      || '$sfx","properties":{"operationName":"Op' || eid_s
+      || '$sfx","Version":"2","category":"OpCat' || eid_s
+      || '$sfx","Status":"Succeeded","resultType":"OK' || eid_s || '$sfx","ErrorCode":"e' || eid_s
+      || '$sfx","FailureMessage":"fail msg ' || eid_s || '$sfx","EventId":"ev' || eid_s
+      || '$sfx","UserId":"uid' || eid_s
+      || '$sfx","level":"Information","OsVersion":"10.0","FailureReason":"reason ' || eid_s
+      || '$sfx","Os":"Windows"}}'"""
+
+  val ehoCte: String = s"""
+eho_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    'tnt' || CAST(user_id % 9 AS STRING) AS tnt,
+    (event_id % 3) AS esel
+  FROM events WHERE (event_id % 53) = 19
+),
+eho_turns AS (
+  SELECT 'eho_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE esel
+      WHEN 2 THEN '{"tenantId":"' || tnt || '","operationName":"bare"}'
+      WHEN 1 THEN '{"records": [' || ${ehoRec("")} || ']}'
+      ELSE '{"records": [' || ${ehoRec("")} || ',' || ${ehoRec("b")} || ']}'
+    END AS text,
+    'azure.eventhub.insights_operational' AS tool, ts, event_id
+  FROM eho_base
+)"""
+
+  // ------------------------------------ azure.audit (style B)
+  private def ehzRec(sfx: String): String =
+    s"""'{"aadOperationType":"Add","aadTenantId":"aad-' || tnt
+      || '","activityDateTime":"' || iso1 || '","activityDisplayName":"Add user ' || eid_s
+      || '$sfx","category":"AuditLogs","durationMs":' || CAST(event_id % 5000 AS STRING)
+      || ',"id":"id' || eid_s || '$sfx","initiatedBy":{"user":{"id":"iuid' || eid_s
+      || '$sfx","displayName":"IUser ' || eid_s || '$sfx","userPrincipalName":"iu' || eid_s
+      || '$sfx@corp.example","ipAddress":"' || cip
+      || '"}},"level":3,"operationVersion":"2.1","result":"' || res
+      || '","resultDescription":"rdesc ' || eid_s || '$sfx","tenantId":"' || tnt
+      || '","timeGenerated":"' || iso0 || '","type":"AuditLogs","targetResources":[{"id":"tr' || eid_s
+      || '$sfx","displayName":"TR ' || eid_s || '$sfx","userPrincipalName":"tr' || eid_s
+      || '$sfx@corp.example"}]}'"""
+
+  val ehzCte: String = s"""
+ehz_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    'tnt' || CAST(user_id % 9 AS STRING) AS tnt,
+    (event_id % 3) AS esel,
+    CASE WHEN (event_id % 4) = 0 THEN 'failure' ELSE 'success' END AS res,
+    ${isoMsOf("ts")} AS iso0,
+    ${isoMsOf("(ts + INTERVAL 67 SECOND)")} AS iso1,
+    $ehIp AS cip
+  FROM events WHERE (event_id % 59) = 23
+),
+ehz_turns AS (
+  SELECT 'ehz_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE esel
+      WHEN 2 THEN ${ehzRec("")}
+      WHEN 1 THEN '{"records": [' || ${ehzRec("")} || ']}'
+      ELSE '{"records": [' || ${ehzRec("")} || ',' || ${ehzRec("b")} || ']}'
+    END AS text,
+    'azure.audit' AS tool, ts, event_id
+  FROM ehz_base
+)"""
+
+  // ------------------------------------ azure.riskyuser (style B)
+  private def ehrRec(sfx: String): String =
+    s"""'{"riskDetail":"userPassedMFADrivenByRiskBasedPolicy","riskLastUpdatedDateTime":"' || iso1
+      || '","riskLevel":"' || lvl || '","riskState":"' || st
+      || '","userDisplayName":"User ' || eid_s || '$sfx","userPrincipalName":"u' || eid_s
+      || '$sfx@corp.example","timeGenerated":"' || iso0
+      || '","operationName":"UserRiskEvent","correlationId":"c' || eid_s
+      || '$sfx","type":"AADUserRiskEvents","tenantId":"' || tnt || '"}'"""
+
+  val ehrCte: String = s"""
+ehr_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    'tnt' || CAST(user_id % 9 AS STRING) AS tnt,
+    (event_id % 3) AS esel,
+    CASE (event_id % 3) WHEN 0 THEN 'high' WHEN 1 THEN 'medium' ELSE 'low' END AS lvl,
+    CASE WHEN (event_id % 2) = 0 THEN 'atRisk' ELSE 'remediated' END AS st,
+    ${isoMsOf("ts")} AS iso0,
+    ${isoMsOf("(ts + INTERVAL 67 SECOND)")} AS iso1
+  FROM events WHERE (event_id % 61) = 37
+),
+ehr_turns AS (
+  SELECT 'ehr_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE esel
+      WHEN 2 THEN ${ehrRec("")}
+      WHEN 1 THEN '{"records": [' || ${ehrRec("")} || ']}'
+      ELSE '{"records": [' || ${ehrRec("")} || ',' || ${ehrRec("b")} || ']}'
+    END AS text,
+    'azure.riskyuser' AS tool, ts, event_id
+  FROM ehr_base
+)"""
+
+  // ------------------------------------ azure.emailevents (style B)
+  private def ehmRec(sfx: String): String =
+    s"""'{"reportId":"rp' || eid_s || '$sfx","timeGenerated":"' || iso0
+      || '","url":"https://portal.office.com/attach/' || eid_s
+      || '$sfx","urlDomain":"mail.example","type":"EmailEvents","fileName":"Invoice ' || eid_s
+      || '$sfx.pdf","fileType":"pdf","senderDisplayName":"Sender ' || eid_s
+      || '$sfx","senderFromAddress":"s' || eid_s || '$sfx@corp.example","senderObjectId":"so' || eid_s
+      || '$sfx","fileSize":' || CAST(1000 + (event_id % 900000) AS STRING)
+      || ',"recipientEmailAddress":"r' || eid_s || '$sfx@corp.example","recipientObjectId":"ro' || eid_s
+      || '$sfx"}'"""
+
+  val ehmCte: String = s"""
+ehm_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 3) AS esel,
+    ${isoMsOf("ts")} AS iso0
+  FROM events WHERE (event_id % 67) = 41
+),
+ehm_turns AS (
+  SELECT 'ehm_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE esel
+      WHEN 2 THEN ${ehmRec("")}
+      WHEN 1 THEN '{"records": [' || ${ehmRec("")} || ']}'
+      ELSE '{"records": [' || ${ehmRec("")} || ',' || ${ehmRec("b")} || ']}'
+    END AS text,
+    'azure.emailevents' AS tool, ts, event_id
+  FROM ehm_base
+)"""
+
+  // ------------------------------------ azure.userriskevents (style B)
+  private def ehuRec(sfx: String): String =
+    s"""'{"id":"id' || eid_s || '$sfx","userId":"u' || eid_s || '$sfx","ipAddress":"' || cip
+      || '","location":{"city":"City' || eid_s
+      || '$sfx","state":"ST","countryOrRegion":"US"},"requestId":"rq' || eid_s
+      || '$sfx","riskDetail":"adminConfirmedUserCompromised","riskEventType":"unlikelyTravel","riskLevel":"' || lvl
+      || '","riskState":"atRisk","source":"IdentityProtection","tokenIssuerType":"AzureAD","userPrincipalName":"u' || eid_s
+      || '$sfx@corp.example","timeGenerated":"' || iso0
+      || '","operationName":"UserRiskEvents","type":"AADUserRiskEvents","tenantId":"' || tnt || '"}'"""
+
+  val ehuCte: String = s"""
+ehu_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    'tnt' || CAST(user_id % 9 AS STRING) AS tnt,
+    (event_id % 3) AS esel,
+    CASE (event_id % 3) WHEN 0 THEN 'high' WHEN 1 THEN 'medium' ELSE 'low' END AS lvl,
+    ${isoMsOf("ts")} AS iso0,
+    $ehIp AS cip
+  FROM events WHERE (event_id % 71) = 13
+),
+ehu_turns AS (
+  SELECT 'ehu_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE esel
+      WHEN 2 THEN ${ehuRec("")}
+      WHEN 1 THEN '{"records": [' || ${ehuRec("")} || ']}'
+      ELSE '{"records": [' || ${ehuRec("")} || ',' || ${ehuRec("b")} || ']}'
+    END AS text,
+    'azure.userriskevents' AS tool, ts, event_id
+  FROM ehu_base
+)"""
+
+  // ------------------------------------ azure.securityincident (style B)
+  private def ehiRec(sfx: String): String =
+    s"""'{"createdTime":"' || iso0 || '","description":"desc ' || eid_s
+      || '$sfx","firstActivityTime":"' || iso1 || '","incidentNumber":' || inum
+      || ',"incidentName":"inc-' || eid_s || '$sfx","lastModifiedTime":"' || iso2
+      || '","providerName":"Azure Sentinel","severity":"' || sev
+      || '","timeGenerated":"' || iso0 || '","type":"SecurityIncident","tenantId":"' || tnt
+      || '","title":"Incident ' || eid_s || '$sfx"}'"""
+
+  val ehiCte: String = s"""
+ehi_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    'tnt' || CAST(user_id % 9 AS STRING) AS tnt,
+    (event_id % 3) AS esel,
+    CAST(1000 + (event_id % 9000) AS STRING) AS inum,
+    CASE (event_id % 3) WHEN 0 THEN 'High' WHEN 1 THEN 'Medium' ELSE 'Low' END AS sev,
+    ${isoMsOf("ts")} AS iso0,
+    ${isoMsOf("(ts + INTERVAL 67 SECOND)")} AS iso1,
+    ${isoMsOf("(ts + INTERVAL 131 SECOND)")} AS iso2
+  FROM events WHERE (event_id % 73) = 29
+),
+ehi_turns AS (
+  SELECT 'ehi_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE esel
+      WHEN 2 THEN ${ehiRec("")}
+      WHEN 1 THEN '{"records": [' || ${ehiRec("")} || ']}'
+      ELSE '{"records": [' || ${ehiRec("")} || ',' || ${ehiRec("b")} || ']}'
+    END AS text,
+    'azure.securityincident' AS tool, ts, event_id
+  FROM ehi_base
+)"""
+
+  // ------------------------------------ azure.anomalies (style C)
+  private def ehnRec(sfx: String): String =
+    s"""'{"tenantId":"' || tnt || '","userName":"User ' || eid_s
+      || '$sfx","userPrincipalName":"u' || eid_s
+      || '$sfx@corp.example","userInsights":{"accountDisplayName":"Acct ' || eid_s
+      || '$sfx","accountObjectId":"ao' || eid_s || '$sfx"},"timeGenerated":"' || iso0
+      || '","startTime":"' || iso1 || '","endTime":"' || iso2
+      || '","ruleName":"Anomalous Sign-in","ruleId":"ar' || eid_s || '$sfx",'
+      || CASE WHEN xobj = 0 THEN '"extendedLinks":{"label":"View anomaly"},'
+              ELSE '"extendedLinks":[{"label":"View anomaly"}],' END
+      || '"deviceInsights":{"userAgentFamily":"Chrome"},'
+      || CASE WHEN nobj = 0 THEN '"entities":{"address":"' || cip || '"},'
+              ELSE '"entities":[{"address":"' || cip || '"}],' END
+      || '"anomalyDetails":{"score":' || CAST(event_id % 100 AS STRING)
+      || '},"activityInsights":{"actionUncommonlyPerformedByUser":' || b1
+      || ',"unusualNumberOfAadConditionalAccessFailures":' || b2
+      || '},"tactics":["InitialAccess"],"techniques":["T1078","T1110"]}'"""
+
+  val ehnCte: String = s"""
+ehn_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    'tnt' || CAST(user_id % 9 AS STRING) AS tnt,
+    (event_id % 3) AS esel,
+    (event_id % 2) AS xobj, (user_id % 2) AS nobj,
+    CASE WHEN (event_id % 4) = 0 THEN 'true' ELSE 'false' END AS b1,
+    CASE WHEN (event_id % 5) = 0 THEN 'true' ELSE 'false' END AS b2,
+    ${isoMsOf("ts")} AS iso0,
+    ${isoMsOf("(ts + INTERVAL 67 SECOND)")} AS iso1,
+    ${isoMsOf("(ts + INTERVAL 131 SECOND)")} AS iso2,
+    $ehIp AS cip
+  FROM events WHERE (event_id % 79) = 3
+),
+ehn_turns AS (
+  SELECT 'ehn_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE esel
+      WHEN 2 THEN '{"userName":"bare"}'
+      WHEN 1 THEN '{"records": [' || ${ehnRec("")} || ']}'
+      ELSE '{"records": [' || ${ehnRec("")} || ',' || ${ehnRec("b")} || ']}'
+    END AS text,
+    'azure.anomalies' AS tool, ts, event_id
+  FROM ehn_base
+)"""
+
+  // ------------------------------------ azure.interactivesignin (style D)
+  private def ehsRec(sfx: String): String =
+    s"""'{"tenantId":"' || tnt || '","timeGenerated":"' || tg
+      || '","operationName":"Sign-in activity","category":"SignInLogs","durationMs":' || CAST(event_id % 5000 AS STRING)
+      || ',"resultType":"0","correlationId":"c' || eid_s || '$sfx","identity":"Ident ' || eid_s
+      || '$sfx","createdDateTime":"' || cd || '","ipAddress":"' || cip
+      || '","userAgent":"Mozilla/5.0","userPrincipalName":"u' || eid_s
+      || '$sfx@corp.example","appDisplayName":"Office 365","userId":"uid' || eid_s
+      || '$sfx","operationVersion":"1.0","appId":"app' || eid_s
+      || '$sfx","status":{"failureReason":"Other.","additionalDetails":"MFA requirement satisfied","errorCode":50140}'
+      || ',"resultDescription":"rd ' || eid_s || '$sfx","autonomousSystemNumber":' || CAST(64512 + (event_id % 1000) AS STRING)
+      || ',"userDisplayName":"User ' || eid_s
+      || '$sfx","conditionalAccessStatus":"success","resourceServicePrincipalId":"rsp' || eid_s
+      || '$sfx","authenticationRequirement":"multiFactorAuthentication","clientAppUsed":"Browser","resourceDisplayName":"Windows Azure Active Directory","type":"SignInLogs"'
+      || ',"deviceDetail":{"deviceId":"dev' || eid_s || '$sfx","operatingSystem":"Windows10","displayName":"HOST-' || eid_s
+      || '$sfx","browser":"Edge 18.0","trustType":"Azure AD joined"}'
+      || ',"authenticationDetails":[{"authenticationMethod":"Password","authenticationStepResultDetail":"Correct password","authenticationStepRequirement":"Primary authentication"}]'
+      || ',"conditionalAccessPolicies":[{"displayName":"policy a","result":"notApplied"}]'
+      || ',"authenticationProcessingDetails":[{"key":"Login Hint Present","value":"True"}]'
+      || ',"networkLocationDetails":[{"networkType":"namedNetwork","networkNames":["corp"]}]}'"""
+
+  val ehsCte: String = s"""
+ehs_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    'tnt' || CAST(user_id % 9 AS STRING) AS tnt,
+    (event_id % 3) AS esel, (event_id % 2) AS msel,
+    CASE WHEN (event_id % 2) = 0 THEN ${isoMsOf("ts")}
+         ELSE ${isoSecOf("ts")} || 'Z' END AS tg,
+    CASE WHEN (event_id % 2) = 0 THEN ${isoMsOf("(ts + INTERVAL 67 SECOND)")}
+         ELSE ${isoSecOf("(ts + INTERVAL 67 SECOND)")} || 'Z' END AS cd,
+    $ehIp AS cip
+  FROM events WHERE (event_id % 83) = 47
+),
+ehs_turns AS (
+  SELECT 'ehs_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE esel
+      WHEN 2 THEN ${ehsRec("")}
+      WHEN 1 THEN '{"records": [' || ${ehsRec("")} || ']}'
+      ELSE '{"records": [' || ${ehsRec("")} || ',' || ${ehsRec("b")} || ']}'
+    END AS text,
+    'azure.interactivesignin' AS tool, ts, event_id
+  FROM ehs_base
+)"""
+
+  private def ehInputOf(cte: String, turns: String)(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $cte SELECT conv_id, turn_idx, role, text, tool, ts FROM $turns")
+  }
+
+  def ehaInput(spark: SparkSession, sfDir: String): DataFrame = ehInputOf(ehaCte, "eha_turns")(spark, sfDir)
+  def ehoInput(spark: SparkSession, sfDir: String): DataFrame = ehInputOf(ehoCte, "eho_turns")(spark, sfDir)
+  def ehzInput(spark: SparkSession, sfDir: String): DataFrame = ehInputOf(ehzCte, "ehz_turns")(spark, sfDir)
+  def ehrInput(spark: SparkSession, sfDir: String): DataFrame = ehInputOf(ehrCte, "ehr_turns")(spark, sfDir)
+  def ehmInput(spark: SparkSession, sfDir: String): DataFrame = ehInputOf(ehmCte, "ehm_turns")(spark, sfDir)
+  def ehuInput(spark: SparkSession, sfDir: String): DataFrame = ehInputOf(ehuCte, "ehu_turns")(spark, sfDir)
+  def ehiInput(spark: SparkSession, sfDir: String): DataFrame = ehInputOf(ehiCte, "ehi_turns")(spark, sfDir)
+  def ehnInput(spark: SparkSession, sfDir: String): DataFrame = ehInputOf(ehnCte, "ehn_turns")(spark, sfDir)
+  def ehsInput(spark: SparkSession, sfDir: String): DataFrame = ehInputOf(ehsCte, "ehs_turns")(spark, sfDir)
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

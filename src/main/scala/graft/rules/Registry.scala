@@ -103,6 +103,24 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "azure.eventhub.insights_audit" -> TechnologyConfig("azure.eventhub.insights_audit",
+      "logs-azure.eventhub.insights_audit", Vector("elastic"), Set.empty, "medium"),
+    "azure.eventhub.insights_operational" -> TechnologyConfig("azure.eventhub.insights_operational",
+      "logs-azure.eventhub.insights_operational", Vector("elastic"), Set.empty, "low"),
+    "azure.audit" -> TechnologyConfig("azure.audit", "logs-azure.audit",
+      Vector("elastic"), Set.empty, "medium"),
+    "azure.riskyuser" -> TechnologyConfig("azure.riskyuser", "logs-azure.riskyuser",
+      Vector("elastic"), Set.empty, "low"),
+    "azure.emailevents" -> TechnologyConfig("azure.emailevents", "logs-azure.emailevents",
+      Vector("elastic"), Set.empty, "medium"),
+    "azure.userriskevents" -> TechnologyConfig("azure.userriskevents",
+      "logs-azure.userriskevents", Vector("elastic"), Set.empty, "low"),
+    "azure.securityincident" -> TechnologyConfig("azure.securityincident",
+      "logs-azure.securityincident", Vector("elastic"), Set.empty, "low"),
+    "azure.anomalies" -> TechnologyConfig("azure.anomalies", "logs-azure.anomalies",
+      Vector("elastic"), Set.empty, "low"),
+    "azure.interactivesignin" -> TechnologyConfig("azure.interactivesignin",
+      "logs-azure.interactivesignin", Vector("elastic"), Set.empty, "high"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -409,6 +427,15 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "azure.eventhub.insights_audit" -> EventHubRules.ehAudit,
+    "azure.eventhub.insights_operational" -> EventHubRules.ehOperational,
+    "azure.audit" -> EventHubRules.ehAzureaudit,
+    "azure.riskyuser" -> EventHubRules.ehRiskyuser,
+    "azure.emailevents" -> EventHubRules.ehEmailevents,
+    "azure.userriskevents" -> EventHubRules.ehUserriskevents,
+    "azure.securityincident" -> EventHubRules.ehSecurityincident,
+    "azure.anomalies" -> EventHubRules.ehAnomalies,
+    "azure.interactivesignin" -> EventHubRules.ehInteractiveSignin,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

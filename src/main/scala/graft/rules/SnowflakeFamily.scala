@@ -632,7 +632,10 @@ object SnowflakeFamily {
     }
   }
 
-  private val corpusMod = 19 // coprime quotient-selector form (ROADMAP rule)
+  // Filter half the events table and pick the member from the QUOTIENT so
+  // member choice is independent of every value-selector modulus (ROADMAP
+  // coprimality rule); mod 2 keeps ~12 rows/member even at sf0.001.
+  private val corpusMod = 2
 
   /** Per-member deterministic corpus — portable Spark/DuckDB SQL. */
   def cteFor(i: Int, m: Member): String = {
@@ -645,7 +648,7 @@ snf_base AS (
   SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
     ts + INTERVAL 67 SECOND AS ts1, ts + INTERVAL 131 SECOND AS ts2
   FROM events
-  WHERE (event_id % $corpusMod) = 5
+  WHERE (event_id % $corpusMod) = 1
     AND (CAST(FLOOR(event_id / $corpusMod) AS BIGINT) % ${members.length}) = $i
 ),
 snf_turns AS (

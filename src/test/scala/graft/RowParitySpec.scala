@@ -52,7 +52,12 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("github", Transcripts.ghInput), ("citrix", Transcripts.cxInput),
       ("meraki", Transcripts.mkInput), ("trap", Transcripts.ptInput),
       ("securityhub", Transcripts.shInput), ("a10", Transcripts.a10Input),
-      ("snowfam", graft.rules.SnowflakeFamily.allInput))
+      ("snowfam", graft.rules.SnowflakeFamily.allInput),
+      ("eh_insaudit", Transcripts.ehaInput), ("eh_insops", Transcripts.ehoInput),
+      ("eh_azaudit", Transcripts.ehzInput), ("eh_risky", Transcripts.ehrInput),
+      ("eh_email", Transcripts.ehmInput), ("eh_userrisk", Transcripts.ehuInput),
+      ("eh_incident", Transcripts.ehiInput), ("eh_anomalies", Transcripts.ehnInput),
+      ("eh_signin", Transcripts.ehsInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
