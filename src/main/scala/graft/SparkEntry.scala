@@ -456,6 +456,66 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // infoblox.ipam_audit end-to-end: 12 of 18 rules, flat source_ip header
+    // capture vs nested renames, double source-port captures, Joda YYYY
+    "qib01_infoblox" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ibInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("log_syslog_facility_code"), col("log_syslog_severity_code"),
+        col("event_created_ms"), col("process_name"), col("source_port"),
+        col("source_ip"), col("source_mac"), col("source_address"),
+        col("destination_ip"), col("destination_port"), col("network_name"),
+        col("network_protocol"), col("rule_description"), col("rule_category"),
+        col("event_action"), col("event_id_s"), col("event_start_ms"),
+        col("host_hostname"), col("host_domain"), col("host_name"),
+        col("log_source_hostname"))),
+
+    // juniper.fw_traffic end-to-end: 14 branches over 24 rules, stacked
+    // umbrella parse_rules, dead dotted-key renames, skip-captured created
+    "qjn01_juniper" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.jnInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("log_syslog_facility_code"), col("log_syslog_severity_code"),
+        col("event_created_ms"), col("rule_name"), col("rule_category"),
+        col("rule_id"), col("rule_description"), col("rule_ruleset"),
+        col("source_ip"), col("source_port"), col("destination_ip"),
+        col("destination_port"), col("service_name"), col("user_name"),
+        col("source_domain"), col("destination_domain"),
+        col("network_iana_number"), col("network_name"), col("event_action"),
+        col("source_nat_ip"), col("destination_nat_ip"), col("event_duration"),
+        col("source_bytes"), col("destination_bytes"), col("error_message"),
+        col("event_original"), col("url_path"),
+        col("observer_ingress_interface_id"),
+        col("observer_ingress_interface_name"), col("host_ip"),
+        col("host_hostname"), col("host_name"), col("source_address"),
+        col("group_id"))),
+
+    // symantec.endpoint_protection end-to-end: 12 message families, stacked
+    // parse_rule arrays from the chained else-ladders, malformed dissect keys
+    // on the Agent Scan branch, kv re-dissect of somedata, sequence copy
+    "qse01_symantec" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.symInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("log_syslog_facility_code"), col("log_syslog_facility_name"),
+        col("log_syslog_severity_code"), col("log_syslog_severity_name"),
+        col("event_created_ms"), col("observer_name"), col("host_hostname"),
+        col("host_name"), col("host_domain"), col("host_ip"),
+        col("source_ip"), col("source_address"), col("source_mac"),
+        col("source_port"), col("destination_ip"), col("destination_port"),
+        col("user_name"), col("rule_name"), col("rule_description"),
+        col("rule_category"), col("rule_ruleset"), col("rule_id"),
+        col("rule_uuid"), col("event_action"), col("event_type"),
+        col("event_code"), col("event_outcome"), col("event_category"),
+        col("event_start_ms"), col("event_end_ms"), col("event_sequence"),
+        col("event_duration"), col("event_severity_name"), col("file_path"),
+        col("file_size"), col("url_domain"), col("url_full"),
+        col("event_url"), col("package_type"), col("network_direction"),
+        col("network_protocol"), col("destination_user_email"),
+        col("process_pid"), col("process_name"))),
+
     // --- event_hub_audit_azure.* family (EventHubRules) ---
     // insights_audit: style-A envelope, dead correlationID rename, the
     // unregister-device ruby extraction, always-true appid branch
@@ -1461,6 +1521,229 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    "qib01_infoblox" ->
+      s"""WITH ${Transcripts.ibCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.bsel WHEN 0 THEN 'rule 2' WHEN 1 THEN 'rule 2' WHEN 2 THEN 'rule 3'
+    WHEN 3 THEN 'rule 7' WHEN 4 THEN 'rule 8' WHEN 5 THEN 'rule 9'
+    WHEN 6 THEN 'rule 10' WHEN 7 THEN 'rule 11' WHEN 8 THEN 'rule 12 (a)'
+    WHEN 9 THEN 'rule 15' WHEN 10 THEN 'rule 17' ELSE 'rule 18' END AS parse_rule,
+  'infoblox' AS event_module, 'infoblox.ipam_audit' AS event_dataset,
+  'logs-infoblox.ipam_audit_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  CASE b.bsel WHEN 5 THEN 'db_jnld' WHEN 6 THEN 'dhcpd' WHEN 7 THEN 'dhcpd'
+    WHEN 8 THEN 'dhcpd' WHEN 9 THEN 'dhcpd' WHEN 10 THEN NULL WHEN 11 THEN 'dhcpd'
+    ELSE 'named' END AS process_name,
+  CASE b.bsel WHEN 0 THEN CAST(123 AS BIGINT) WHEN 1 THEN CAST(5353 AS BIGINT)
+    WHEN 2 THEN CAST(123 AS BIGINT) WHEN 3 THEN CAST(123 AS BIGINT)
+    WHEN 4 THEN CAST(5353 AS BIGINT) WHEN 5 THEN NULL
+    WHEN 6 THEN NULL WHEN 7 THEN NULL
+    WHEN 8 THEN CAST(3123 AS BIGINT) WHEN 9 THEN CAST(3123 AS BIGINT)
+    WHEN 10 THEN NULL ELSE CAST(3123 AS BIGINT) END AS source_port,
+  CASE b.bsel WHEN 1 THEN b.cip WHEN 4 THEN b.cip ELSE b.hip END AS source_ip,
+  CASE WHEN b.bsel IN (6, 7, 8, 9) THEN 'aa:bb:cc:dd:ee:0f' ELSE NULL END AS source_mac,
+  CASE b.bsel WHEN 6 THEN 'h' || b.eid_s WHEN 9 THEN 'h' || b.eid_s ELSE NULL END AS source_address,
+  CASE b.bsel WHEN 3 THEN '172.16.9.9' WHEN 7 THEN '10.4.5.6' WHEN 8 THEN '10.4.5.1'
+    ELSE NULL END AS destination_ip,
+  CASE b.bsel WHEN 3 THEN CAST(53 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE b.bsel WHEN 0 THEN 'zone' || b.eid_s || '.example/in'
+    WHEN 3 THEN 'zn' || b.eid_s || '.example/in' WHEN 5 THEN 'corp.example'
+    ELSE NULL END AS network_name,
+  -- 90_lookup_iana: destination port 53 back-fills network.protocol
+  CASE b.bsel WHEN 4 THEN 'udp' WHEN 3 THEN 'domain' ELSE NULL END AS network_protocol,
+  CASE b.bsel WHEN 0 THEN 'loaded serial 42'
+    WHEN 1 THEN 'query: example.com in a' WHEN 2 THEN 'hint ' || b.eid_s
+    WHEN 3 THEN 'transfer status: success'
+    WHEN 4 THEN 'query: www.example.com in a' WHEN 6 THEN 'via eth1'
+    WHEN 7 THEN 'network x: no free leases' WHEN 10 THEN 'sshd: infoblox admin note ' || b.eid_s
+    WHEN 11 THEN 'dhcpunknown event ' || b.eid_s ELSE NULL END AS rule_description,
+  CASE b.bsel WHEN 0 THEN 'audit/configuration' WHEN 3 THEN 'audit/configuration'
+    WHEN 5 THEN 'audit/configuration' ELSE 'audit/information' END AS rule_category,
+  CASE b.bsel WHEN 5 THEN 'deleted' WHEN 6 THEN 'dhcpack' WHEN 7 THEN 'dhcpdiscover'
+    WHEN 8 THEN 'dhcprequest' WHEN 9 THEN 'assigned' ELSE NULL END AS event_action,
+  CASE b.bsel WHEN 8 THEN 'tid' || b.eid_s ELSE NULL END AS event_id_s,
+  CASE b.bsel WHEN 4 THEN epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) + (b.event_id % 1000)
+    ELSE NULL END AS event_start_ms,
+  CASE b.bsel WHEN 1 THEN 'cl' || b.eid_s ELSE NULL END AS host_hostname,
+  CASE b.bsel WHEN 1 THEN 'corp.example' ELSE NULL END AS host_domain,
+  CASE b.bsel WHEN 1 THEN 'cl' || b.eid_s || '.corp.example' ELSE NULL END AS host_name,
+  CASE b.bsel WHEN 1 THEN 'cl' || b.eid_s || '.corp.example' ELSE NULL END AS log_source_hostname
+FROM ib_turns t JOIN ib_base b USING (event_id)""",
+
+    "qjn01_juniper" ->
+      s"""WITH ${Transcripts.jnCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.bsel WHEN 0 THEN 'rule 1' WHEN 1 THEN 'rule 2,rule 3' WHEN 2 THEN 'rule 2,rule 4'
+    WHEN 3 THEN 'rule 6' WHEN 4 THEN 'rule 9' WHEN 5 THEN 'rule 12'
+    WHEN 6 THEN 'rule 13' WHEN 7 THEN 'rule 14' WHEN 8 THEN 'rule 15'
+    WHEN 9 THEN 'rule 16' WHEN 10 THEN 'rule 17,rule 18' WHEN 11 THEN 'rule 17,rule 19'
+    WHEN 12 THEN 'rule 20'
+    ELSE 'rule 21,' || (CASE b.rsel WHEN 0 THEN 'rule 22' WHEN 1 THEN 'rule 23' ELSE 'rule 24' END)
+  END AS parse_rule,
+  'juniper' AS event_module, 'juniper.fw_traffic' AS event_dataset,
+  'logs-juniper.fw_traffic_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  CASE WHEN b.bsel >= 12 THEN epoch_ms(t.ts)
+    ELSE epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) + (b.event_id % 1000)
+  END AS event_created_ms,
+  CASE b.bsel WHEN 0 THEN 'rt_flow_session_deny' WHEN 1 THEN 'apptrack_session_close'
+    WHEN 2 THEN 'apptrack_session_create' WHEN 3 THEN 'webfilter_url_permitted'
+    WHEN 4 THEN 'snmpd_auth_failure' WHEN 5 THEN 'snmp_trap_link_up'
+    WHEN 6 THEN 'kmd_vpn_up_alarm_user' WHEN 7 THEN 'rt_flow_session_close'
+    WHEN 8 THEN 'rt_flow_session_create' WHEN 9 THEN 'apptrack_session_vol_update'
+    WHEN 10 THEN 'no proposal chosen' WHEN 11 THEN 'ikefailgeneric'
+    ELSE NULL END AS rule_name,
+  CASE b.bsel WHEN 0 THEN 'ops/network deny' WHEN 1 THEN 'ops/information'
+    WHEN 2 THEN 'ops/network traffic' WHEN 3 THEN 'ops/network allow'
+    WHEN 4 THEN 'ops/network traffic' WHEN 5 THEN 'ops/network traffic'
+    WHEN 6 THEN 'ops/network traffic' WHEN 7 THEN 'ops/information'
+    WHEN 8 THEN 'ops/network traffic' WHEN 9 THEN 'ops/network traffic'
+    WHEN 10 THEN 'ops/network traffic' WHEN 11 THEN 'ops/network traffic'
+    WHEN 12 THEN 'ops/network traffic'
+    ELSE (CASE b.rsel WHEN 0 THEN 'audit/access success' WHEN 1 THEN 'ops/information'
+      ELSE 'ops/network traffic' END) END AS rule_category,
+  CASE WHEN b.bsel IN (0, 1, 2, 7, 8, 9) THEN 'pol-' || b.eid_s ELSE NULL END AS rule_id,
+  CASE b.bsel WHEN 0 THEN NULL WHEN 1 THEN 'appqos processing' WHEN 2 THEN 'apptrack start'
+    WHEN 3 THEN 'url permitted' WHEN 4 THEN 'snmp auth fail' WHEN 5 THEN 'ifoperstatus'
+    WHEN 6 THEN 'vpn up' WHEN 7 THEN 'session closed' WHEN 8 THEN 'session created'
+    WHEN 9 THEN 'vol update' WHEN 12 THEN 'juniper event ' || b.eid_s
+    WHEN 13 THEN (CASE b.rsel WHEN 0 THEN 'login (root) ok'
+      WHEN 1 THEN 'last message repeated 2 times' ELSE 'plain juniper ' || b.eid_s END)
+    ELSE NULL END AS rule_description,
+  CASE b.bsel WHEN 5 THEN 'down' ELSE NULL END AS rule_ruleset,
+  CASE WHEN b.bsel IN (0, 1, 2, 3, 4, 6, 7, 8, 9, 10, 11) THEN b.sip
+    ELSE NULL END AS source_ip,
+  CASE WHEN b.bsel IN (0, 1, 2, 3, 7, 8, 9) THEN CAST(5353 AS BIGINT)
+    WHEN b.bsel IN (10, 11) THEN CAST(500 AS BIGINT) ELSE NULL END AS source_port,
+  CASE WHEN b.bsel IN (0, 1, 2, 3, 4, 6, 7, 8, 9, 10, 11) THEN b.dip
+    ELSE NULL END AS destination_ip,
+  CASE WHEN b.bsel IN (0, 1, 2, 3, 7, 8, 9) THEN CAST(443 AS BIGINT)
+    WHEN b.bsel IN (10, 11) THEN CAST(500 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE WHEN b.bsel IN (0, 1, 2, 7, 8, 9) THEN 'junos-https' ELSE NULL END AS service_name,
+  CASE WHEN b.bsel IN (0, 1, 2, 3, 7, 8, 9) THEN 'u' || b.eid_s ELSE NULL END AS user_name,
+  CASE WHEN b.bsel IN (0, 1, 2, 7, 8, 9) THEN 'trust' ELSE NULL END AS source_domain,
+  -- every 172.16.x.y destination resolves in the PTR table; 18_host_split
+  -- then splits 'ptr-...-y.internal' and OVERWRITES the dissected zone
+  CASE WHEN b.bsel IN (0, 1, 2, 3, 4, 6, 7, 8, 9, 10, 11) THEN 'internal' ELSE NULL END AS destination_domain,
+  CASE WHEN b.bsel IN (0, 1, 2, 7, 8, 9) THEN '6'
+    WHEN b.bsel IN (10, 11) THEN '2' ELSE NULL END AS network_iana_number,
+  CASE b.bsel WHEN 6 THEN 'vpn-' || b.eid_s
+    WHEN 10 THEN 'vpnx' WHEN 11 THEN 'vpnx' ELSE NULL END AS network_name,
+  CASE b.bsel WHEN 0 THEN 'policy deny' WHEN 7 THEN 'tcp fin' ELSE NULL END AS event_action,
+  CASE WHEN b.bsel IN (1, 2, 7, 8, 9) THEN b.sip ELSE NULL END AS source_nat_ip,
+  CASE WHEN b.bsel IN (1, 2, 7, 8, 9) THEN b.dip ELSE NULL END AS destination_nat_ip,
+  CASE WHEN b.bsel IN (7, 9) THEN '33' ELSE NULL END AS event_duration,
+  CASE WHEN b.bsel IN (7, 9) THEN CAST(1000 AS BIGINT) ELSE NULL END AS source_bytes,
+  CASE WHEN b.bsel IN (7, 9) THEN CAST(2000 AS BIGINT) ELSE NULL END AS destination_bytes,
+  CASE b.bsel WHEN 3 THEN 'permitted' ELSE NULL END AS error_message,
+  CASE b.bsel WHEN 4 THEN 'auth failure ' || b.eid_s ELSE NULL END AS event_original,
+  CASE b.bsel WHEN 3 THEN '/p/' || b.eid_s ELSE NULL END AS url_path,
+  CASE b.bsel WHEN 5 THEN '541' ELSE NULL END AS observer_ingress_interface_id,
+  CASE b.bsel WHEN 5 THEN 'ge-1/0/1' WHEN 6 THEN 'st0.0' ELSE NULL END AS observer_ingress_interface_name,
+  CASE b.bsel WHEN 6 THEN '10.8.8.8' ELSE NULL END AS host_ip,
+  CASE b.bsel WHEN 6 THEN 'vpnhost' || b.eid_s ELSE NULL END AS host_hostname,
+  CASE b.bsel WHEN 6 THEN 'vpnhost' || b.eid_s ELSE NULL END AS host_name,
+  CASE b.bsel WHEN 6 THEN 'cl' || b.eid_s ELSE NULL END AS source_address,
+  CASE b.bsel WHEN 6 THEN '7' ELSE NULL END AS group_id
+FROM jn_turns t JOIN jn_base b USING (event_id)""",
+
+    "qse01_symantec" ->
+      s"""WITH ${Transcripts.symCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.bsel WHEN 0 THEN 'other' WHEN 1 THEN 'other' WHEN 2 THEN 'system,other'
+    WHEN 3 THEN 'agent activity,other' WHEN 4 THEN 'administrative'
+    WHEN 5 THEN 'administrative,admin' WHEN 6 THEN 'agent behavior'
+    WHEN 7 THEN 'agent scan' WHEN 8 THEN 'agent security'
+    WHEN 9 THEN 'agent proactive detection logs(sonar)' WHEN 10 THEN 'agent system'
+    ELSE 'konspol jv' END AS parse_rule,
+  'symantec' AS event_module, 'symantec.endpoint_protection' AS event_dataset,
+  'logs-symantec.endpoint_protection_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  'local' || CAST(b.event_id % 8 AS STRING) AS log_syslog_facility_name,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  CASE (b.event_id % 5) WHEN 0 THEN 'emergency' WHEN 1 THEN 'alert'
+    WHEN 2 THEN 'critical' WHEN 3 THEN 'error' ELSE 'warning' END AS log_syslog_severity_name,
+  epoch_ms(t.ts) AS event_created_ms,
+  CASE b.bsel WHEN 1 THEN 'srv' || b.eid_s WHEN 3 THEN NULL WHEN 7 THEN NULL
+    ELSE b.obs END AS observer_name,
+  CASE b.bsel WHEN 0 THEN 'hosta' || b.eid_s WHEN 1 THEN 'prod_dmz_hb' || b.eid_s
+    WHEN 2 THEN 'hostc' || b.eid_s WHEN 4 THEN 'hostd' || b.eid_s
+    WHEN 5 THEN 'hostd' || b.eid_s WHEN 6 THEN 'hoste' || b.eid_s
+    WHEN 7 THEN 'hostf' || b.eid_s WHEN 8 THEN 'hosts' || b.eid_s
+    WHEN 10 THEN 'ahost' || b.eid_s WHEN 11 THEN 'khost' || b.eid_s
+    ELSE NULL END AS host_hostname,
+  CASE b.bsel WHEN 0 THEN 'hosta' || b.eid_s WHEN 1 THEN 'prod_dmz_hb' || b.eid_s
+    WHEN 2 THEN 'hostc' || b.eid_s WHEN 4 THEN 'hostd' || b.eid_s
+    WHEN 5 THEN 'hostd' || b.eid_s WHEN 6 THEN 'hoste' || b.eid_s
+    WHEN 7 THEN 'hostf' || b.eid_s WHEN 8 THEN 'hosts' || b.eid_s
+    WHEN 10 THEN 'ahost' || b.eid_s WHEN 11 THEN 'khost' || b.eid_s
+    ELSE NULL END AS host_name,
+  CASE b.bsel WHEN 1 THEN 'domt' WHEN 4 THEN 'domd' || b.eid_s
+    WHEN 5 THEN 'domd' || b.eid_s WHEN 6 THEN 'domb' WHEN 7 THEN 'doms'
+    WHEN 8 THEN 'domc' ELSE NULL END AS host_domain,
+  CASE b.bsel WHEN 0 THEN '10.1.2.3' WHEN 7 THEN '10.2.3.4' ELSE NULL END AS host_ip,
+  CASE b.bsel WHEN 6 THEN '10.0.0.5' WHEN 8 THEN '8.8.4.4' ELSE NULL END AS source_ip,
+  CASE b.bsel WHEN 10 THEN 'ahost' || b.eid_s ELSE NULL END AS source_address,
+  CASE b.bsel WHEN 8 THEN 'aa:bb:cc:dd:ee:0f' ELSE NULL END AS source_mac,
+  CASE b.bsel WHEN 8 THEN CAST(5555 AS BIGINT) ELSE NULL END AS source_port,
+  CASE b.bsel WHEN 8 THEN '172.16.1.2' ELSE NULL END AS destination_ip,
+  CASE b.bsel WHEN 8 THEN CAST(443 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE b.bsel WHEN 0 THEN 'u' || b.eid_s WHEN 4 THEN 'adm' || b.eid_s
+    WHEN 5 THEN 'adm' || b.eid_s WHEN 6 THEN 'u' || b.eid_s ELSE NULL END AS user_name,
+  CASE b.bsel WHEN 0 THEN 'riskz' || b.eid_s WHEN 6 THEN 'ruleb' || b.eid_s
+    WHEN 7 THEN 'scanfull' WHEN 8 THEN 'sigstr' || b.eid_s WHEN 9 THEN 'heuristic'
+    WHEN 11 THEN 'rulek' || b.eid_s ELSE NULL END AS rule_name,
+  CASE b.bsel WHEN 0 THEN 'srvdesc' || b.eid_s WHEN 1 THEN 'tcpd' || b.eid_s
+    WHEN 4 THEN 'admdesc' || b.eid_s WHEN 5 THEN 'administrator log on failed'
+    WHEN 6 THEN 'evname' || b.eid_s WHEN 7 THEN 'evscan' || b.eid_s
+    WHEN 8 THEN (CASE WHEN b.rsel = 0 THEN 'evsec' || b.eid_s ELSE NULL END)
+    WHEN 10 THEN 'descg' || b.eid_s
+    WHEN 11 THEN 'blocked file ''c:/apps/k' || b.eid_s || '.exe'' found'
+    ELSE NULL END AS rule_description,
+  CASE b.bsel WHEN 0 THEN 'loca' WHEN 4 THEN 'audit/information'
+    WHEN 5 THEN 'audit/information' ELSE NULL END AS rule_category,
+  CASE b.bsel WHEN 2 THEN 'rset' || b.eid_s WHEN 4 THEN 'rseta' || b.eid_s
+    WHEN 5 THEN 'rseta' || b.eid_s WHEN 7 THEN 'rsets' || b.eid_s
+    ELSE NULL END AS rule_ruleset,
+  CASE b.bsel WHEN 8 THEN '71' || b.eid_s ELSE NULL END AS rule_id,
+  CASE b.bsel WHEN 8 THEN '33' WHEN 10 THEN '2' ELSE NULL END AS rule_uuid,
+  CASE b.bsel WHEN 0 THEN 'blocked'
+    WHEN 2 THEN 'started [u' || b.eid_s || '@corp.example]'
+    WHEN 6 THEN 'blocked' WHEN 7 THEN 'completed'
+    WHEN 8 THEN (CASE WHEN b.rsel = 0 THEN 'audited' ELSE NULL END)
+    WHEN 9 THEN 'actd' || b.eid_s ELSE NULL END AS event_action,
+  CASE b.bsel WHEN 0 THEN 'catt' ELSE NULL END AS event_type,
+  CASE b.bsel WHEN 6 THEN 'at1' WHEN 7 THEN 'ec2' ELSE NULL END AS event_code,
+  CASE b.bsel WHEN 8 THEN 'blocked' ELSE NULL END AS event_outcome,
+  CASE b.bsel WHEN 8 THEN 'networkidps' ELSE NULL END AS event_category,
+  CASE WHEN b.bsel IN (6, 7, 8, 10, 11)
+    THEN epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND))
+    ELSE NULL END AS event_start_ms,
+  CASE WHEN b.bsel IN (0, 6, 7, 8)
+    THEN epoch_ms(date_trunc('second', t.ts + INTERVAL 131 SECOND))
+    ELSE NULL END AS event_end_ms,
+  CASE b.bsel WHEN 8 THEN '71' || b.eid_s ELSE '0' END AS event_sequence,
+  CASE b.bsel WHEN 7 THEN '42' ELSE NULL END AS event_duration,
+  CASE b.bsel WHEN 9 THEN 'high' ELSE NULL END AS event_severity_name,
+  CASE b.bsel WHEN 0 THEN '/tmp/y' || b.eid_s || '.exe'
+    WHEN 6 THEN '/tmp/f' || b.eid_s || '.bin' WHEN 9 THEN '/tmp/s' || b.eid_s || '.exe'
+    WHEN 11 THEN 'c:/apps/k' || b.eid_s || '.exe' ELSE NULL END AS file_path,
+  CASE b.bsel WHEN 0 THEN CAST(123 AS BIGINT) WHEN 6 THEN CAST(456 AS BIGINT)
+    ELSE NULL END AS file_size,
+  CASE b.bsel WHEN 0 THEN 'web.example.com' ELSE NULL END AS url_domain,
+  CASE b.bsel WHEN 8 THEN 'http://bad.example/x' || b.eid_s ELSE NULL END AS url_full,
+  CASE b.bsel WHEN 0 THEN 'http://dl.example.com/x' ELSE NULL END AS event_url,
+  CASE b.bsel WHEN 0 THEN 'chrome' ELSE NULL END AS package_type,
+  CASE b.bsel WHEN 8 THEN 'inbound' ELSE NULL END AS network_direction,
+  CASE b.bsel WHEN 8 THEN 'tcp' ELSE NULL END AS network_protocol,
+  CASE b.bsel WHEN 2 THEN 'u' || b.eid_s || '@corp.example' ELSE NULL END AS destination_user_email,
+  CASE b.bsel WHEN 6 THEN CAST(123 AS BIGINT) ELSE NULL END AS process_pid,
+  CASE b.bsel WHEN 6 THEN 'proc.exe' WHEN 8 THEN 'procx' ELSE NULL END AS process_name
+FROM sym_turns t JOIN sym_base b USING (event_id)""",
 
     // --- event_hub_audit_azure.* family oracles. Envelope convention:
     // esel 0 → two records (sub_idx 0 + the UNION'd 'b' row), 1 → one

@@ -1907,6 +1907,234 @@ ehs_turns AS (
   FROM ehs_base
 )"""
 
+  private def monCaseOf(c: String): String =
+    s"CASE CAST(EXTRACT(MONTH FROM $c) AS INT) WHEN 1 THEN 'Jan' WHEN 2 THEN 'Feb' WHEN 3 THEN 'Mar' WHEN 4 THEN 'Apr' WHEN 5 THEN 'May' WHEN 6 THEN 'Jun' WHEN 7 THEN 'Jul' WHEN 8 THEN 'Aug' WHEN 9 THEN 'Sep' WHEN 10 THEN 'Oct' WHEN 11 THEN 'Nov' ELSE 'Dec' END"
+
+  private def hmsOf(c: String): String =
+    s"""LPAD(CAST(EXTRACT(HOUR FROM $c) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM $c) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM $c)) AS INT) AS STRING), 2, '0')"""
+
+  /** infoblox.ipam_audit corpus — 12 of the conf's 18 rules (ref:
+    * config/processors/syslog_audit_infoblox.conf). */
+  val ibCte: String = s"""
+ib_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 12) AS bsel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase AS mon,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dday,
+    ${hmsOf("ts")} AS t1,
+    '10.20.' || CAST(user_id % 200 AS STRING) || '.' || CAST(1 + (event_id % 254) AS STRING) AS hip,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS cip,
+    LPAD(CAST(EXTRACT(DAY FROM (ts + INTERVAL 67 SECOND)) AS STRING), 2, '0') || '-'
+      || ${monCaseOf("(ts + INTERVAL 67 SECOND)")} || '-'
+      || LPAD(CAST(EXTRACT(YEAR FROM (ts + INTERVAL 67 SECOND)) AS STRING), 4, '0') || ' '
+      || ${hmsOf("(ts + INTERVAL 67 SECOND)")} || '.'
+      || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') AS dmy
+  FROM events WHERE (event_id % 101) = 43
+),
+ib_turns AS (
+  SELECT 'ib_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || mon || ' ' || dday || ' ' || t1 || ' ' || hip || ' ' ||
+    CASE bsel
+      WHEN 0 THEN 'named[123]: zone zone' || eid_s || '.example/IN: loaded serial 42'
+      WHEN 1 THEN 'named[123]: client cl' || eid_s || '.corp.example ' || cip || '#5353: query: example.com IN A'
+      WHEN 2 THEN 'named[123]: checkhints: hint ' || eid_s
+      WHEN 3 THEN 'named[123]: transfer of ''zn' || eid_s || '.example/IN'' from 172.16.9.9#53: Transfer status: success'
+      WHEN 4 THEN 'named[123]: ' || dmy || ' client ' || cip || '#5353: UDP: query: www.example.com IN A'
+      WHEN 5 THEN 'db_jnld: Deleted of CNAME ''rec' || eid_s || ''' in zone corp.example'
+      WHEN 6 THEN 'dhcpd[3123]: DHCPACK on 10.4.5.6 to aa:bb:cc:dd:ee:0f (h' || eid_s || ') via eth1'
+      WHEN 7 THEN 'dhcpd[3123]: DHCPDISCOVER from aa:bb:cc:dd:ee:0f via 10.4.5.6: network x: no free leases'
+      WHEN 8 THEN 'dhcpd[3123]: DHCPREQUEST for 10.4.5.6 from aa:bb:cc:dd:ee:0f via 10.4.5.1 TransID tid' || eid_s
+      WHEN 9 THEN 'dhcpd[3123]: r-l-e:10.4.5.9,Assigned,h' || eid_s || ',aa:bb:cc:dd:ee:0f,extra'
+      WHEN 10 THEN 'sshd: infoblox admin note ' || eid_s
+      ELSE 'dhcpd[3123]: DHCPUNKNOWN event ' || eid_s
+    END AS text,
+    'infoblox.ipam_audit' AS tool, ts, event_id
+  FROM ib_base
+)"""
+
+  def ibInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ibCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ib_turns")
+  }
+
+  /** juniper.fw_traffic corpus — 14 branches over the conf's 24 rules (ref:
+    * config/processors/syslog_security_juniper.fw.conf). */
+  val jnCte: String = s"""
+jn_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 14) AS bsel, (event_id % 3) AS rsel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    ${isoSecOf("(ts + INTERVAL 67 SECOND)")} || '.'
+      || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') || '+0000' AS isoz,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    '172.16.' || CAST(event_id % 100 AS STRING) || '.' || CAST(1 + (user_id % 254) AS STRING) AS dip
+  FROM events WHERE (event_id % 97) = 13
+),
+jn_line AS (
+  SELECT *,
+    'source-address=''' || sip || ''' source-port=''5353'' destination-address=''' || dip
+      || ''' destination-port=''443'' service-name=''junos-https''' AS f1,
+    ' nat-source-address=''' || sip || ''' nat-source-port=''11111'' nat-destination-address=''' || dip
+      || ''' nat-destination-port=''443'' src-nat-rule-name=''snr'' dst-nat-rule-name=''dnr'''
+      || ' protocol-id=''6'' policy-name=''POL-' || eid_s
+      || ''' source-zone-name=''TRUST'' destination-zone-name=''UNTRUST'' session-id-32=''777''' AS f2
+  FROM jn_base
+),
+jn_turns AS (
+  SELECT 'jn_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' ||
+    CASE bsel
+      WHEN 0 THEN '1 ' || isoz || ' hostJ RT_FLOW_SESSION_DENY [junos@2636 ' || f1
+        || ' protocol-id=''6'' icmp-type=''0'' policy-name=''POL-' || eid_s
+        || ''' source-zone-name=''TRUST'' destination-zone-name=''UNTRUST'' application=''UNKNOWN'' nested-application=''web'' username=''u'
+        || eid_s || ''' roles=''r1'' packet-incoming-interface=''ge-0/0/0.0'' encrypted=''No'' reason=''policy deny''] session denied'
+      WHEN 1 THEN '1 ' || isoz || ' hostJ APPTRACK_SESSION_CLOSE [junos@2636 ' || f1 || f2
+        || ' username=''u' || eid_s || ''' encrypted=''No''] AppQoS processing'
+      WHEN 2 THEN '1 ' || isoz || ' hostJ APPTRACK_SESSION_CREATE [junos@2636 ' || f1 || f2
+        || ' username=''u' || eid_s || ''' encrypted=''No''] AppTrack start'
+      WHEN 3 THEN '1 ' || isoz || ' hostJ WEBFILTER_URL_PERMITTED [junos@2636 source-address=''' || sip
+        || ''' source-port=''5353'' destination-address=''' || dip
+        || ''' destination-port=''443'' name=''www.example.com'' error-message=''permitted'' profile-name=''pf'' object-name=''obj'' pathname=''/p/'
+        || eid_s || ''' username=''u' || eid_s || ''' roles=''r1''] url permitted'
+      WHEN 4 THEN '1 ' || isoz || ' hostJ SNMPD_AUTH_FAILURE [junos@2636 function-name=''fn'' message=''auth failure '
+        || eid_s || ''' source-address=''' || sip || ''' destination-address=''' || dip
+        || ''' index1=''1''] snmp auth fail'
+      WHEN 5 THEN '1 ' || isoz || ' hostJ SNMP_TRAP_LINK_UP [junos@2636 snmp-interface-index=''541'' admin-status=''up'' operational-status=''down'' interface-name=''ge-1/0/1''] ifOperStatus'
+      WHEN 6 THEN '1 ' || isoz || ' hostJ KMD_VPN_UP_ALARM_USER [junos@2636 vpn-name=''VPN-' || eid_s
+        || ''' remote-address=''' || dip || ''' local-address=''' || sip
+        || ''' gateway-name=''gw1'' group-name=''grp1'' tunnel-id=''5'' interface-name=''st0.0'' internal-ip=''10.8.8.8'' name=''vpnhost'
+        || eid_s || ''' peer-name=''pn'' client-name=''cl' || eid_s
+        || ''' vrrp-group-id=''7'' traffic-selector-name=''ts'' traffic-selector-cfg-local-id=''l'' traffic-selector-cfg-remote-id=''r''] vpn up'
+      WHEN 7 THEN '1 ' || isoz || ' hostJ RT_FLOW_SESSION_CLOSE [junos@2636 reason=''tcp fin'' ' || f1 || f2
+        || ' packets-from-client=''10'' bytes-from-client=''1000'' packets-from-server=''20'' bytes-from-server=''2000'' elapsed-time=''33'' application=''x'' nested-application=''web'' username=''u'
+        || eid_s || ''' roles=''r1'' packet-incoming-interface=''ge'' encrypted=''No''] session closed'
+      WHEN 8 THEN '1 ' || isoz || ' hostJ RT_FLOW_SESSION_CREATE [junos@2636 ' || f1 || f2
+        || ' username=''u' || eid_s
+        || ''' roles=''r1'' packet-incoming-interface=''ge'' application=''x'' nested-application=''web'' encrypted=''No''] session created'
+      WHEN 9 THEN '1 ' || isoz || ' hostJ APPTRACK_SESSION_VOL_UPDATE [junos@2636 ' || f1
+        || ' application=''x'' nested-application=''web''' || f2
+        || ' packets-from-client=''10'' bytes-from-client=''1000'' packets-from-server=''20'' bytes-from-server=''2000'' elapsed-time=''33'' username=''u'
+        || eid_s || ''' roles=''r1'' encrypted=''No''] vol update'
+      WHEN 10 THEN '1 ' || isoz || ' hostJ - - - - IKE negotiation failed with error: No proposal chosen: SA 1 IKE Version: 2, VPN: VPNX Gateway: gw1, Local: '
+        || sip || '/500, Remote: ' || dip || '/500, Local IKE-ID: lid, Remote IKE-ID: rid, VR-ID: 0'
+      WHEN 11 THEN '1 ' || isoz || ' hostJ - - - - IKEFailGeneric: SA 1 IKE Version: 2, VPN: VPNX Gateway: gw1, Local: '
+        || sip || '/500, Remote: ' || dip || '/500, Local IKE-ID: lid, Remote IKE-ID: rid, VR-ID: 0 IKE negotiation failed with error'
+      WHEN 12 THEN 'x %JNPR-5-EVENT: hostK juniper event ' || eid_s
+      ELSE 'x notatime hostL ' || CASE rsel WHEN 0 THEN 'login (root) ok'
+        WHEN 1 THEN 'last message repeated 2 times' ELSE 'plain juniper ' || eid_s END
+    END AS text,
+    'juniper.fw_traffic' AS tool, ts, event_id
+  FROM jn_line
+)"""
+
+  def jnInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $jnCte SELECT conv_id, turn_idx, role, text, tool, ts FROM jn_turns")
+  }
+
+  /** Portable 'yyyy-MM-dd HH:mm:ss' (space-separated) of a ts column. */
+  private def spSecOf(c: String): String =
+    s"""LPAD(CAST(EXTRACT(YEAR FROM $c) AS STRING), 4, '0') || '-'
+      || LPAD(CAST(EXTRACT(MONTH FROM $c) AS STRING), 2, '0') || '-'
+      || LPAD(CAST(EXTRACT(DAY FROM $c) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM $c) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM $c) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM $c)) AS INT) AS STRING), 2, '0')"""
+
+  /** symantec.endpoint_protection corpus — one branch per bsel over the
+    * conf's 12 live message families (ref:
+    * config/processors/syslog_security_symantec.endpoint.conf). */
+  val symCte: String = s"""
+sym_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 12) AS bsel, (event_id % 2) AS hsel, (event_id % 3) AS rsel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase AS mon,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dday,
+    LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS t1,
+    'sepm-' || CAST(user_id % 7 AS STRING) AS obs,
+    ${spSecOf("(ts + INTERVAL 67 SECOND)")} AS d1,
+    ${spSecOf("(ts + INTERVAL 131 SECOND)")} AS d2
+  FROM events WHERE (event_id % 89) = 31
+),
+sym_line AS (
+  SELECT *,
+    mon || ' ' || dday || ' ' || t1 || ' ' || obs || ' ' AS pfx
+  FROM sym_base
+),
+sym_turns AS (
+  SELECT 'sy_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' ||
+    CASE bsel
+      WHEN 0 THEN '2026-01-01T00:00:00 {S1} <14>' || pfx
+        || 'Application type:chrome,Web domain:web.example.com,Hash type:SHA2,Application hash:ha' || eid_s
+        || ',Application version:1.2.3,Company name:VendorX,Application name:AppY' || eid_s
+        || ',Actual action:Blocked,Risk name:RiskZ' || eid_s || ',User Name:u' || eid_s
+        || ',Location:LocA,Category type:CatT,SymantecServer:SrvDesc' || eid_s
+        || ',File size (bytes):123,Computer name:HOSTA' || eid_s
+        || ',Group Name:GrpA,Domain Name:DomA,End Time:' || d2
+        || ',Download site:http://dl.example.com/x,File path:/tmp/y' || eid_s || '.exe,IP Address:10.1.2.3'
+      WHEN 1 THEN pfx || 'Site: Prod_DMZ_HB' || eid_s || ',J1: j2,Event Description:TcpD' || eid_s
+        || ',Server Name:srv' || eid_s || ',Domain Name:DomT'
+      WHEN 2 THEN pfx || 'Site: Sys: RSet' || eid_s || ',Server: HOSTC' || eid_s
+        || ',Action: Started [u' || eid_s || '@corp.example]'
+      WHEN 3 THEN pfx || 'Site: S1,Domain: DomA,junk j' || eid_s
+      WHEN 4 THEN 'RT1 {c} <15>' || pfx || 'Site: SN: RSetA' || eid_s || ',Server: HOSTD' || eid_s
+        || ',Domain: DomD' || eid_s || ',Admin: adm' || eid_s || ',AdmDesc' || eid_s
+      WHEN 5 THEN 'RT1 {c} <15>' || pfx || 'Site: SN: RSetA' || eid_s || ',Server: HOSTD' || eid_s
+        || ',Domain: DomD' || eid_s || ',Admin: adm' || eid_s
+        || ',event description: Administrator log on failed'
+      WHEN 6 THEN pfx || 'Device ID: HOSTE' || eid_s || ',10.0.0.5,Blocked,'
+        || CASE hsel WHEN 0 THEN 'MD5=def' || eid_s
+             ELSE 'SHA256=abc' || eid_s || ' - target arguments=''-x''' END
+        || ',EvName' || eid_s || ',Begin: ' || d1 || ',End: ' || d2
+        || ',Rule: RuleB' || eid_s || ',123,proc.exe,7,tname,/tmp/f' || eid_s
+        || '.bin,User: u' || eid_s || ',Domain: DomB,Action Type: AT1,File size (bytes): 456,devX'
+      WHEN 7 THEN pfx || 'SomeTag: Scan ID: 987' || eid_s || ',Begin: ' || d1 || ',End: ' || d2
+        || ',Completed,Duration (seconds): 42,User1: su' || eid_s || ',User2: du' || eid_s
+        || ',EvScan' || eid_s || ',EC2,Command: ScanFull,Threats: 0,Infected: 0,Total files: 100,Omitted: 1,Computer: HOSTF'
+        || eid_s || ',IP Address: 10.2.3.4,Domain: DomS,Grp: RSetS' || eid_s || ',Srv: srvS'
+      WHEN 8 THEN pfx || 'STag: HOSTS' || eid_s || ',Desc: '
+        || CASE WHEN rsel = 0 THEN 'EvSec' || eid_s || ' Requirement: ''ReqRule' || eid_s || ''' Audited x'
+                ELSE 'PlainSec' || eid_s END
+        || ',Event Type: NetworkIDPS,CIDS Signature ID:71' || eid_s
+        || ',CIDS Signature string:SigStr' || eid_s
+        || ',CIDS Signature SubID:33,Intrusion URL:http://bad.example/x' || eid_s
+        || ',Local Host IP:172.16.1.2,Local Port:443,Remote Port:5555,Application:procx,Begin:' || d1
+        || ',End Time:' || d2
+        || ',Domain Name:DomC,Remote Host IP:8.8.4.4,Remote Host MAC:aa:bb:cc:dd:ee:0f,Inbound,TCP,Blocked,tail'
+      WHEN 9 THEN pfx || 'Tag: ActD' || eid_s
+        || ',Risk Level:High,Detection type:Heuristic,Detection Submissions No,1,Occurrences: 2,/tmp/s'
+        || eid_s || '.exe,,Application hash:ab' || eid_s
+        || ',Hash type:SHA256,Certificate issuer:CIss,Application name:AppS,Certificate thumbprint:th1'
+      WHEN 10 THEN pfx || 'STag: AHOST' || eid_s || ',Category: 2,SylinkMonitor,DescG' || eid_s
+        || ',Event time: ' || d1 || ',Group Name: GrpG'
+      ELSE pfx || 'konspol: KHOST' || eid_s || ',x,RuleK' || eid_s
+        || ',event description: blocked file ''c:/apps/k' || eid_s
+        || '.exe'' found,event time: ' || d1 || ',group name: GrpK'
+    END AS text,
+    'symantec.endpoint_protection' AS tool, ts, event_id
+  FROM sym_line
+)"""
+
+  def symInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $symCte SELECT conv_id, turn_idx, role, text, tool, ts FROM sym_turns")
+  }
+
   private def ehInputOf(cte: String, turns: String)(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $cte SELECT conv_id, turn_idx, role, text, tool, ts FROM $turns")

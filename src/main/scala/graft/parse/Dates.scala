@@ -28,13 +28,15 @@ object Dates {
     val c = cache.get(key)
     if (c != null) return c
     // Joda "ZZ" (colon-separated offset, e.g. "+00:00") = Java "XXX"
-    // (ref: syslog_security_cisco.ise.conf:79 "yyyy-MM-dd HH:mm:ss.SSS ZZ")
-    val javaPattern = pattern.replace("ZZ", "XXX")
+    // (ref: syslog_security_cisco.ise.conf:79 "yyyy-MM-dd HH:mm:ss.SSS ZZ");
+    // Joda "YYYY" is year-of-era, NOT Java's week-based-year
+    // (ref: syslog_audit_infoblox.conf:389 "dd-MMM-YYYY HH:mm:ss.SSS")
+    val javaPattern = pattern.replace("ZZ", "XXX").replace("YYYY", "yyyy")
     val b = new DateTimeFormatterBuilder().parseCaseInsensitive().appendPattern(javaPattern)
     // year-less syslog patterns (e.g. "MMM d HH:mm:ss") default to event year —
     // injected deterministically by the caller, never wall-clock.
-    if (!pattern.contains("y")) b.parseDefaulting(ChronoField.YEAR, defaultYear.toLong)
-    if (!pattern.contains("H") && !pattern.contains("h"))
+    if (!javaPattern.contains("y")) b.parseDefaulting(ChronoField.YEAR, defaultYear.toLong)
+    if (!javaPattern.contains("H") && !javaPattern.contains("h"))
       b.parseDefaulting(ChronoField.HOUR_OF_DAY, 0L)
     val f = b.toFormatter(locale).withZone(zone)
     cache.putIfAbsent(key, f)

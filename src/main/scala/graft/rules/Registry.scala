@@ -103,6 +103,12 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "infoblox.ipam_audit" -> TechnologyConfig("infoblox.ipam_audit",
+      "logs-infoblox.ipam_audit", Vector("elastic"), Set.empty, "high"),
+    "juniper.fw_traffic" -> TechnologyConfig("juniper.fw_traffic",
+      "logs-juniper.fw_traffic", Vector("elastic"), Set.empty, "high"),
+    "symantec.endpoint_protection" -> TechnologyConfig("symantec.endpoint_protection",
+      "logs-symantec.endpoint_protection", Vector("elastic"), Set.empty, "high"),
     "azure.eventhub.insights_audit" -> TechnologyConfig("azure.eventhub.insights_audit",
       "logs-azure.eventhub.insights_audit", Vector("elastic"), Set.empty, "medium"),
     "azure.eventhub.insights_operational" -> TechnologyConfig("azure.eventhub.insights_operational",
@@ -427,6 +433,9 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "infoblox.ipam_audit" -> InfobloxRules.ipamAudit,
+    "juniper.fw_traffic" -> JuniperRules.fwTraffic,
+    "symantec.endpoint_protection" -> SymantecRules.endpoint,
     "azure.eventhub.insights_audit" -> EventHubRules.ehAudit,
     "azure.eventhub.insights_operational" -> EventHubRules.ehOperational,
     "azure.audit" -> EventHubRules.ehAzureaudit,

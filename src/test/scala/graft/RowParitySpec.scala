@@ -57,7 +57,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("eh_azaudit", Transcripts.ehzInput), ("eh_risky", Transcripts.ehrInput),
       ("eh_email", Transcripts.ehmInput), ("eh_userrisk", Transcripts.ehuInput),
       ("eh_incident", Transcripts.ehiInput), ("eh_anomalies", Transcripts.ehnInput),
-      ("eh_signin", Transcripts.ehsInput))
+      ("eh_signin", Transcripts.ehsInput), ("symantec", Transcripts.symInput),
+      ("infoblox", Transcripts.ibInput), ("juniper", Transcripts.jnInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
