@@ -456,6 +456,28 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // misp.metrics feeder end-to-end: the attribute normalizer whose output
+    // builds the IOC store (MispFeeder); exercises mac 1D/2D normalization,
+    // the mitre tag ruby, translates, dates, drop and delete branches
+    "qmf01_mispfeed" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mfInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("log_source_hostname"),
+        col("observer_vendor"), col("observer_product"), col("route_index"),
+        col("event_category"), col("event_created_ms"),
+        col("threat_list_uuid"), col("threat_list_type"),
+        col("threat_list_ioc"), col("threat_list_event_id_s"),
+        col("threat_list_start_ms"), col("threat_list_created_ms"),
+        col("threat_list_severity_name"), col("threat_list_event_analysis"),
+        col("threat_list_distribution"), col("threat_list_safe_to_enable_ids"),
+        col("threat_list_source_org"), col("threat_list_event_info"),
+        col("threat_list_object_relation"), col("threat_list_comment"),
+        col("threat_list_category"), col("threat_framework"),
+        array_join(array_sort(col("threat_technique_id")), ",").as("threat_technique_id_s"),
+        col("source_ip"), col("source_mac"), col("file_name"),
+        col("url_domain"), col("url_full"), col("host_hostname"),
+        col("host_domain"), col("host_name"), col("destination_port"))),
+
     // infoblox.ipam_audit end-to-end: 12 of 18 rules, flat source_ip header
     // capture vs nested renames, double source-port captures, Joda YYYY
     "qib01_infoblox" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ibInput(s, dir)).toDF()
@@ -1521,6 +1543,62 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    // bsel 6 is the type:"text" drop; bsel 3's comma re-join breaks its own
+    // filename|md5 dissect (parse_ok 0) — both mirrored
+    "qmf01_mispfeed" ->
+      s"""WITH ${Transcripts.mfCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.bsel = 3 THEN 0 ELSE 1 END AS parse_ok_i,
+  'rule 1' AS parse_rule,
+  'api misp metrics' AS event_module, 'misp metrics' AS event_dataset,
+  'api_misp_metrics' AS log_source_hostname,
+  'misp' AS observer_vendor, 'misp metrics' AS observer_product,
+  'logs-misp.metrics_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.bsel = 8 THEN 'inactive' ELSE 'active' END AS event_category,
+  epoch_ms(t.ts) AS event_created_ms,
+  'au-' || b.eid_s AS threat_list_uuid,
+  CASE b.bsel WHEN 0 THEN 'ip-src' WHEN 1 THEN 'filename|md5' WHEN 2 THEN 'mac-address'
+    WHEN 3 THEN 'filename|md5' WHEN 4 THEN 'domain' WHEN 5 THEN 'hostname'
+    WHEN 7 THEN 'url' WHEN 8 THEN 'target-user' ELSE 'port' END AS threat_list_type,
+  CASE b.bsel WHEN 0 THEN '8.0.' || CAST(b.event_id % 250 AS STRING) || '.99'
+    WHEN 1 THEN 'inv' || b.eid_s || '.exe|' || md5(b.eid_s)
+    WHEN 2 THEN 'aabbccddee' || LPAD(CAST(b.event_id % 100 AS STRING), 2, '0')
+    WHEN 3 THEN 'tool' || b.eid_s || '.exe,aabbccddee0f'
+    WHEN 4 THEN 'evil' || b.eid_s || '.example.org'
+    WHEN 5 THEN 'evilhost' || b.eid_s || '.bad.example'
+    WHEN 7 THEN 'http://bad' || b.eid_s || '.example/p'
+    WHEN 8 THEN 'baduser' || b.eid_s
+    ELSE CAST(40000 + (b.event_id % 2000) AS STRING) END AS threat_list_ioc,
+  b.evid AS threat_list_event_id_s,
+  CAST(b.tsec AS BIGINT) * 1000 AS threat_list_start_ms,
+  epoch_ms(CAST(('2020-08-' || b.dd) AS TIMESTAMP)) AS threat_list_created_ms,
+  CASE b.tl WHEN '1' THEN 'high' WHEN '2' THEN 'medium' WHEN '3' THEN 'low'
+    ELSE 'undefined' END AS threat_list_severity_name,
+  CASE b.an WHEN '0' THEN 'initial' WHEN '1' THEN 'ongoing' ELSE 'complete' END AS threat_list_event_analysis,
+  CASE b.di WHEN '0' THEN 'your organisation only' WHEN '1' THEN 'this community only'
+    WHEN '2' THEN 'connected communities' WHEN '3' THEN 'all communities'
+    ELSE 'sharing group' END AS threat_list_distribution,
+  'false' AS threat_list_safe_to_enable_ids,
+  'orgx' || b.eid_s AS threat_list_source_org,
+  'camp ' || b.eid_s AS threat_list_event_info,
+  CASE b.bsel WHEN 1 THEN 'attachment' ELSE NULL END AS threat_list_object_relation,
+  'cmt ' || b.eid_s AS threat_list_comment,
+  'network activity' AS threat_list_category,
+  CASE b.bsel WHEN 0 THEN 'mitre att&ck' ELSE NULL END AS threat_framework,
+  CASE b.bsel WHEN 0 THEN 't1566.002' ELSE '' END AS threat_technique_id_s,
+  CASE b.bsel WHEN 0 THEN '8.0.' || CAST(b.event_id % 250 AS STRING) || '.99' ELSE NULL END AS source_ip,
+  CASE b.bsel WHEN 2 THEN 'aabbccddee' || LPAD(CAST(b.event_id % 100 AS STRING), 2, '0')
+    ELSE NULL END AS source_mac,
+  CASE b.bsel WHEN 1 THEN 'inv' || b.eid_s || '.exe' ELSE NULL END AS file_name,
+  CASE b.bsel WHEN 4 THEN 'evil' || b.eid_s || '.example.org' ELSE NULL END AS url_domain,
+  CASE b.bsel WHEN 7 THEN 'http://bad' || b.eid_s || '.example/p' ELSE NULL END AS url_full,
+  CASE b.bsel WHEN 5 THEN 'evilhost' || b.eid_s ELSE NULL END AS host_hostname,
+  CASE b.bsel WHEN 5 THEN 'bad.example' ELSE NULL END AS host_domain,
+  CASE b.bsel WHEN 5 THEN 'evilhost' || b.eid_s || '.bad.example' ELSE NULL END AS host_name,
+  CASE b.bsel WHEN 9 THEN CAST(40000 + (b.event_id % 2000) AS BIGINT) ELSE NULL END AS destination_port
+FROM mf_turns t JOIN mf_base b USING (event_id)
+WHERE b.bsel <> 6""",
 
     "qib01_infoblox" ->
       s"""WITH ${Transcripts.ibCte}

@@ -2130,6 +2130,60 @@ sym_turns AS (
   FROM sym_line
 )"""
 
+  /** misp.metrics feeder corpus (ref: api_security_misp.metrics.conf) —
+    * exercises the type fan-out, the 1D/2D mac normalization (incl. the
+    * comma re-join that breaks the later filename|md5 dissect), the mitre
+    * tag ruby, the translate trio, both dates, the drop branch, and the
+    * delete action. */
+  val mfCte: String = s"""
+mf_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 10) AS bsel,
+    CAST(1 + (event_id % 4) AS STRING) AS tl,
+    CAST(event_id % 3 AS STRING) AS an,
+    CAST(event_id % 5 AS STRING) AS di,
+    LPAD(CAST(1 + (event_id % 28) AS STRING), 2, '0') AS dd,
+    CAST(1598861433 + event_id AS STRING) AS tsec,
+    CAST(1000 + (event_id % 9000) AS STRING) AS evid
+  FROM events WHERE (event_id % 103) = 59
+),
+mf_turns AS (
+  SELECT 'mf_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"Attribute":{"type":"' ||
+    CASE bsel WHEN 0 THEN 'ip-src' WHEN 1 THEN 'filename|md5' WHEN 2 THEN 'mac-address'
+      WHEN 3 THEN 'filename|md5' WHEN 4 THEN 'domain' WHEN 5 THEN 'hostname'
+      WHEN 6 THEN 'text' WHEN 7 THEN 'url' WHEN 8 THEN 'target-user' ELSE 'port' END
+    || '","value":"' ||
+    CASE bsel WHEN 0 THEN '8.0.' || CAST(event_id % 250 AS STRING) || '.99'
+      WHEN 1 THEN 'Inv' || eid_s || '.exe|' || md5(eid_s)
+      WHEN 2 THEN 'AA:BB:CC:DD:EE:' || LPAD(CAST(event_id % 100 AS STRING), 2, '0')
+      WHEN 3 THEN 'Tool' || eid_s || '.exe|AA:BB:CC:DD:EE:0F'
+      WHEN 4 THEN 'Evil' || eid_s || '.example.org'
+      WHEN 5 THEN 'EvilHost' || eid_s || '.bad.example'
+      WHEN 6 THEN 'whatever'
+      WHEN 7 THEN 'http://bad' || eid_s || '.example/p'
+      WHEN 8 THEN 'Baduser' || eid_s
+      ELSE CAST(40000 + (event_id % 2000) AS STRING) END
+    || '","uuid":"au-' || eid_s || '","event_id":' || evid
+    || ',"timestamp":' || tsec || ',"category":"Network activity","comment":"cmt ' || eid_s || '"'
+    || CASE WHEN bsel = 1 THEN ',"object_relation":"attachment"' ELSE '' END
+    || CASE WHEN bsel = 0 THEN ',"Tag":[{"name":"misp-galaxy:mitre-attack-pattern=Phishing - T1566.002"},{"name":"misp-galaxy:mitre-attack-pattern=Initial Access - TA0001"},{"name":"tlp:white"}]' ELSE '' END
+    || '},"Event":{"threat_level_id":' || tl || ',"analysis":' || an
+    || ',"distribution":' || di || ',"date":"2020-08-' || dd
+    || '","info":"Camp ' || eid_s || '","Orgc":{"name":"OrgX' || eid_s || '"}}'
+    || CASE WHEN bsel = 8 THEN ',"action":"delete"' ELSE '' END
+    || '}' AS text,
+    'misp.metrics' AS tool, ts, event_id
+  FROM mf_base
+)"""
+
+  def mfInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $mfCte SELECT conv_id, turn_idx, role, text, tool, ts FROM mf_turns")
+  }
+
   def symInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $symCte SELECT conv_id, turn_idx, role, text, tool, ts FROM sym_turns")

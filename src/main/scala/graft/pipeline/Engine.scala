@@ -332,6 +332,20 @@ object Engine {
       host_user_title = s("[host][user][title]"),
       host_user_roles = s("[host][user][roles]"),
       host_disk_read_bytes = l("[host][disk][read][bytes]"),
-      package_type = s("[package][type]"))
+      package_type = s("[package][type]"),
+      threat_list_uuid = s("[threat][list][uuid]"),
+      threat_list_type = s("[threat][list][type]"),
+      threat_list_ioc = s("[threat][list][ioc]"),
+      threat_list_event_id_s = s("[threat][list][event_id]"),
+      threat_list_start_ms = l("[threat][list][start_ms]"),
+      threat_list_severity_name = s("[threat][list][severity_name]"),
+      threat_list_event_analysis = s("[threat][list][event_analysis]"),
+      threat_list_distribution = s("[threat][list][distribution]"),
+      threat_list_safe_to_enable_ids = s("[threat][list][safe_to_enable_ids]"),
+      threat_list_source_org = s("[threat][list][source_org]"),
+      threat_list_event_info = s("[threat][list][event_info]"),
+      threat_list_object_relation = s("[threat][list][object_relation]"),
+      threat_list_comment = s("[threat][list][comment]"),
+      threat_framework = s("[threat][framework]"))
   }
 }

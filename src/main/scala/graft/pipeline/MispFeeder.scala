@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import graft.model.Event
+import graft.rules.{MispRules, ParseCtx, Parsed}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The MISP store BUILDER — the Spark job the reference runs as
+  * api_security_misp.metrics.conf + a memcached writer (SURVEY §2.4: "the
+  * feeder becomes the job that builds the IOC table").
+  *
+  * A deterministic attribute feed (spark.range SQL, no external data) is
+  * pushed through the PORTED misp.metrics rule program, and the normalized
+  * (type, ioc) pairs become the (namespace → md5(ioc) → payload) broadcast
+  * table the 58 consumer call sites of 92_misp.conf read. The result is
+  * bit-identical to the hand-built `Dicts.buildMisp()` (proved by
+  * MispFeederSpec), and `Pipeline.dictsBroadcast` loads THIS job's output.
+  *
+  * related.mac: the feeder's own normalization strips the ':' separators
+  * (api_security_misp.metrics.conf:50-82), but the consumers probe with the
+  * cef-standardized colon form — the store writer re-keys macs on the
+  * standardized form (the memcached writer's keying choice, documented).
+  */
+object MispFeeder {
+
+  /** attribute type → (consumer namespace, payload kind). */
+  val typeToNs: Map[String, (String, String)] = Map(
+    "ip-src" -> ("source.ip", "ip"),
+    "ip-dst" -> ("destination.ip", "ip"),
+    "domain" -> ("url.domain", "domain"),
+    "md5" -> ("file.hash.md5", "hash"),
+    "mac-address" -> ("related.mac", "mac"),
+    "hostname" -> ("related.hosts", "host"),
+    "filename" -> ("file.name", "name"),
+    "user-agent" -> ("user_agent.original", "ua"),
+    "email-src" -> ("user.email", "email"),
+    "target-user" -> ("related.user", "user"))
+
+  private def attr(typeExpr: String, valueExpr: String): String =
+    s"""concat('{"Attribute":{"type":"', $typeExpr, '","value":"', $valueExpr,
+       |'","uuid":"', md5($valueExpr), '","timestamp":1598861433},
+       |"Event":{"threat_level_id":1,"date":"2020-08-31"}}')""".stripMargin
+      .replace("\n", " ")
+
+  /** The deterministic feed — one attribute JSON line per store entry. */
+  def feed(spark: SparkSession): DataFrame = {
+    // 100k ip-src: (8|10).(0..199).(0..249).13
+    val src = spark.range(100000).selectExpr(attr("'ip-src'",
+      """concat(CASE WHEN id < 50000 THEN '8' ELSE '10' END, '.',
+        CAST((id % 50000) DIV 250 AS STRING), '.', CAST(id % 250 AS STRING), '.13')""") + " AS line")
+    // 200 ip-dst: (192.168|172.16).(0..99).13
+    val dst = spark.range(200).selectExpr(attr("'ip-dst'",
+      """concat(CASE WHEN id < 100 THEN '192.168' ELSE '172.16' END, '.',
+        CAST(id % 100 AS STRING), '.13')""") + " AS line")
+    // file hashes: md5(k) for k % 10 == 4, k < 1000
+    val fh = spark.range(100).selectExpr(attr("'md5'",
+      "md5(CAST(id * 10 + 4 AS STRING))") + " AS line")
+    // macs: AA:BB:CC:DD:42:00..99 (decimal-formatted last pair)
+    val mac = spark.range(100).selectExpr(attr("'mac-address'",
+      "concat('AA:BB:CC:DD:42:', LPAD(CAST(id AS STRING), 2, '0'))") + " AS line")
+    // hosts: 12-digit ids ≡ 17 (mod 50) below 100000, plus host7
+    val hosts = spark.range(2000).selectExpr(attr("'hostname'",
+      "LPAD(CAST(17 + id * 50 AS STRING), 12, '0')") + " AS line")
+    val singles = Seq(
+      ("domain", "www.app7.co.uk"),
+      ("hostname", "host7"),
+      ("filename", "data/obj7.parquet"),
+      ("filename", "doc7.bin"),
+      ("filename", "doc107.bin"),
+      ("user-agent", "curl/8.5"),
+      ("email-src", "u13@example.com"),
+      ("target-user", "u13"))
+    val sgl = singles.map { case (t, v) =>
+      spark.range(1).selectExpr(attr(s"'$t'", s"'$v'") + " AS line")
+    }.reduce(_ union _)
+    Seq(src, dst, fh, mac, hosts, sgl).reduce(_ union _)
+  }
+
+  private def recolon(m: String): String = m.grouped(2).mkString(":")
+
+  /** Run the feed through the ported rule program and assemble the
+    * namespace-keyed store. C ≈ 102k entries — broadcast-dictionary sized,
+    * so the collect IS the product (a driver-held broadcast table). */
+  def store(spark: SparkSession): Map[String, Map[String, String]] = {
+    import spark.implicits._
+    val pairs: Array[(String, String)] = feed(spark).select("line").as[String]
+      .mapPartitions { it =>
+        it.flatMap { line =>
+          val ev = new Event
+          ev.set("message", line)
+          MispRules.metrics(ev, ParseCtx(0L, 1970)) match {
+            case Parsed(out) => out.iterator.flatMap { e =>
+              for {
+                t <- e.getString("[threat][list][type]").iterator
+                ioc <- e.getString("[threat][list][ioc]").iterator
+              } yield (t, ioc)
+            }
+            case _ => Iterator.empty
+          }
+        }
+      }.collect()
+    import graft.util.Md5
+    pairs.groupBy(p => typeToNs(p._1)._1).map { case (ns, rows) =>
+      val kind = typeToNs(rows.head._1)._2
+      ns -> rows.map { case (_, ioc) =>
+        val keyed = if (ns == "related.mac") recolon(ioc) else ioc
+        Md5.hex(keyed) -> s"""{"misp":{"$kind":"$keyed","provider":"misp-$ns"}}"""
+      }.toMap
+    }
+  }
+}

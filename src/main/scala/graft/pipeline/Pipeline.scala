@@ -23,7 +23,11 @@ object Pipeline {
     cachedBc match {
       case Some((s, bc)) if s eq spark => bc
       case _ =>
-        val bc = spark.sparkContext.broadcast(Dicts.build())
+        // the IOC store is BUILT by the ported misp.metrics feeder job
+        // (MispFeeder) — bit-identical to the synthetic table, proven by
+        // MispFeederSpec, so consumers are unaffected by the load path
+        val bc = spark.sparkContext.broadcast(
+          Dicts.build().copy(misp = MispFeeder.store(spark)))
         cachedBc = Some((spark, bc))
         bc
     }

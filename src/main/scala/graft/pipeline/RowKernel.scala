@@ -376,6 +376,20 @@ object RowKernel {
     s("[host][user][roles]")
     l("[host][disk][read][bytes]")
     s("[package][type]")
+    s("[threat][list][uuid]")
+    s("[threat][list][type]")
+    s("[threat][list][ioc]")
+    s("[threat][list][event_id]")
+    l("[threat][list][start_ms]")
+    s("[threat][list][severity_name]")
+    s("[threat][list][event_analysis]")
+    s("[threat][list][distribution]")
+    s("[threat][list][safe_to_enable_ids]")
+    s("[threat][list][source_org]")
+    s("[threat][list][event_info]")
+    s("[threat][list][object_relation]")
+    s("[threat][list][comment]")
+    s("[threat][framework]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

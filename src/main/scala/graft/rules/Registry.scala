@@ -103,6 +103,8 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "misp.metrics" -> TechnologyConfig("misp.metrics",
+      "logs-misp.metrics", Vector("elastic"), Set.empty, "low"),
     "infoblox.ipam_audit" -> TechnologyConfig("infoblox.ipam_audit",
       "logs-infoblox.ipam_audit", Vector("elastic"), Set.empty, "high"),
     "juniper.fw_traffic" -> TechnologyConfig("juniper.fw_traffic",
@@ -433,6 +435,7 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "misp.metrics" -> MispRules.metrics,
     "infoblox.ipam_audit" -> InfobloxRules.ipamAudit,
     "juniper.fw_traffic" -> JuniperRules.fwTraffic,
     "symantec.endpoint_protection" -> SymantecRules.endpoint,

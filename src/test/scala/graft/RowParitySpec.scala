@@ -58,7 +58,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("eh_email", Transcripts.ehmInput), ("eh_userrisk", Transcripts.ehuInput),
       ("eh_incident", Transcripts.ehiInput), ("eh_anomalies", Transcripts.ehnInput),
       ("eh_signin", Transcripts.ehsInput), ("symantec", Transcripts.symInput),
-      ("infoblox", Transcripts.ibInput), ("juniper", Transcripts.jnInput))
+      ("infoblox", Transcripts.ibInput), ("juniper", Transcripts.jnInput),
+      ("mispfeed", Transcripts.mfInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
