@@ -126,6 +126,11 @@ px AS (
     // north-rule aggregate: per-sink counts by (technology, role, tool, hour)
     "q05_sink_counts" -> ((s, dir) => Pipeline.sinkCounts(parsed(s, dir))),
 
+    // counts-only narrow kernel (no enrichment chain, no wide flatten) —
+    // shares q05's oracle SQL, so the driver proves it equal to the full path
+    "q05f_sink_counts_fast" -> ((s, dir) =>
+      Pipeline.sinkCountsFromInput(s, Transcripts.input(s, dir))),
+
     // same via explicit two-phase salted aggregation (skew defusal)
     "q06_salted_counts" -> ((s, dir) => Pipeline.sinkCountsSalted(parsed(s, dir))),
 
@@ -919,15 +924,8 @@ SELECT conv_id, turn_idx, sub_idx,
   CASE WHEN tsel IN (3,4) THEN (ep1 + 60) * 1000 ELSE NULL END AS event_end_ms
 FROM px""",
 
-    "q05_sink_counts" ->
-      s"""$pxCte
-SELECT snk.sink AS sink, tool AS technology, role, tool,
-  CAST(EXTRACT(YEAR FROM ts) AS INT) AS y, CAST(EXTRACT(MONTH FROM ts) AS INT) AS m,
-  CAST(EXTRACT(DAY FROM ts) AS INT) AS d, CAST(EXTRACT(HOUR FROM ts) AS INT) AS h,
-  COUNT(*) AS cnt
-FROM px CROSS JOIN $oSinks
-WHERE $oSinkFilter
-GROUP BY ALL""",
+    "q05_sink_counts" -> q05OracleSql,
+    "q05f_sink_counts_fast" -> q05OracleSql, // narrow path must match exactly
 
     "q06_salted_counts" ->
       s"""$pxCte
@@ -2572,4 +2570,14 @@ SELECT conv_id, turn_idx, sub_idx, 1 AS parse_ok_i,
   tenant AS log_source_hostname
 FROM offx"""
   ) ++ MlEntry.oracleSql ++ graft.rules.SnowflakeFamily.oracleSql
+
+  private lazy val q05OracleSql: String =
+    s"""$pxCte
+SELECT snk.sink AS sink, tool AS technology, role, tool,
+  CAST(EXTRACT(YEAR FROM ts) AS INT) AS y, CAST(EXTRACT(MONTH FROM ts) AS INT) AS m,
+  CAST(EXTRACT(DAY FROM ts) AS INT) AS d, CAST(EXTRACT(HOUR FROM ts) AS INT) AS h,
+  COUNT(*) AS cnt
+FROM px CROSS JOIN $oSinks
+WHERE $oSinkFilter
+GROUP BY ALL"""
 }

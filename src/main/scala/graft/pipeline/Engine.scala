@@ -66,6 +66,34 @@ object Engine {
     }
   }
 
+  /** Counts-only variant: output CARDINALITY of a turn without running the
+    * enrichment chain or materializing any field. Valid because enrichments
+    * are 1:1 field transforms — only parse programs drop (`drop {}`) or
+    * split (records[] envelopes), and the grouped columns of the counts
+    * aggregate (technology/role/tool/ts/route_outputs) all come from the
+    * input row and the static TechnologyConfig, never from the Event. The
+    * ROADMAP "counts-only narrow projection" lever: Catalyst cannot prune
+    * columns through an opaque flatMap kernel, so the kernel prunes itself. */
+  def parseCardinality(cfg: TechnologyConfig,
+                       program: (Event, ParseCtx) => graft.rules.ParseOutcome,
+                       text: String, tsMillis: Long, dicts: Dicts): Int = {
+    val tsYear = Instant.ofEpochMilli(tsMillis).atZone(ZoneOffset.UTC).getYear
+    val ctx = ParseCtx(tsMillis, tsYear)
+    graft.rules.RuleDicts.set(dicts)
+    val ev = new Event
+    ev.set("message", if (text == null) "" else text)
+    if (cfg.jsonCodec) graft.parse.JsonOps.parse(ev, "message", "")
+    ev.valueOrNull("host") match {
+      case null => ()
+      case _: Event.FMap => ()
+      case hostScalar => ev.set("[agent][name]", Event.deepCopy(hostScalar))
+    }
+    program(ev, ctx) match {
+      case Dropped => 0
+      case Parsed(events) => events.size
+    }
+  }
+
   def techOf(tool: String): (TechnologyConfig, (Event, ParseCtx) => graft.rules.ParseOutcome) =
     (Registry.configs.getOrElse(tool, Registry.configs("unknown")),
       Registry.programs.getOrElse(tool, Registry.programs("unknown")))

@@ -81,6 +81,22 @@ object Pipeline {
       .repartition(p, col("conv_id")).as[Turn])
   }
 
+  /** Counts-only narrow path straight from the input table: parse decides
+    * cardinality, the enrichment chain and the ~250-column flatten are
+    * skipped entirely (they cannot affect the grouped columns — see
+    * Engine.parseCardinality). q05f's oracle is the SAME SQL as q05's,
+    * proving equality with the full-width path. */
+  def sinkCountsFromInput(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.InternalBridge
+    val p = spark.sparkContext.defaultParallelism
+    val in = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .repartition(p, col("conv_id"))
+    val bc = dictsBroadcast(spark)
+    val rdd = InternalBridge.toRdd(in)
+      .mapPartitions(it => RowKernel.processCounts(it, bc.value))
+    sinkCounts(InternalBridge.toDf(spark, rdd, RowKernel.countSchema))
+  }
+
   /** North-rule aggregate: per-sink grouped counts by
     * (technology, role, tool, event-time bucket) — Catalyst-native
     * partial+final hash aggregation (SURVEY.md §2.6). The sink dimension

@@ -101,6 +101,49 @@ object RowKernel {
     }
   }
 
+  /** Counts-only 5-column schema (see Engine.parseCardinality). */
+  val countSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("technology", StringType),
+      StructField("role", StringType),
+      StructField("tool", StringType),
+      StructField("ts", TimestampType),
+      StructField("route_outputs", ArrayType(StringType))))
+  }
+
+  /** Counts-only kernel: same parse dispatch, no enrichment chain, no wide
+    * flatten — one reused 5-column row emitted `cardinality` times per
+    * input turn (the hash aggregate consumes each row before next()). */
+  def processCounts(it: Iterator[InternalRow], dicts: Dicts): Iterator[InternalRow] = {
+    val techs = new java.util.HashMap[UTF8String, Tech]()
+    val out = new Array[Any](5)
+    val row = new GenericInternalRow(out)
+    it.flatMap { r =>
+      val toolU8 = if (r.isNullAt(4)) UTF8String.EMPTY_UTF8 else r.getUTF8String(4)
+      var tech = techs.get(toolU8)
+      if (tech == null) {
+        val key = toolU8.clone()
+        val (cfg, program) = Engine.techOf(key.toString)
+        tech = new Tech(key, cfg, program)
+        techs.put(key, tech)
+      }
+      val tsMicros = r.getLong(5)
+      val tsMillis = Math.floorDiv(tsMicros, 1000L)
+      val text = if (r.isNullAt(3)) null else r.getUTF8String(3).toString
+      val n = Engine.parseCardinality(tech.cfg, tech.program, text, tsMillis, dicts)
+      if (n == 0) Nil
+      else {
+        out(0) = tech.techU8
+        out(1) = if (r.isNullAt(2)) null else r.getUTF8String(2).clone()
+        out(2) = tech.toolU8
+        out(3) = tsMicros
+        out(4) = tech.routeOutputs
+        Seq.fill(n)(row: InternalRow)
+      }
+    }
+  }
+
   private def droppedRow(tech: Tech, convU8: UTF8String, turnIdx: Int,
                          roleU8: UTF8String, textU8: UTF8String,
                          tsMicros: Long, tsMillis: Long): InternalRow = {
