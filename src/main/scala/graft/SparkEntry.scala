@@ -461,6 +461,82 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // securityonion.suricata: EVE JSON renames, alert vs non-alert shapes
+    "qso01_suricata" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.soInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_type"), col("source_ip"),
+        col("destination_ip"), col("source_port"), col("destination_port"),
+        col("network_protocol"), col("event_action"), col("event_category"),
+        col("event_severity"), col("rule_description"), col("event_id_s"),
+        col("observer_ingress_interface_id"), col("rule_uuid"), col("rule_id"),
+        col("rule_name"), col("rule_version"), col("event_outcome"),
+        col("log_source_hostname"))),
+
+    // apache.access: header/no-header dissects, status-code ladder with
+    // stacked parse_rule, RULE 2's unparsed date_time (created default)
+    "qap01_apache" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.apInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("source_ip"), col("http_request_method"),
+        col("url_path"), col("http_version"), col("http_response_status_code"),
+        col("http_response_bytes"), col("rule_category"))),
+
+    // o365 dlp: the double event.module add_field (array → null column)
+    "qdl01_o365dlp" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.dlpInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("agent_name"),
+        col("log_source_hostname"), col("route_index"), col("rule_category"),
+        col("event_id_s"), col("group_id"), col("event_severity_name"),
+        col("event_outcome"), col("event_type"), col("observer_product"),
+        col("event_kind"), col("rule_description"), col("event_created_ms"),
+        col("event_start_ms"), col("event_end_ms"), col("event_modified_ms"),
+        col("host_id"), col("host_hostname"), col("user_name"))),
+
+    // o365 msg-tracking
+    "qmt01_msgtrkg" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mtInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_dataset"), col("agent_name"), col("log_source_hostname"),
+        col("route_index"), col("event_id_s"), col("source_user_email"),
+        col("destination_user_email"), col("email_subject"), col("event_action"),
+        col("destination_ip"), col("source_ip"), col("source_bytes"),
+        col("event_start_ms"), col("event_end_ms"), col("event_created_ms"))),
+
+    // azure fw/dns/ids/proxy flow hub: kind-keyed dataset translate with
+    // fallback, old-style msg groks, empty-capture protocol scrubbed
+    "qfw01_azurefw" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.fwInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("event_kind"),
+        col("log_source_hostname"), col("route_index"), col("event_created_ms"),
+        col("network_transport"), col("source_ip"), col("source_port"),
+        col("rule_description"), col("event_action"), col("destination_ip"),
+        col("destination_port"), col("rule_category"), col("event_severity"),
+        col("rule_id"), col("rule_ruleset"), col("rule_name"),
+        col("observer_name"), col("event_category"), col("event_reason"),
+        col("url_registered_domain"), col("url_full"), col("error_message"),
+        col("network_protocol"))),
+
+    // proofpoint.pod: scalar-vs-array recipients, bracketed host strip +
+    // host-split interplay, msgParts lists landing arrays on scalar columns
+    "qpo01_pod" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.podInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("log_source_hostname"),
+        col("route_index"), col("cloud_provider"), col("observer_vendor"),
+        col("observer_product"), col("event_created_ms"), col("rule_uuid"),
+        col("observer_name"), col("event_outcome"), col("file_path"),
+        col("rule_name"), col("network_direction"), col("event_start_ms"),
+        col("source_bytes"), col("source_ip"), col("source_address"),
+        col("source_domain"), col("email_subject"),
+        col("destination_user_email"), col("source_user_email"),
+        col("network_protocol"), col("file_name"), col("file_size"),
+        col("url_full"))),
+
     // misp.metrics feeder end-to-end: the attribute normalizer whose output
     // builds the IOC store (MispFeeder); exercises mac 1D/2D normalization,
     // the mitre tag ruby, translates, dates, drop and delete branches
@@ -1541,6 +1617,156 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    "qso01_suricata" ->
+      s"""WITH ${Transcripts.soCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, 'securityonion' AS event_module,
+  'securityonion.suricata' AS event_dataset,
+  'logs-securityonion.suricata_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_created_ms,
+  CASE WHEN b.susel = 1 THEN 'dns' ELSE 'alert' END AS event_type,
+  b.sip AS source_ip, b.dip AS destination_ip,
+  CAST(b.sp AS BIGINT) AS source_port, CAST(b.dp AS BIGINT) AS destination_port,
+  CASE WHEN (b.event_id % 2) = 0 THEN 'tcp' ELSE 'udp' END AS network_protocol,
+  CASE WHEN b.susel = 1 THEN NULL ELSE 'allowed' END AS event_action,
+  CASE WHEN b.susel = 1 THEN NULL ELSE 'attempted information leak' END AS event_category,
+  CASE WHEN b.susel = 1 THEN NULL ELSE CAST(2 AS BIGINT) END AS event_severity,
+  CASE WHEN b.susel = 1 THEN NULL ELSE 'alert tcp any any' END AS rule_description,
+  b.eid_s AS event_id_s, 'eth0' AS observer_ingress_interface_id,
+  '1:cid' || b.eid_s AS rule_uuid,
+  CASE WHEN b.susel = 1 THEN NULL ELSE b.sid END AS rule_id,
+  CASE WHEN b.susel = 1 THEN NULL ELSE 'et scan probe ' || b.eid_s END AS rule_name,
+  CASE WHEN b.susel = 1 THEN NULL ELSE '3' END AS rule_version,
+  CASE WHEN b.susel = 1 THEN 'dns' ELSE 'http' END AS event_outcome,
+  CAST(NULL AS STRING) AS log_source_hostname
+FROM so_turns t JOIN so_base b USING (event_id)""",
+
+    "qap01_apache" ->
+      s"""WITH ${Transcripts.apCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  (CASE WHEN b.absel = 0 THEN 'rule 1' ELSE 'rule 2' END) || ','
+    || (CASE WHEN CAST(b.status AS INT) >= 400 THEN 'rule 3' ELSE 'rule 4' END) AS parse_rule,
+  'apache' AS event_module, 'apache.access' AS event_dataset,
+  'logs-apache.access_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.absel = 0 THEN epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND))
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  b.sip AS source_ip,
+  CASE WHEN b.absel = 0 THEN 'get' ELSE 'post' END AS http_request_method,
+  CASE WHEN b.absel = 0 THEN '/p' || b.eid_s ELSE '/q' || b.eid_s END AS url_path,
+  CASE WHEN b.absel = 0 THEN '1.1' ELSE '1.0' END AS http_version,
+  CAST(b.status AS BIGINT) AS http_response_status_code,
+  CASE WHEN b.absel = 0 THEN CAST(123 AS BIGINT) ELSE CAST(456 AS BIGINT) END AS http_response_bytes,
+  CASE WHEN CAST(b.status AS INT) >= 400 THEN 'ops/error' ELSE 'ops/information' END AS rule_category
+FROM ap_turns t JOIN ap_base b USING (event_id)""",
+
+    // event.module is add_field'ed twice → array → NULL scalar column
+    "qdl01_o365dlp" ->
+      s"""WITH ${Transcripts.dlpCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, CAST(NULL AS STRING) AS event_module,
+  'azure.eventhub.o365_dlp' AS event_dataset, 'azure.eventhub' AS agent_name,
+  'api_azure_eventhub_o365_dlp' AS log_source_hostname,
+  'logs-azure.eventhub.o365_dlp_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  'threatmanagement' AS rule_category, 'al' || b.eid_s AS event_id_s,
+  'inv' || CAST(b.event_id % 500 AS STRING) AS group_id,
+  'high' AS event_severity_name, 'new' AS event_outcome, 'apt' AS event_type,
+  'officedlp' AS observer_product, 'dlp alert ' || b.eid_s AS event_kind,
+  'desc ' || b.eid_s AS rule_description,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_created_ms,
+  epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) + (b.event_id % 1000) AS event_start_ms,
+  epoch_ms(date_trunc('second', t.ts + INTERVAL 131 SECOND)) + (b.event_id % 1000) AS event_end_ms,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_modified_ms,
+  'm' || b.eid_s AS host_id, 'wks' || b.eid_s AS host_hostname,
+  'u' || b.eid_s AS user_name
+FROM dlp_turns t JOIN dlp_base b USING (event_id)""",
+
+    "qmt01_msgtrkg" ->
+      s"""WITH ${Transcripts.mtCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, 'azure.eventhub.o365.msg_tracking' AS event_dataset,
+  'azure.eventhub' AS agent_name,
+  'api_azure_eventhub_o365_msg_tracking' AS log_source_hostname,
+  'logs-azure.eventhub.o365.msg_tracking_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  'mid' || b.eid_s AS event_id_s,
+  's' || b.eid_s || '@corp.example' AS source_user_email,
+  'r' || b.eid_s || '@corp.example' AS destination_user_email,
+  'subj ' || b.eid_s AS email_subject, 'delivered' AS event_action,
+  b.dip AS destination_ip, b.sip AS source_ip,
+  CAST(1000 + (b.event_id % 5000) AS BIGINT) AS source_bytes,
+  epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) AS event_start_ms,
+  epoch_ms(date_trunc('second', t.ts + INTERVAL 131 SECOND)) AS event_end_ms,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms
+FROM mt_turns t JOIN mt_base b USING (event_id)""",
+
+    // the NetworkRule grok's lazy protocol group binds "" (scrubbed → null)
+    "qfw01_azurefw" ->
+      s"""WITH ${Transcripts.fwCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, 'azure' AS event_module,
+  CASE b.ksel WHEN 0 THEN 'azure.dns' WHEN 1 THEN 'azure.ids'
+    WHEN 2 THEN 'azure.proxy' WHEN 3 THEN 'azure.fw' ELSE 'azure.fw_metrics' END AS event_dataset,
+  CASE b.ksel WHEN 0 THEN 'azfwdnsquery' WHEN 1 THEN 'azfwidpssignature'
+    WHEN 2 THEN 'azfwapplicationrule' WHEN 3 THEN 'azurefirewallnetworkrule'
+    ELSE 'somethingnew' END AS event_kind,
+  '/subscriptions/x/azfw' || CAST(b.user_id % 9 AS STRING) AS log_source_hostname,
+  'logs-azure.fwflow_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_created_ms,
+  CASE b.ksel WHEN 0 THEN 'udp' ELSE NULL END AS network_transport,
+  CASE WHEN b.ksel IN (0, 1, 2, 3) THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel IN (0, 1, 2) THEN CAST(b.sp AS BIGINT)
+    WHEN b.ksel = 3 THEN CAST(5353 AS BIGINT) ELSE NULL END AS source_port,
+  CASE b.ksel WHEN 1 THEN 'sig desc ' || b.eid_s
+    WHEN 2 THEN 'rcg' || b.eid_s ELSE NULL END AS rule_description,
+  CASE b.ksel WHEN 1 THEN 'alert' WHEN 2 THEN 'allow' WHEN 3 THEN 'deny'
+    ELSE NULL END AS event_action,
+  CASE WHEN b.ksel IN (1, 3) THEN b.dip ELSE NULL END AS destination_ip,
+  CASE WHEN b.ksel IN (1, 2, 3) THEN CAST(443 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE b.ksel WHEN 1 THEN 'policy' WHEN 2 THEN 'pol1' WHEN 3 THEN 'pol1'
+    ELSE NULL END AS rule_category,
+  CASE b.ksel WHEN 1 THEN CAST(2 AS BIGINT) ELSE NULL END AS event_severity,
+  CASE b.ksel WHEN 1 THEN b.sid ELSE NULL END AS rule_id,
+  CASE b.ksel WHEN 2 THEN 'rc1' WHEN 3 THEN 'rcg1' ELSE NULL END AS rule_ruleset,
+  CASE b.ksel WHEN 2 THEN 'apprule' || b.eid_s WHEN 3 THEN 'netrule' || b.eid_s
+    ELSE NULL END AS rule_name,
+  CASE b.ksel WHEN 3 THEN 'rc1' ELSE NULL END AS observer_name,
+  CASE b.ksel WHEN 2 THEN 'searchengines' ELSE NULL END AS event_category,
+  CASE b.ksel WHEN 2 THEN 'allowed by rule' ELSE NULL END AS event_reason,
+  CASE b.ksel WHEN 2 THEN 'site' || b.eid_s || '.example.com' ELSE NULL END AS url_registered_domain,
+  CASE b.ksel WHEN 2 THEN 'site' || b.eid_s || '.example.com' ELSE NULL END AS url_full,
+  CASE b.ksel WHEN 3 THEN 'tcp request from ' || b.sip || ':5353 to ' || b.dip
+    || ':443. action: deny. policy: pol1 rule collection group: rcg1 rule collection: rc1 rule: netrule'
+    || b.eid_s ELSE NULL END AS error_message,
+  -- 90_lookup_iana back-fills https from port 443 where the protocol is
+  -- absent; the NetworkRule grok's "" capture is PRESENT at 90 (Logstash
+  -- truthiness) and only scrubbed later by 94 → stays null
+  CASE WHEN b.ksel IN (1, 2) THEN 'https' ELSE NULL END AS network_protocol
+FROM fw_turns t JOIN fw_base b USING (event_id)""",
+
+    "qpo01_pod" ->
+      s"""WITH ${Transcripts.podCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, 'proofpoint' AS event_module,
+  'proofpoint.pod' AS event_dataset, 'api_proofpoint_pod' AS log_source_hostname,
+  'logs-proofpoint.pod_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  'proofpoint' AS cloud_provider, 'proofpoint' AS observer_vendor,
+  'proofpoint e-mail filter' AS observer_product,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_created_ms,
+  'g' || b.eid_s AS rule_uuid, 'pod0001' AS observer_name,
+  'accept' AS event_outcome, 'quarantine' AS file_path,
+  'spam' || b.eid_s AS rule_name, 'inbound' AS network_direction,
+  epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) + (b.event_id % 1000) AS event_start_ms,
+  CAST(2000 + (b.event_id % 90000) AS BIGINT) AS source_bytes,
+  b.sip AS source_ip,
+  CASE WHEN b.psel = 0 THEN '10.2.3.4' ELSE 'mail' || CAST(b.user_id % 9 AS STRING) END AS source_address,
+  CASE WHEN b.psel = 0 THEN NULL ELSE 'pod.example' END AS source_domain,
+  'subj ' || b.eid_s AS email_subject,
+  CASE WHEN b.psel = 0 THEN 'r' || b.eid_s || '@corp.example' ELSE NULL END AS destination_user_email,
+  's' || b.eid_s || '@x.example' AS source_user_email,
+  'smtp' AS network_protocol,
+  CAST(NULL AS STRING) AS file_name, CAST(NULL AS BIGINT) AS file_size,
+  CAST(NULL AS STRING) AS url_full
+FROM pod_turns t JOIN pod_base b USING (event_id)""",
 
     // bsel 6 is the type:"text" drop; bsel 3's comma re-join breaks its own
     // filename|md5 dissect (parse_ok 0) — both mirrored

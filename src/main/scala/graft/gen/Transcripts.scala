@@ -2130,6 +2130,233 @@ sym_turns AS (
   FROM sym_line
 )"""
 
+  /** securityonion.suricata corpus — EVE JSON, alert vs non-alert shapes. */
+  val soCte: String = s"""
+so_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 3) AS susel,
+    ${isoMsOf("ts")} AS iso0,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    '172.16.' || CAST(event_id % 100 AS STRING) || '.' || CAST(1 + (user_id % 254) AS STRING) AS dip,
+    CAST(1024 + (event_id % 40000) AS STRING) AS sp,
+    CASE (event_id % 4) WHEN 0 THEN '443' WHEN 1 THEN '80' WHEN 2 THEN '53' ELSE '22' END AS dp,
+    CAST(2000000 + (event_id % 10000) AS STRING) AS sid
+  FROM events WHERE (event_id % 107) = 71
+),
+so_turns AS (
+  SELECT 'so_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"timestamp":"' || iso0 || '","event_type":"'
+    || CASE WHEN susel = 1 THEN 'dns' ELSE 'alert' END
+    || '","src_ip":"' || sip || '","dest_ip":"' || dip
+    || '","src_port":' || sp || ',"dest_port":' || dp
+    || ',"proto":"' || CASE WHEN (event_id % 2) = 0 THEN 'TCP' ELSE 'UDP' END
+    || '","flow_id":' || eid_s || ',"in_iface":"eth0","community_id":"1:cid' || eid_s
+    || '","app_proto":"' || CASE WHEN susel = 1 THEN 'dns' ELSE 'http' END || '"'
+    || CASE WHEN susel = 1 THEN ''
+       ELSE ',"alert":{"action":"allowed","category":"Attempted Information Leak","severity":2,"rule":"alert tcp any any","signature_id":'
+         || sid || ',"signature":"ET SCAN Probe ' || eid_s || '","rev":3}' END
+    || '}' AS text,
+    'securityonion.suricata' AS tool, ts, event_id
+  FROM so_base
+)"""
+
+  def soInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $soCte SELECT conv_id, turn_idx, role, text, tool, ts FROM so_turns")
+  }
+
+  /** apache.access corpus — RULE 1 (header form) vs RULE 2, status ladder. */
+  val apCte: String = s"""
+ap_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 2) AS absel,
+    CASE (event_id % 4) WHEN 0 THEN '200' WHEN 1 THEN '302' WHEN 2 THEN '404' ELSE '500' END AS status,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    LPAD(CAST(EXTRACT(DAY FROM (ts + INTERVAL 67 SECOND)) AS STRING), 2, '0') || '/'
+      || ${monCaseOf("(ts + INTERVAL 67 SECOND)")} || '/'
+      || LPAD(CAST(EXTRACT(YEAR FROM (ts + INTERVAL 67 SECOND)) AS STRING), 4, '0') || ':'
+      || ${hmsOf("(ts + INTERVAL 67 SECOND)")} || ' +0000' AS dmon
+  FROM events WHERE (event_id % 109) = 5
+),
+ap_turns AS (
+  SELECT 'ap_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE absel
+      WHEN 0 THEN '2026-01-01T00:00:00 {name=app' || CAST(user_id % 9 AS STRING) || '} ' || sip
+        || ' - - [' || dmon || '] GET /p' || eid_s || ' HTTP/1.1 ' || status || ' 123 -'
+      ELSE sip || ' - - [' || dmon || '] POST /q' || eid_s || ' HTTP/1.0 ' || status || ' 456 -'
+    END AS text,
+    'apache.access' AS tool, ts, event_id
+  FROM ap_base
+)"""
+
+  def apInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $apCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ap_turns")
+  }
+
+  /** azure.eventhub.o365_dlp corpus — single alert-object shape. */
+  val dlpCte: String = s"""
+dlp_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    ${isoMsOf("ts")} AS iso0,
+    ${isoMsOf("(ts + INTERVAL 67 SECOND)")} AS iso1,
+    ${isoMsOf("(ts + INTERVAL 131 SECOND)")} AS iso2
+  FROM events WHERE (event_id % 113) = 7
+),
+dlp_turns AS (
+  SELECT 'dl_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"category":"ThreatManagement","id":"al' || eid_s
+    || '","investigationId":"inv' || CAST(event_id % 500 AS STRING)
+    || '","severity":"High","status":"New","determination":"Apt","detectionSource":"OfficeDlp","title":"DLP alert '
+    || eid_s || '","description":"desc ' || eid_s
+    || '","alertCreationTime":"' || iso0 || '","firstEventTime":"' || iso1
+    || '","lastEventTime":"' || iso2 || '","lastUpdateTime":"' || iso0
+    || '","machineId":"m' || eid_s || '","computerDnsName":"wks' || eid_s
+    || '","relatedUser":"u' || eid_s || '"}' AS text,
+    'azure.eventhub.o365_dlp' AS tool, ts, event_id
+  FROM dlp_base
+)"""
+
+  def dlpInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $dlpCte SELECT conv_id, turn_idx, role, text, tool, ts FROM dlp_turns")
+  }
+
+  /** azure.eventhub.o365.msg_tracking corpus. */
+  val mtCte: String = s"""
+mt_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    ${isoSecOf("ts")} AS it0,
+    ${isoSecOf("(ts + INTERVAL 67 SECOND)")} AS it1,
+    ${isoSecOf("(ts + INTERVAL 131 SECOND)")} AS it2,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    '172.16.' || CAST(event_id % 100 AS STRING) || '.' || CAST(1 + (user_id % 254) AS STRING) AS dip
+  FROM events WHERE (event_id % 127) = 19
+),
+mt_turns AS (
+  SELECT 'mt_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"PSComputerName":"ps1.example.com","MessageId":"mid' || eid_s
+    || '","SenderAddress":"s' || eid_s || '@corp.example","RecipientAddress":"r' || eid_s
+    || '@corp.example","Subject":"subj ' || eid_s || '","Status":"Delivered","ToIP":"' || dip
+    || '","FromIP":"' || sip || '","Size":' || CAST(1000 + (event_id % 5000) AS STRING)
+    || ',"Organization":"corp.example","StartDate":"' || it1
+    || '","EndDate":"' || it2 || '","Received":"' || it0 || '"}' AS text,
+    'azure.eventhub.o365.msg_tracking' AS tool, ts, event_id
+  FROM mt_base
+)"""
+
+  def mtInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $mtCte SELECT conv_id, turn_idx, role, text, tool, ts FROM mt_turns")
+  }
+
+  /** azure.fwflow corpus — one row per kind family (ksel). */
+  val fwCte: String = s"""
+fw_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 5) AS ksel,
+    ${isoSecOf("ts")} || '.' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') || '4510Z' AS iso7,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    '172.16.' || CAST(event_id % 100 AS STRING) || '.' || CAST(1 + (user_id % 254) AS STRING) AS dip,
+    CAST(1024 + (event_id % 40000) AS STRING) AS sp,
+    CAST(3000000 + (event_id % 10000) AS STRING) AS sid
+  FROM events WHERE (event_id % 131) = 101
+),
+fw_turns AS (
+  SELECT 'fw_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"resourceId":"/SUBSCRIPTIONS/X/AZFW' || CAST(user_id % 9 AS STRING)
+    || '","time":"' || iso7 || '","category":"'
+    || CASE ksel WHEN 0 THEN 'AZFWDnsQuery' WHEN 1 THEN 'AZFWIdpsSignature'
+         WHEN 2 THEN 'AZFWApplicationRule' WHEN 3 THEN 'AzureFirewallNetworkRule'
+         ELSE 'SomethingNew' END
+    || '","properties":{'
+    || CASE ksel
+      WHEN 0 THEN '"QueryClass":"IN","Protocol":"UDP","QueryId":' || eid_s
+        || ',"QueryName":"q' || eid_s || '.example.com","QueryType":"A","ResponseCode":"NOERROR","ResponseFlags":"AA,QR","SourceIp":"'
+        || sip || '","SourcePort":' || sp
+      WHEN 1 THEN '"Description":"sig desc ' || eid_s
+        || '","Action":"Alert","DestinationIp":"' || dip
+        || '","DestinationPort":443,"Category":"POLICY","Severity":2,"SignatureId":' || sid
+        || ',"SourceIp":"' || sip || '","SourcePort":' || sp
+      WHEN 2 THEN '"RuleCollectionGroup":"rcg' || eid_s
+        || '","Policy":"pol1","IsTlsInspected":true,"TargetUrl":"site' || eid_s
+        || '.example.com","RuleCollection":"rc1","Rule":"apprule' || eid_s
+        || '","IsExplicitProxyRequest":false,"WebCategory":"SearchEngines","ActionReason":"allowed by rule","Fqdn":"site'
+        || eid_s || '.example.com","DestinationPort":443,"Action":"Allow","SourceIp":"'
+        || sip || '","SourcePort":' || sp
+      WHEN 3 THEN '"msg":"TCP request from ' || sip || ':5353 to ' || dip
+        || ':443. Action: Deny. Policy: pol1 Rule Collection Group: rcg1 Rule Collection: rc1 Rule: netrule'
+        || eid_s || '"'
+      ELSE '"Flag":"x"' END
+    || '}}' AS text,
+    'azure.fwflow' AS tool, ts, event_id
+  FROM fw_base
+)"""
+
+  def fwInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $fwCte SELECT conv_id, turn_idx, role, text, tool, ts FROM fw_turns")
+  }
+
+  /** proofpoint.pod corpus — scalar-vs-array recipient forms, bracketed
+    * connection hosts, msgParts lists. */
+  val podCte: String = s"""
+pod_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 2) AS psel,
+    ${isoMsOf("ts")} AS iso0,
+    ${isoSecOf("(ts + INTERVAL 67 SECOND)")} || '.'
+      || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') || '421+0000' AS st6,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    CAST(2000 + (event_id % 90000) AS STRING) AS sz
+  FROM events WHERE (event_id % 137) = 23
+),
+pod_turns AS (
+  SELECT 'po_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"ts":"' || iso0 || '","guid":"g' || eid_s
+    || '","pps":{"cid":"pod0001","agent":"agent' || CAST(user_id % 9 AS STRING)
+    || '.example.com","version":"8.21"},"filter":{"disposition":"accept","quarantine":{"folder":"Quarantine","rule":"spam'
+    || eid_s || '"},"routeDirection":"inbound","startTime":"' || st6
+    || '","msgSizeBytes":' || sz
+    || ',"actions":["quarantine"],"ismsgencrypted":"' || CASE WHEN (event_id % 3) = 0 THEN 'true' ELSE 'false' END
+    || '"},"connection":{"ip":"' || sip || '","host":"'
+    || CASE WHEN psel = 0 THEN '[10.2.3.4]' ELSE 'mail' || CAST(user_id % 9 AS STRING) || '.pod.example' END
+    || '","protocol":"tcp:smtp"},"envelope":{"rcpts":'
+    || CASE WHEN psel = 0 THEN '"r' || eid_s || '@corp.example"'
+       ELSE '["r1' || eid_s || '@corp.example","r2' || eid_s || '@corp.example"]' END
+    || '},"msg":{"normalizedHeader":{"subject":"subj ' || eid_s
+    || '"},"parsedAddresses":{"from":"s' || eid_s || '@x.example"'
+    || CASE WHEN psel = 0 THEN ',"to":["Undisclosed recipients"]'
+       ELSE ',"cc":["c' || eid_s || '@corp.example"],"to":["t' || eid_s || '@corp.example"]' END
+    || '}},"msgParts":[{"detectedName":"file' || eid_s
+    || '.docx","detectedSizeBytes":1234,"md5":"' || md5(eid_s)
+    || '","sha256":"","urls":[{"url":"http://u' || eid_s || '.example/x"}]}]}' AS text,
+    'proofpoint.pod' AS tool, ts, event_id
+  FROM pod_base
+)"""
+
+  def podInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $podCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pod_turns")
+  }
+
   /** misp.metrics feeder corpus (ref: api_security_misp.metrics.conf) —
     * exercises the type fan-out, the 1D/2D mac normalization (incl. the
     * comma re-join that breaks the later filename|md5 dissect), the mitre

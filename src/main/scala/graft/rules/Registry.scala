@@ -103,6 +103,18 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "securityonion.suricata" -> TechnologyConfig("securityonion.suricata",
+      "logs-securityonion.suricata", Vector("elastic"), Set.empty, "high"),
+    "apache.access" -> TechnologyConfig("apache.access",
+      "logs-apache.access", Vector("elastic"), Set.empty, "medium"),
+    "azure.eventhub.o365_dlp" -> TechnologyConfig("azure.eventhub.o365_dlp",
+      "logs-azure.eventhub.o365_dlp", Vector("elastic"), Set.empty, "low"),
+    "azure.eventhub.o365.msg_tracking" -> TechnologyConfig("azure.eventhub.o365.msg_tracking",
+      "logs-azure.eventhub.o365.msg_tracking", Vector("elastic"), Set.empty, "medium"),
+    "azure.fwflow" -> TechnologyConfig("azure.fwflow",
+      "logs-azure.fwflow", Vector("elastic"), Set.empty, "high"),
+    "proofpoint.pod" -> TechnologyConfig("proofpoint.pod",
+      "logs-proofpoint.pod", Vector("elastic"), Set.empty, "medium"),
     "misp.metrics" -> TechnologyConfig("misp.metrics",
       "logs-misp.metrics", Vector("elastic"), Set.empty, "low"),
     "infoblox.ipam_audit" -> TechnologyConfig("infoblox.ipam_audit",
@@ -435,6 +447,12 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "securityonion.suricata" -> WebSecRules.suricata,
+    "apache.access" -> WebSecRules.apacheAccess,
+    "azure.eventhub.o365_dlp" -> WebSecRules.o365Dlp,
+    "azure.eventhub.o365.msg_tracking" -> WebSecRules.o365MsgTracking,
+    "azure.fwflow" -> WebSecRules.azureFwFlow,
+    "proofpoint.pod" -> WebSecRules.proofpointPod,
     "misp.metrics" -> MispRules.metrics,
     "infoblox.ipam_audit" -> InfobloxRules.ipamAudit,
     "juniper.fw_traffic" -> JuniperRules.fwTraffic,

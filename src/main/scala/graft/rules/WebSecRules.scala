@@ -1,0 +1,334 @@
+package graft.rules
+
+import graft.model.Event
+import graft.parse._
+import scala.collection.mutable
+
+/** securityonion.suricata, apache.access, o365 dlp / msg-tracking, the
+  * azure firewall/dns/ids/proxy flow hub, and proofpoint.pod — semantic
+  * ports of config/processors/{syslog_securityonion_securityonion.suricata,
+  * flat_file_audit_apache.access, event_hub_audit_o365.dlp,
+  * event_hub_audit_o365.msg.trkg_eventhub,
+  * event_hub_azure.fw_dns_ids_proxy_flow,
+  * api_security_proofpoint.pod_email_gateway}.conf. */
+object WebSecRules {
+
+  private def failParse(ev: Event): ParseOutcome = {
+    ev.set("[agent][parse_rule]", "not parsed")
+    ev.addTag("_parse_failure")
+    Parsed(Seq(ev))
+  }
+
+  // --------------------------------------------- securityonion.suricata
+  /** ref syslog_securityonion_securityonion.suricata.conf. The
+    * [host][name] → log.source.hostname copy is a no-op on this input
+    * (no beats host envelope) — mirrored. */
+  def suricata(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "securityonion")
+    ev.set("[event][dataset]", "securityonion.suricata")
+    if (!JsonOps.parse(ev, "message", "tmp")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    if (ev.has("[host][name]")) ev.copyField("[host][name]", "[log][source][hostname]")
+    ev.rename("[tmp][timestamp]", "[event][created]")
+    ev.rename("[tmp][event_type]", "[event][type]")
+    ev.rename("[tmp][src_ip]", "[source][ip]")
+    ev.rename("[tmp][dest_ip]", "[destination][ip]")
+    ev.rename("[tmp][src_port]", "[source][port]")
+    ev.rename("[tmp][dest_port]", "[destination][port]")
+    ev.rename("[tmp][proto]", "[network][protocol]")
+    ev.rename("[tmp][alert][action]", "[event][action]")
+    ev.rename("[tmp][alert][category]", "[event][category]")
+    ev.rename("[tmp][alert][severity]", "[event][severity]")
+    ev.rename("[tmp][alert][rule]", "[rule][description]")
+    ev.rename("[tmp][flow_id]", "[event][id]")
+    ev.rename("[tmp][in_iface]", "[observer][ingress][interface][id]")
+    ev.rename("[tmp][community_id]", "[rule][uuid]")
+    ev.rename("[tmp][alert][signature_id]", "[rule][id]")
+    ev.rename("[tmp][alert][signature]", "[rule][name]")
+    ev.rename("[tmp][alert][metadata][cve]", "[vulnerability][id]")
+    ev.rename("[tmp][alert][rev]", "[rule][version]")
+    ev.rename("[tmp][app_proto]", "[event][outcome]")
+    ev.remove("tmp")
+    if (Dates(ev, "[event][created]", Seq("ISO8601"), "[event][created_ms]",
+      timezone = "GMT", locale = "en", tagOnFailure = Seq("_dateparsefailure_ec")))
+      ev.remove("[event][created]")
+    Parsed(Seq(ev))
+  }
+
+  // ------------------------------------------------------ apache.access
+  /** ref flat_file_audit_apache.access.conf. RULE 2 captures the stamp
+    * into `date_time`, which nothing parses — created falls back to the
+    * enrichment-03 default; RULE 2's [log][date] date block is fully dead
+    * (the field is only captured by RULE 1). Both mirrored. */
+  def apacheAccess(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "apache")
+    ev.set("[event][dataset]", "apache.access")
+    Mutate.strip(ev, "message")
+    Mutate.gsub(ev, "message", "[\"]", "")
+    val msg = ev.getString("message").getOrElse("")
+    if (msg.contains("{name=")) {
+      Mutate.addField(ev, "[agent][parse_rule]", "RULE 1")
+      Dissect(ev, "message",
+        "%{[[log][date]]} {%{?data}} %{[[source][ip]]} - - [%{[[event][created]]}] %{[[http][request][method]]} %{[[url][path]]} HTTP/%{[[http][version]]} %{[[http][response][status_code]]} %{[[http][response][bytes]]} %{?some_value}")
+    } else {
+      Mutate.addField(ev, "[agent][parse_rule]", "RULE 2")
+      Dissect(ev, "message",
+        "%{[[source][ip]]} - - [%{date_time}] %{[[http][request][method]]} %{[[url][path]]} HTTP/%{[[http][version]]} %{[[http][response][status_code]]} %{[[http][response][bytes]]} %{?some_value}")
+      Dates(ev, "[log][date]", Seq("ISO8601"), "[log][date_ms]",
+        timezone = "GMT", locale = "en") // dead: [log][date] never set here
+    }
+    if (Dates(ev, "[event][created]", Seq("dd/MMM/yyyy:HH:mm:ss Z"),
+      "[event][created_ms]", timezone = "GMT", locale = "en"))
+      ev.remove("[event][created]")
+    Mutate.convert(ev, "[http][response][status_code]", "integer")
+    val code = ev.valueOrNull("[http][response][status_code]") match {
+      case l: Long => l
+      case _ => -1L
+    }
+    if (code >= 400) {
+      Mutate.addField(ev, "[agent][parse_rule]", "RULE 3")
+      Mutate.addField(ev, "[rule][category]", "Ops/Error")
+    } else {
+      Mutate.addField(ev, "[agent][parse_rule]", "RULE 4")
+      Mutate.addField(ev, "[rule][category]", "Ops/Information")
+    }
+    ev.remove("date_time"); ev.remove("[log][date]")
+    Parsed(Seq(ev))
+  }
+
+  // ------------------------------------------- azure.eventhub.o365_dlp
+  /** ref event_hub_audit_o365.dlp.conf. [event][module] is add_field'ed
+    * TWICE ("azure" then "microsoft o365 dlp logs") — the second promotes
+    * it to an ARRAY, which flattens to NULL (mirrored). The end/modified
+    * date-failure removals probe the _es tag (reference copy-paste). */
+  def o365Dlp(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    Mutate.addField(ev, "[event][module]", "azure")
+    ev.set("[event][dataset]", "azure.eventhub.o365_dlp")
+    ev.set("[kafka][topic]", "api_azure.eventhub.o365_dlp")
+    ev.set("[agent][name]", "azure.eventhub")
+    ev.set("[log][source][hostname]", "api_azure_eventhub_o365_dlp")
+    if (!JsonOps.parse(ev, "message", "az")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    Mutate.addField(ev, "[event][module]", "microsoft o365 dlp logs") // → array → null column
+    ev.rename("[az][category]", "[rule][category]")
+    ev.rename("[az][id]", "[event][id]")
+    ev.rename("[az][investigationId]", "[group][id]")
+    ev.rename("[az][severity]", "[event][severity_name]")
+    ev.rename("[az][status]", "[event][outcome]")
+    ev.rename("[az][determination]", "[event][type]")
+    ev.rename("[az][detectionSource]", "[observer][product]")
+    ev.rename("[az][title]", "[event][kind]")
+    ev.rename("[az][description]", "[rule][description]")
+    ev.rename("[az][alertCreationTime]", "[event][created]")
+    ev.rename("[az][firstEventTime]", "[event][start]")
+    ev.rename("[az][lastEventTime]", "[event][end]")
+    ev.rename("[az][lastUpdateTime]", "[event][modified]")
+    ev.rename("[az][machineId]", "[host][id]")
+    ev.rename("[az][computerDnsName]", "[host][hostname]")
+    ev.rename("[az][relatedUser]", "[user][name]")
+    ev.remove("az")
+    Seq(("[event][created]", "_dateparsefailure_ec"), ("[event][start]", "_dateparsefailure_es"),
+      ("[event][end]", "_dateparsefailure_ee"), ("[event][modified]", "_dateparsefailure_em"))
+      .foreach { case (f, tag) =>
+        if (Dates(ev, f, Seq("ISO8601"), f.dropRight(1) + "_ms]",
+          timezone = "GMT", tagOnFailure = Seq(tag))) ev.remove(f)
+      }
+    Parsed(Seq(ev))
+  }
+
+  // ----------------------------------- azure.eventhub.o365.msg_tracking
+  /** ref event_hub_audit_o365.msg.trkg_eventhub.conf — incl. the dead
+    * `"size:"` flat-key rename. */
+  def o365MsgTracking(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "azure")
+    ev.set("[event][dataset]", "azure.eventhub.o365.msg_tracking")
+    ev.set("[kafka][topic]", "api_azure.eventhub.o365.msg_tracking")
+    ev.set("[agent][name]", "azure.eventhub")
+    ev.set("[log][source][hostname]", "api_azure_eventhub_o365_msg_tracking")
+    if (!JsonOps.parse(ev, "message", "msg")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.rename("[msg][PSComputerName]", "[observer][hostname]")
+    ev.rename("[msg][MessageId]", "[event][id]")
+    ev.rename("[msg][SenderAddress]", "[source][user][email]")
+    ev.rename("[msg][RecipientAddress]", "[destination][user][email]")
+    ev.rename("[msg][Subject]", "[email][subject]")
+    ev.rename("[msg][Status]", "[event][action]")
+    ev.rename("[msg][ToIP]", "[destination][ip]")
+    ev.rename("[msg][FromIP]", "[source][ip]")
+    ev.rename("[msg][Size]", "[source][bytes]")
+    ev.rename("[msg][Organization]", "[organization][name]")
+    ev.rename("size:", "[source][bytes]") // dead flat key, kept verbatim
+    if (ev.has("[msg][EndDate]")) {
+      ev.copyField("[msg][EndDate]", "[event][end]")
+      if (Dates(ev, "[event][end]", Seq("yyyy-MM-dd'T'HH:mm:ss", "ISO8601"),
+        "[event][end_ms]", timezone = "UTC")) ev.remove("[event][end]")
+    }
+    if (ev.has("[msg][StartDate]")) {
+      ev.copyField("[msg][StartDate]", "[event][start]")
+      if (Dates(ev, "[event][start]", Seq("yyyy-MM-dd'T'HH:mm:ss", "ISO8601"),
+        "[event][start_ms]", timezone = "UTC")) ev.remove("[event][start]")
+    }
+    if (ev.has("[msg][Received]")) {
+      ev.copyField("[msg][Received]", "[event][created]")
+      if (Dates(ev, "[event][created]", Seq("yyyy-MM-dd'T'HH:mm:ss", "ISO8601"),
+        "[event][created_ms]", timezone = "UTC")) ev.remove("[event][created]")
+    }
+    ev.remove("msg")
+    Parsed(Seq(ev))
+  }
+
+  // ------------------------------------------------------- azure.fwflow
+  /** ref event_hub_azure.fw_dns_ids_proxy_flow.conf — one hub whose
+    * per-row event.dataset comes from the kind→dataset translate
+    * (fallback azure.fw_metrics). Quirks mirrored: the
+    * IsExplicitProxyRequest rename targets the literal `false`, and the
+    * old-style NetworkRule grok's lazy `(?<proto>.*?)\w+ ` binds the
+    * protocol group to the EMPTY string (94 then scrubs it to null). */
+  private val fwDatasetDict = Map(
+    "AzureFirewallDnsProxy" -> "azure.dns", "AZFWDnsQuery" -> "azure.dns",
+    "AzureFirewallNetworkRule" -> "azure.fw", "AzureFirewallApplicationRule" -> "azure.fw",
+    "AZFWNetworkRule" -> "azure.fw", "AZFWIdpsSignature" -> "azure.ids",
+    "AZFWApplicationRule" -> "azure.proxy", "AZFWFlowTrace" -> "azure.flow")
+
+  def azureFwFlow(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    Seq("event", "host", "log", "user").foreach(ev.remove(_))
+    ev.set("[event][module]", "azure")
+    if (!JsonOps.parse(ev, "message", "tmp")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.rename("[tmp][resourceId]", "[log][source][hostname]")
+    ev.rename("[tmp][time]", "[event][created]")
+    ev.rename("[tmp][category]", "[event][kind]")
+    ev.rename("[tmp][properties][msg]", "[error][message]")
+    ev.rename("[tmp][properties][QueryClass]", "[dns][question][class]")
+    ev.rename("[tmp][properties][ErrorMessage]", "[error][message]")
+    ev.rename("[tmp][properties][Protocol]", "[network][transport]")
+    ev.rename("[tmp][properties][QueryId]", "[dns][id]")
+    ev.rename("[tmp][properties][QueryName]", "[dns][question][name]")
+    ev.rename("[tmp][properties][QueryType]", "[dns][question][type]")
+    ev.rename("[tmp][properties][ResponseCode]", "[dns][response_code]")
+    ev.rename("[tmp][properties][ResponseFlags]", "[dns][header_flags]")
+    ev.rename("[tmp][properties][SourceIp]", "[source][ip]")
+    ev.rename("[tmp][properties][SourcePort]", "[source][port]")
+    ev.rename("[tmp][properties][Description]", "[rule][description]")
+    ev.rename("[tmp][properties][Action]", "[event][action]")
+    ev.rename("[tmp][properties][DestinationIp]", "[destination][ip]")
+    ev.rename("[tmp][properties][DestinationPort]", "[destination][port]")
+    ev.rename("[tmp][properties][Category]", "[rule][category]")
+    ev.rename("[tmp][properties][Severity]", "[event][severity]")
+    ev.rename("[tmp][properties][SignatureId]", "[rule][id]")
+    ev.rename("[tmp][properties][RuleCollectionGroup]", "[rule][description]")
+    ev.rename("[tmp][properties][Policy]", "[rule][category]")
+    ev.rename("[tmp][properties][IsTlsInspected]", "[tls][established]")
+    ev.rename("[tmp][properties][TargetUrl]", "[url][registered_domain]")
+    ev.rename("[tmp][properties][RuleCollection]", "[rule][ruleset]")
+    ev.rename("[tmp][properties][Rule]", "[rule][name]")
+    ev.rename("[tmp][properties][IsExplicitProxyRequest]", "false") // literal target, verbatim
+    ev.rename("[tmp][properties][WebCategory]", "[event][category]")
+    ev.rename("[tmp][properties][ActionReason]", "[event][reason]")
+    ev.rename("[tmp][properties][Fqdn]", "[url][full]")
+    val kind = ev.getString("[event][kind]").getOrElse("")
+    if (kind == "AzureFirewallDnsProxy") {
+      Grok(ev, "[error][message]", Seq(
+        "DNS Request: (?<[source][ip]>\\d+\\.\\d+\\.\\d+\\.\\d+):(?<[source][port]>\\d+) .*? (?<[dns][id]>\\d+) (?<[dns][question][type]>\\w+) (?<[dns][question][class]>\\w+) (?<[dns][question][name]>.*?)\\. (?<[network][transport]>\\w+) \\d+ \\w+ \\d+ (?<[dns][response_code]>\\w+) (?<[dns][header_flags]>(\\w+,)+\\w+) \\d+"),
+        Seq("_grokparsefailure"))
+    }
+    if (kind == "AzureFirewallNetworkRule" || kind == "AzureFirewallApplicationRule") {
+      Grok(ev, "[error][message]", Seq(
+        "^(?<[network][protocol]>.*?)\\w+ .*?from (?<[source][ip]>\\d+.\\d+.\\d+.\\d+):(?<[source][port]>\\d+) to ((?<[destination][ip]>\\d+.\\d+.\\d+.\\d+)|(?<[destination][address]>.*?)):(?<[destination][port]>\\d+).*?Action: (?<[event][action]>\\w+).*?\\.+ (Policy: ((?<[rule][category]>.*?) Rule Collection Group: (?<[rule][ruleset]>.*?) Rule Collection: (?<[observer][name]>.*?) Rule: (?<[rule][name]>.*?))|((?<[rule][name]>.*?)))$"),
+        Seq("_grokparsefailure"))
+    }
+    ev.set("[event][dataset]",
+      fwDatasetDict.getOrElse(kind, "azure.fw_metrics"))
+    Dates(ev, "[event][created]",
+      Seq("yyyy-MM-dd'T'HH:mm:ss.SSSSSSS'Z'", "yyyy-MM-dd't'HH:mm:ss.SSSSSSS'z'"),
+      "[event][created_ms]", timezone = "UTC", tagOnFailure = Seq("_dateparsefailure_ec"))
+    ev.remove("[event][created]")
+    ev.remove("tmp")
+    Parsed(Seq(ev))
+  }
+
+  // ------------------------------------------------- proofpoint.pod
+  /** ref api_security_proofpoint.pod_email_gateway.conf. msgParts ruby
+    * collects LISTS onto scalar ECS fields (null columns); rcpts arrays
+    * merged with cc/to arrays; bracketed connection hosts stripped. */
+  def proofpointPod(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.copyField("message", "tmp_msg")
+    ev.set("[cloud][provider]", "proofpoint")
+    ev.set("[event][module]", "proofpoint")
+    ev.set("[event][dataset]", "proofpoint.pod")
+    ev.set("[log][source][hostname]", "api_proofpoint_pod")
+    Mutate.gsub(ev, "tmp_msg", "\\\\\\\\\\\"", "\\\"")
+    Mutate.gsub(ev, "tmp_msg", "colmodel\\[(\\d+)\\]", "colmodel$1")
+    Mutate.gsub(ev, "tmp_msg", "attrib:ads\\[(\\d+)\\]", "attrib:ads$1")
+    if (!JsonOps.parse(ev, "tmp_msg", "pp")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.rename("[pp][msg][parsedAddresses][from]", "[source][user][email]")
+    ev.rename("[pp][envelope][rcpts]", "[destination][user][email]")
+    ev.get("[pp][msg][parsedAddresses][cc]").foreach(v =>
+      ev.mergeInto("[destination][user][email]", Event.deepCopy(v)))
+    ev.rename("[pp][msg][normalizedHeader][subject]", "[email][subject]")
+    ev.rename("[pp][ts]", "[event][created]")
+    ev.rename("[pp][guid]", "[rule][uuid]")
+    ev.rename("[pp][pps][cid]", "[observer][name]")
+    ev.rename("[pp][pps][agent]", "[observer][hostname]")
+    ev.rename("[pp][pps][version]", "[observer][version]")
+    ev.rename("[pp][filter][disposition]", "[event][outcome]")
+    ev.rename("[pp][filter][quarantine][folder]", "[file][path]")
+    ev.rename("[pp][filter][quarantine][rule]", "[rule][name]")
+    ev.rename("[pp][filter][routeDirection]", "[network][direction]")
+    ev.rename("[pp][filter][startTime]", "[event][start]")
+    ev.rename("[pp][filter][msgSizeBytes]", "[source][bytes]")
+    ev.rename("[pp][connection][ip]", "[source][ip]")
+    ev.rename("[pp][connection][host]", "[source][address]")
+    ev.rename("[pp][filter][actions]", "[proofpoint][outcome]")
+    ev.set("[observer][vendor]", "proofpoint")
+    ev.set("[observer][product]", "proofpoint e-mail filter")
+    ev.set("[observer][type]", "e-mail filter")
+    ev.get("[pp][msgParts]") match { // ref :47-95 ruby lists
+      case Some(a: mutable.ArrayBuffer[Any @unchecked]) =>
+        val names, sizes, md5s, sha256s, urls = mutable.ArrayBuffer.empty[Any]
+        a.foreach {
+          case item: Event.FMap =>
+            val n = item.get("detectedName"); if (n != null && n != "") names += n
+            val s = item.get("detectedSizeBytes"); if (s != null && s != "") sizes += s
+            val h2 = item.get("sha256"); if (h2 != null && h2 != "") sha256s += h2
+            val h1 = item.get("md5"); if (h1 != null && h1 != "") md5s += h1
+            item.get("urls") match {
+              case us: mutable.ArrayBuffer[Any @unchecked] =>
+                us.foreach {
+                  case u: Event.FMap => val x = u.get("url"); if (x != null) urls += x
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+        if (names.nonEmpty) ev.set("[file][name]", names)
+        if (sizes.nonEmpty) ev.set("[file][size]", sizes)
+        if (md5s.nonEmpty) ev.set("[file][hash][md5]", md5s)
+        if (sha256s.nonEmpty) ev.set("[file][hash][sha256]", sha256s)
+        if (urls.nonEmpty) ev.set("[url][full]", urls)
+      case _ => ()
+    }
+    if (!ev.getString("[pp][msg][parsedAddresses][to][0]").exists(_.contains("Undisclosed")))
+      ev.get("[pp][msg][parsedAddresses][to]").foreach(v =>
+        ev.mergeInto("[destination][user][email]", Event.deepCopy(v)))
+    if (ev.has("[pp][connection][protocol]"))
+      Dissect(ev, "[pp][connection][protocol]", "%{?data}:%{[network][protocol]}")
+    if (ev.stringOrNull("[pp][filter][ismsgencrypted]") == "true")
+      ev.addTag("file encrypted")
+    ev.getString("[source][address]").foreach { sa =>
+      if (sa.matches(".*\\[\\d+.\\d+.\\d+.\\d+\\].*"))
+        Mutate.gsub(ev, "[source][address]", "[\\[\\]]", "")
+    }
+    if (Dates(ev, "[event][created]", Seq("ISO8601"), "[event][created_ms]",
+      timezone = "UTC", tagOnFailure = Seq("_dateparsefailure_ec")))
+      ev.remove("[event][created]")
+    if (Dates(ev, "[event][start]", Seq("yyyy-MM-dd'T'HH:mm:ss.SSSSSSZ"),
+      "[event][start_ms]", timezone = "GMT", locale = "en",
+      tagOnFailure = Seq("_dateparsefailure_es")))
+      ev.remove("[event][start]")
+    ev.remove("tmp_msg"); ev.remove("pp")
+    Parsed(Seq(ev))
+  }
+}

@@ -59,7 +59,10 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("eh_incident", Transcripts.ehiInput), ("eh_anomalies", Transcripts.ehnInput),
       ("eh_signin", Transcripts.ehsInput), ("symantec", Transcripts.symInput),
       ("infoblox", Transcripts.ibInput), ("juniper", Transcripts.jnInput),
-      ("mispfeed", Transcripts.mfInput))
+      ("mispfeed", Transcripts.mfInput), ("suricata", Transcripts.soInput),
+      ("apache", Transcripts.apInput), ("o365dlp", Transcripts.dlpInput),
+      ("msgtrkg", Transcripts.mtInput), ("azurefw", Transcripts.fwInput),
+      ("pod", Transcripts.podInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
