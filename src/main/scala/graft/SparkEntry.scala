@@ -461,6 +461,25 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // securityonion.zeek: beats envelope via json input codec, the
+    // ~170-entry rename block, per-kind branches, boolean tag ladder
+    "qzk01_zeek" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.zkInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("event_kind"),
+        col("event_category"), col("log_source_hostname"), col("route_index"),
+        col("event_created_ms"), col("source_ip"), col("source_port"),
+        col("destination_ip"), col("destination_port"), col("network_protocol"),
+        col("event_id_s"), col("rule_uuid"), col("source_bytes"),
+        col("destination_bytes"), col("event_duration"), col("service_state"),
+        col("service_name"), col("network_bytes"), col("transaction_id"),
+        col("http_request_method"), col("url_domain"), col("url_query"),
+        col("http_response_status_code"), col("event_action"),
+        col("http_request_mime_type"), col("http_request_referrer"),
+        col("user_agent_original"), col("source_user_email"),
+        col("email_subject"), col("destination_user_email"), col("file_path"),
+        col("user_full_name"), col("destination_domain"), col("process_name"))),
+
     // securityonion.suricata: EVE JSON renames, alert vs non-alert shapes
     "qso01_suricata" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.soInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -1617,6 +1636,44 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    "qzk01_zeek" ->
+      s"""WITH ${Transcripts.zkCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, 'securityonion' AS event_module,
+  'securityonion.zeek' AS event_dataset, b.kindname AS event_kind,
+  'network' AS event_category,
+  'sensor' || CAST(b.user_id % 9 AS STRING) AS log_source_hostname,
+  'logs-securityonion.zeek_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CAST(1700000000 + b.event_id AS BIGINT) * 1000 AS event_created_ms,
+  b.sip AS source_ip, CAST(b.sp AS BIGINT) AS source_port,
+  b.dip AS destination_ip, CAST(443 AS BIGINT) AS destination_port,
+  'tcp' AS network_protocol, 'c' || b.eid_s AS event_id_s,
+  CASE b.zsel WHEN 0 THEN '1:zc' || b.eid_s ELSE NULL END AS rule_uuid,
+  CASE b.zsel WHEN 0 THEN CAST(1000 AS BIGINT) ELSE NULL END AS source_bytes,
+  CASE b.zsel WHEN 0 THEN CAST(2000 AS BIGINT) ELSE NULL END AS destination_bytes,
+  CASE b.zsel WHEN 0 THEN '1.5' WHEN 1 THEN '0.002' ELSE NULL END AS event_duration,
+  CASE b.zsel WHEN 0 THEN 'sf' ELSE NULL END AS service_state,
+  CASE b.zsel WHEN 0 THEN 'ssl' WHEN 5 THEN 'krbtgt' ELSE NULL END AS service_name,
+  CASE b.zsel WHEN 0 THEN CAST(0 AS BIGINT) ELSE NULL END AS network_bytes,
+  CASE b.zsel WHEN 1 THEN b.tid ELSE NULL END AS transaction_id,
+  CASE b.zsel WHEN 2 THEN 'get' ELSE NULL END AS http_request_method,
+  CASE b.zsel WHEN 2 THEN 'www.example.com' ELSE NULL END AS url_domain,
+  CASE b.zsel WHEN 2 THEN '/idx' || b.eid_s ELSE NULL END AS url_query,
+  CASE b.zsel WHEN 2 THEN CAST(200 AS BIGINT) ELSE NULL END AS http_response_status_code,
+  CASE b.zsel WHEN 2 THEN 'ok' ELSE NULL END AS event_action,
+  CASE b.zsel WHEN 2 THEN 'text/html' ELSE NULL END AS http_request_mime_type,
+  CAST(NULL AS STRING) AS http_request_referrer, -- '-' scrubbed by 94
+  CASE b.zsel WHEN 2 THEN 'curl/8.5' ELSE NULL END AS user_agent_original,
+  CASE b.zsel WHEN 3 THEN 's' || b.eid_s || '@x.example' ELSE NULL END AS source_user_email,
+  CASE b.zsel WHEN 3 THEN 'zeek mail ' || b.eid_s ELSE NULL END AS email_subject,
+  CAST(NULL AS STRING) AS destination_user_email, -- ruby list → array → null
+  CAST(NULL AS STRING) AS file_path, -- smtp removes it; others never set it
+  CASE b.zsel WHEN 4 THEN 'Jo' || b.eid_s || ' Doe' ELSE NULL END AS user_full_name,
+  'internal' AS destination_domain, -- PTR + host_split overwrite everywhere
+  CASE b.zsel WHEN 5 THEN 'as' ELSE NULL END AS process_name
+FROM zk_turns t JOIN zk_inner b USING (event_id)
+WHERE b.zsel <> 6""",
 
     "qso01_suricata" ->
       s"""WITH ${Transcripts.soCte}

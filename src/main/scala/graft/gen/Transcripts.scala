@@ -2357,6 +2357,66 @@ pod_turns AS (
     spark.sql(s"WITH $podCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pod_turns")
   }
 
+  /** securityonion.zeek corpus — beats envelope ({"message": <inner zeek
+    * JSON string>, dataset, category, host.name}) with the inner JSON's
+    * quotes escaped via replace(…, chr(34), chr(92)||chr(34)) — portable
+    * across Spark/DuckDB (no backslash literals in either dialect). */
+  val zkCte: String = s"""
+zk_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 7) AS zsel,
+    CAST(1700000000 + event_id AS STRING) AS tsec,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    '172.16.' || CAST(event_id % 100 AS STRING) || '.' || CAST(1 + (user_id % 254) AS STRING) AS dip,
+    CAST(1024 + (event_id % 40000) AS STRING) AS sp,
+    CAST(event_id % 65536 AS STRING) AS tid
+  FROM events WHERE (event_id % 139) = 3
+),
+zk_inner AS (
+  SELECT *,
+    CASE zsel WHEN 0 THEN 'conn' WHEN 1 THEN 'dns' WHEN 2 THEN 'http'
+      WHEN 3 THEN 'smtp' WHEN 4 THEN 'x509' WHEN 5 THEN 'kerberos'
+      ELSE 'syslog' END AS kindname,
+    CASE WHEN zsel = 6 THEN '{"ts":1}'
+    ELSE '{"ts":' || tsec || ',"uid":"C' || eid_s || '","id.orig_h":"' || sip
+      || '","id.orig_p":' || sp || ',"id.resp_h":"' || dip
+      || '","id.resp_p":443,"proto":"tcp"'
+      || CASE zsel
+        WHEN 0 THEN ',"duration":1.5,"orig_bytes":1000,"resp_bytes":2000,"orig_pkts":10,"resp_pkts":20,"conn_state":"SF","history":"ShADad","community_id":"1:zc'
+          || eid_s || '","service":"ssl","local_orig":true,"missed_bytes":0'
+        WHEN 1 THEN ',"query":"www.example.com","qclass_name":"C_INTERNET","qtype_name":"A","rcode_name":"NOERROR","trans_id":'
+          || tid || ',"rtt":0.002,"AA":true,"RD":true,"answers":["93.184.216.34"]'
+        WHEN 2 THEN ',"method":"GET","host":"www.example.com","uri":"/idx' || eid_s
+          || '","referrer":"-","user_agent":"curl/8.5","status_code":200,"status_msg":"OK","request_body_len":0,"response_body_len":512,"resp_mime_type":"text/html"'
+        WHEN 3 THEN ',"mailfrom":"s' || eid_s || '@x.example","rcptto":["r1' || eid_s
+          || '@x.example"],"cc":["c' || eid_s || '@x.example"],"subject":"zeek mail '
+          || eid_s || '","path":["10.0.0.1"],"is_webmail":true'
+        WHEN 4 THEN ',"certificate.version":3,"certificate.serial":"0a' || eid_s
+          || '","certificate.subject":"CN=example.com,O=ExampleOrg,C=US,givenname=Jo' || eid_s
+          || ',surname=Doe","certificate.issuer":"CN=Example CA,O=CAOrg,C=US","certificate.key_alg":"rsa","certificate.key_length":2048,"certificate.not_valid_before":1700000000,"certificate.not_valid_after":1731536000,"san.dns":["example.com"],"fingerprint":"ff'
+          || eid_s || '"'
+        ELSE ',"service":"krbtgt/CORP.EXAMPLE","client":"u' || eid_s
+          || '/CORP","request_type":"AS","success":true,"till":1700003600,"forwardable":true,"renewable":true'
+      END || '}' END AS inner_json
+  FROM zk_base
+),
+zk_turns AS (
+  SELECT 'zk_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"message":"' || replace(inner_json, chr(34), chr(92) || chr(34))
+    || '","dataset":"' || kindname
+    || '","category":"network","host":{"name":"sensor' || CAST(user_id % 9 AS STRING) || '"}}' AS text,
+    'securityonion.zeek' AS tool, ts, event_id
+  FROM zk_inner
+)"""
+
+  def zkInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $zkCte SELECT conv_id, turn_idx, role, text, tool, ts FROM zk_turns")
+  }
+
   /** misp.metrics feeder corpus (ref: api_security_misp.metrics.conf) —
     * exercises the type fan-out, the 1D/2D mac normalization (incl. the
     * comma re-join that breaks the later filename|md5 dissect), the mitre

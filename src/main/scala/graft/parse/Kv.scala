@@ -18,7 +18,8 @@ import scala.collection.mutable
 object Kv {
   def apply(ev: Event, sourceField: String, fieldSplit: Char, valueSplit: Char,
             target: String = "", trimKey: String = "", trimValue: String = "",
-            allowDuplicateValues: Boolean = true): Boolean = {
+            allowDuplicateValues: Boolean = true,
+            transformKeyLowercase: Boolean = false): Boolean = {
     val in = ev.getString(sourceField)
     if (in.isEmpty) return false
     val s = in.get
@@ -31,7 +32,10 @@ object Kv {
       if (end > start) {
         val vs = s.indexOf(valueSplit, start)
         if (vs >= 0 && vs < end) {
-          val key = trim(s.substring(start, vs), trimKey)
+          val key0 = trim(s.substring(start, vs), trimKey)
+          // `transform_key => "lowercase"` (ref: syslog_securityonion_
+          // securityonion.zeek.conf:236-244 x509 distinguished-name kv)
+          val key = if (transformKeyLowercase) key0.toLowerCase else key0
           val value = trim(s.substring(vs + 1, end), trimValue)
           if (key.nonEmpty) {
             val path = targetParts :+ key

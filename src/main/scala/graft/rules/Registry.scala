@@ -103,6 +103,8 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "securityonion.zeek" -> TechnologyConfig("securityonion.zeek",
+      "logs-securityonion.zeek", Vector("elastic"), Set.empty, "high", jsonCodec = true),
     "securityonion.suricata" -> TechnologyConfig("securityonion.suricata",
       "logs-securityonion.suricata", Vector("elastic"), Set.empty, "high"),
     "apache.access" -> TechnologyConfig("apache.access",
@@ -447,6 +449,7 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "securityonion.zeek" -> ZeekRules.zeek,
     "securityonion.suricata" -> WebSecRules.suricata,
     "apache.access" -> WebSecRules.apacheAccess,
     "azure.eventhub.o365_dlp" -> WebSecRules.o365Dlp,
