@@ -461,6 +461,17 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // seven small header/labeler technologies in ONE mixed-tool frame;
+    // none sets a parse rule, so parse_rule stays 'not parsed' at parse_ok 1
+    "qhx01_small" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.hxInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("technology"), col("event_module"), col("event_dataset"),
+        col("route_index"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("event_created_ms"),
+        col("user_name"), col("client_ip"), col("event_category"),
+        col("event_type"), col("event_outcome"), col("event_action"))),
+
     // securityonion.zeek: beats envelope via json input codec, the
     // ~170-entry rename block, per-kind branches, boolean tag ladder
     "qzk01_zeek" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.zkInput(s, dir)).toDF()
@@ -1636,6 +1647,38 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    "qhx01_small" ->
+      s"""WITH ${Transcripts.hxCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule,
+  CASE b.tsel WHEN 0 THEN 'unidentified' WHEN 1 THEN 'cisco.meraki.wap'
+    WHEN 2 THEN 'cisco.meraki.router' WHEN 3 THEN 'cisco.satellite'
+    WHEN 4 THEN 'cisco.wireless.bridge' WHEN 5 THEN 'cisco.prime'
+    ELSE 'cisco.riverbed.amauth' END AS technology,
+  CASE b.tsel WHEN 0 THEN 'unidentified' WHEN 1 THEN 'cisco.meraki'
+    WHEN 2 THEN 'cisco.meraki' ELSE 'cisco' END AS event_module,
+  CASE b.tsel WHEN 0 THEN 'unidentified' WHEN 1 THEN 'cisco.meraki.wap'
+    WHEN 2 THEN 'cisco.meraki.router' WHEN 3 THEN 'cisco.satellite'
+    WHEN 4 THEN 'cisco.wireless.bridge' WHEN 5 THEN 'cisco.prime'
+    ELSE 'cisco.riverbed.amauth' END AS event_dataset,
+  'logs-' || (CASE b.tsel WHEN 0 THEN 'unidentified' WHEN 1 THEN 'cisco.meraki.wap'
+    WHEN 2 THEN 'cisco.meraki.router' WHEN 3 THEN 'cisco.satellite'
+    WHEN 4 THEN 'cisco.wireless.bridge' WHEN 5 THEN 'cisco.prime'
+    ELSE 'cisco.riverbed.amauth' END) || '_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.tsel IN (1, 2, 3, 4, 5) THEN CAST(16 + (b.event_id % 8) AS BIGINT)
+    ELSE NULL END AS log_syslog_facility_code,
+  CASE WHEN b.tsel IN (1, 2, 3, 4, 5) THEN CAST(b.event_id % 5 AS BIGINT)
+    ELSE NULL END AS log_syslog_severity_code,
+  epoch_ms(t.ts) AS event_created_ms,
+  CASE b.tsel WHEN 5 THEN 'u' || b.eid_s WHEN 6 THEN 'amu' || b.eid_s
+    ELSE NULL END AS user_name,
+  CASE b.tsel WHEN 5 THEN b.cip ELSE NULL END AS client_ip,
+  CASE b.tsel WHEN 5 THEN 'audit' ELSE NULL END AS event_category,
+  CASE b.tsel WHEN 5 THEN 'config' ELSE NULL END AS event_type,
+  CASE b.tsel WHEN 5 THEN 'success' ELSE NULL END AS event_outcome,
+  CASE b.tsel WHEN 6 THEN 'access granted' ELSE NULL END AS event_action
+FROM hx_turns t JOIN hx_base b USING (event_id)""",
 
     "qzk01_zeek" ->
       s"""WITH ${Transcripts.zkCte}

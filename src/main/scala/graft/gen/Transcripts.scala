@@ -2357,6 +2357,48 @@ pod_turns AS (
     spark.sql(s"WITH $podCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pod_turns")
   }
 
+  /** Shared corpus for the seven small header/labeler technologies —
+    * mixed tools in ONE input frame (the kernel dispatches per row). */
+  val hxCte: String = s"""
+hx_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 7) AS tsel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase AS mon,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dday,
+    ${hmsOf("ts")} AS t1,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS cip
+  FROM events WHERE (event_id % 149) = 87
+),
+hx_turns AS (
+  SELECT 'hx_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE tsel
+      WHEN 0 THEN 'unknown payload ' || eid_s
+      WHEN 1 THEN '<' || CAST(pri AS STRING) || '>' || mon || ' ' || dday || ' ' || t1
+        || ' AP7 association event ' || eid_s
+      WHEN 2 THEN '  <' || CAST(pri AS STRING) || '>' || mon || ' ' || dday || ' ' || t1
+        || ' MX64 flow event ' || eid_s
+      WHEN 3 THEN '<' || CAST(pri AS STRING) || '>satellite line ' || eid_s
+      WHEN 4 THEN '<' || CAST(pri AS STRING) || '>bridge line ' || eid_s
+      WHEN 5 THEN '<' || CAST(pri AS STRING) || '>Category:AUDIT, Type:CONFIG, User Name:u'
+        || eid_s || ', Client IP Address:' || cip || ', Change Audit Details:Success'
+      ELSE '2026-01-05 10:00:01 Access Granted amu' || eid_s || ' tail'
+    END AS text,
+    CASE tsel WHEN 0 THEN 'unidentified' WHEN 1 THEN 'cisco.meraki.wap'
+      WHEN 2 THEN 'cisco.meraki.router' WHEN 3 THEN 'cisco.satellite'
+      WHEN 4 THEN 'cisco.wireless.bridge' WHEN 5 THEN 'cisco.prime'
+      ELSE 'cisco.riverbed.amauth' END AS tool, ts, event_id
+  FROM hx_base
+)"""
+
+  def hxInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $hxCte SELECT conv_id, turn_idx, role, text, tool, ts FROM hx_turns")
+  }
+
   /** securityonion.zeek corpus — beats envelope ({"message": <inner zeek
     * JSON string>, dataset, category, host.name}) with the inner JSON's
     * quotes escaped via replace(…, chr(34), chr(92)||chr(34)) — portable

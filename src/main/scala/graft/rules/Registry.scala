@@ -103,6 +103,20 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "unidentified" -> TechnologyConfig("unidentified", "logs-unidentified",
+      Vector("elastic"), Set.empty, "low"),
+    "cisco.meraki.wap" -> TechnologyConfig("cisco.meraki.wap",
+      "logs-cisco.meraki.wap", Vector("elastic"), Set.empty, "low"),
+    "cisco.meraki.router" -> TechnologyConfig("cisco.meraki.router",
+      "logs-cisco.meraki.router", Vector("elastic"), Set.empty, "low"),
+    "cisco.satellite" -> TechnologyConfig("cisco.satellite",
+      "logs-cisco.satellite", Vector("elastic"), Set.empty, "low"),
+    "cisco.wireless.bridge" -> TechnologyConfig("cisco.wireless.bridge",
+      "logs-cisco.wireless.bridge", Vector("elastic"), Set.empty, "low"),
+    "cisco.prime" -> TechnologyConfig("cisco.prime", "logs-cisco.prime",
+      Vector("elastic"), Set.empty, "low"),
+    "cisco.riverbed.amauth" -> TechnologyConfig("cisco.riverbed.amauth",
+      "logs-cisco.riverbed.amauth", Vector("elastic"), Set.empty, "low"),
     "securityonion.zeek" -> TechnologyConfig("securityonion.zeek",
       "logs-securityonion.zeek", Vector("elastic"), Set.empty, "high", jsonCodec = true),
     "securityonion.suricata" -> TechnologyConfig("securityonion.suricata",
@@ -449,6 +463,13 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "unidentified" -> WebSecRules.unidentified,
+    "cisco.meraki.wap" -> WebSecRules.headerOnly("cisco.meraki", "cisco.meraki.wap", strip = false) _,
+    "cisco.meraki.router" -> WebSecRules.headerOnly("cisco.meraki", "cisco.meraki.router", strip = true) _,
+    "cisco.satellite" -> WebSecRules.headerOnly("cisco", "cisco.satellite", strip = false) _,
+    "cisco.wireless.bridge" -> WebSecRules.headerOnly("cisco", "cisco.wireless.bridge", strip = false) _,
+    "cisco.prime" -> WebSecRules.ciscoPrime,
+    "cisco.riverbed.amauth" -> WebSecRules.riverbedAmauth,
     "securityonion.zeek" -> ZeekRules.zeek,
     "securityonion.suricata" -> WebSecRules.suricata,
     "apache.access" -> WebSecRules.apacheAccess,

@@ -19,6 +19,66 @@ object WebSecRules {
     Parsed(Seq(ev))
   }
 
+  // ------------------------------------------- header-only syslog techs
+  /** The header+syslog_pri-only processors (ref:
+    * syslog_security_cisco.meraki.wap.conf, syslog_audit_meraki.router.conf,
+    * syslog_security_cisco.satellite.conf,
+    * syslog_audit_cisco.wireless.bridge.conf): no parse rule is ever set,
+    * so parse_rule stays "not parsed" while parse_ok remains true. */
+  def headerOnly(module: String, dataset: String, strip: Boolean)
+                (ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", module)
+    ev.set("[event][dataset]", dataset)
+    if (strip) Mutate.strip(ev, "message")
+    Grok(ev, "message", Seq(Registry.HeaderGrok), Seq("_parsefailure_header"))
+    SyslogPri(ev)
+    ev.remove("actual_msg")
+    Parsed(Seq(ev))
+  }
+
+  /** ref syslog_source_unidentified.conf — a pure labeler. */
+  def unidentified(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "unidentified")
+    ev.set("[event][dataset]", "unidentified")
+    ev.remove("agent.name"); ev.remove("[agent][name]")
+    if (ev.has("[log][source][ip]") && !ev.has("[log][source][hostname]"))
+      ev.copyField("[log][source][ip]", "[log][source][hostname]")
+    Parsed(Seq(ev))
+  }
+
+  /** ref syslog_audit_cisco.prime.conf — header + trimmed-key kv. */
+  def ciscoPrime(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "cisco")
+    ev.set("[event][dataset]", "cisco.prime")
+    ev.set("[agent][rule]", "logstash")
+    Grok(ev, "message", Seq(Registry.HeaderGrok), Seq("_parsefailure_header"))
+    SyslogPri(ev)
+    Kv(ev, "actual_msg", ',', ':', target = "ciscopr", trimKey = " ")
+    ev.rename("[ciscopr][Category]", "[event][category]")
+    ev.rename("[ciscopr][Type]", "[event][type]")
+    ev.rename("[ciscopr][User Name]", "[user][name]")
+    ev.rename("[ciscopr][Client IP Address]", "[client][ip]")
+    ev.rename("[ciscopr][Change Audit Details]", "[event][outcome]")
+    ev.remove("ciscopr"); ev.remove("data"); ev.remove("actual_msg")
+    Parsed(Seq(ev))
+  }
+
+  /** ref flat_file_audit_riverbed.amauth.conf — gsub'd copy + pad dissect
+    * (incl. the `%{+?data}` append-to-skip oddity, which lands on an
+    * unaddressable top-level '?data' key, as in Logstash). */
+  def riverbedAmauth(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "cisco")
+    ev.set("[event][dataset]", "cisco.riverbed.amauth")
+    ev.rename("[host][name]", "[log][source][hostname]")
+    ev.copyField("message", "tmp")
+    Mutate.gsub(ev, "tmp", "[\"]", "")
+    Mutate.gsub(ev, "tmp", "[\\t]", " ")
+    Dissect(ev, "tmp",
+      "%{?data->} %{+?data} %{[[event][action]]->} %{+[[event][action]]} %{[[user][name]]} %{?data}")
+    ev.remove("tmp") // the '?data' key lingers, invisible — as in Logstash
+    Parsed(Seq(ev))
+  }
+
   // --------------------------------------------- securityonion.suricata
   /** ref syslog_securityonion_securityonion.suricata.conf. The
     * [host][name] → log.source.hostname copy is a no-op on this input

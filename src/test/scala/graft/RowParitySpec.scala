@@ -62,7 +62,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("mispfeed", Transcripts.mfInput), ("suricata", Transcripts.soInput),
       ("apache", Transcripts.apInput), ("o365dlp", Transcripts.dlpInput),
       ("msgtrkg", Transcripts.mtInput), ("azurefw", Transcripts.fwInput),
-      ("pod", Transcripts.podInput), ("zeek", Transcripts.zkInput))
+      ("pod", Transcripts.podInput), ("zeek", Transcripts.zkInput),
+      ("hxsmall", Transcripts.hxInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
