@@ -461,6 +461,17 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // four beats-envelope agents in one frame (tanium/rundeck/hadoop/es)
+    "qba01_beats" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.baInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("technology"), col("event_module"), col("event_dataset"),
+        col("route_index"), col("event_created_ms"),
+        col("log_source_hostname"), col("host_hostname"), col("agent_name"),
+        col("event_kind"), col("file_path"), col("file_type"),
+        col("event_severity_name"), col("service_name"), col("user_roles"),
+        col("user_name"), col("message"))),
+
     // seven small header/labeler technologies in ONE mixed-tool frame;
     // none sets a parse rule, so parse_rule stays 'not parsed' at parse_ok 1
     "qhx01_small" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.hxInput(s, dir)).toDF()
@@ -1647,6 +1658,38 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    // tanium/rundeck replace message with the LITERAL "[event][original]";
+    // hadoop's sprintf form survives as the %{...} literal (94's bracketless
+    // scrub can't match it); hadoop's host.hostname rename no-ops
+    "qba01_beats" ->
+      s"""WITH ${Transcripts.baCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule,
+  CASE b.bsel WHEN 0 THEN 'tanium.agent' WHEN 1 THEN 'rundeck.agent'
+    WHEN 2 THEN 'hadoop.agent' ELSE 'elasticsearch.audit' END AS technology,
+  CASE b.bsel WHEN 0 THEN 'tanium' WHEN 1 THEN 'rundeck'
+    WHEN 2 THEN 'hadoop' ELSE 'elasticsearch' END AS event_module,
+  CASE b.bsel WHEN 0 THEN 'tanium.agent' WHEN 1 THEN 'rundeck.agent'
+    WHEN 2 THEN 'hadoop.agent' ELSE 'elasticsearch.audit' END AS event_dataset,
+  'logs-' || (CASE b.bsel WHEN 0 THEN 'tanium.agent' WHEN 1 THEN 'rundeck.agent'
+    WHEN 2 THEN 'hadoop.agent' ELSE 'elasticsearch.audit' END)
+    || '_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) AS event_created_ms,
+  'bh' || CAST(b.user_id % 9 AS STRING) AS log_source_hostname,
+  CASE WHEN b.bsel = 2 THEN NULL ELSE 'bh' || CAST(b.user_id % 9 AS STRING) END AS host_hostname,
+  'bn' || b.eid_s AS agent_name,
+  'prog' || b.eid_s AS event_kind,
+  '/var/log/x' || b.eid_s || '.log' AS file_path,
+  'log' AS file_type, 'info' AS event_severity_name, 'svc1' AS service_name,
+  -- hadoop: the role rename coerces the string [user] into a hash (its
+  -- value is lost), and the later [user]→[user][name] rename moves that
+  -- HASH onto user.name — both columns null, exactly as in Logstash
+  CASE WHEN b.bsel = 2 THEN NULL ELSE 'admin' END AS user_roles,
+  CAST(NULL AS STRING) AS user_name,
+  CASE b.bsel WHEN 0 THEN '[event][original]' WHEN 1 THEN '[event][original]'
+    WHEN 2 THEN '%{[event][original]}' ELSE 'raw line ' || b.eid_s END AS message
+FROM ba_turns t JOIN ba_base b USING (event_id)""",
 
     "qhx01_small" ->
       s"""WITH ${Transcripts.hxCte}

@@ -2357,6 +2357,35 @@ pod_turns AS (
     spark.sql(s"WITH $podCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pod_turns")
   }
 
+  /** Shared beats-envelope corpus for the four agent technologies. */
+  val baCte: String = s"""
+ba_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 4) AS bsel,
+    ${isoMsOf("ts")} AS iso0
+  FROM events WHERE (event_id % 151) = 42
+),
+ba_turns AS (
+  SELECT 'ba_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '{"message":"raw line ' || eid_s || '","@timestamp":"' || iso0
+    || '","beat":{"hostname":"bh' || CAST(user_id % 9 AS STRING)
+    || '","name":"bn' || eid_s || '","version":"7.1"},"input":{"type":"log"},"program":"prog'
+    || eid_s || '","source":"/var/log/x' || eid_s
+    || '.log","severity":"INFO","service":"svc1","thread":5,"role":"Admin","fields":{"environment":"prod"}'
+    || CASE WHEN bsel = 2 THEN ',"user":"hu' || eid_s || '"' ELSE '' END
+    || '}' AS text,
+    CASE bsel WHEN 0 THEN 'tanium.agent' WHEN 1 THEN 'rundeck.agent'
+      WHEN 2 THEN 'hadoop.agent' ELSE 'elasticsearch.audit' END AS tool, ts, event_id
+  FROM ba_base
+)"""
+
+  def baInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $baCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ba_turns")
+  }
+
   /** Shared corpus for the seven small header/labeler technologies —
     * mixed tools in ONE input frame (the kernel dispatches per row). */
   val hxCte: String = s"""

@@ -103,6 +103,14 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "tanium.agent" -> TechnologyConfig("tanium.agent", "logs-tanium.agent",
+      Vector("elastic"), Set.empty, "low", jsonCodec = true),
+    "rundeck.agent" -> TechnologyConfig("rundeck.agent", "logs-rundeck.agent",
+      Vector("elastic"), Set.empty, "low", jsonCodec = true),
+    "hadoop.agent" -> TechnologyConfig("hadoop.agent", "logs-hadoop.agent",
+      Vector("elastic"), Set.empty, "low", jsonCodec = true),
+    "elasticsearch.audit" -> TechnologyConfig("elasticsearch.audit",
+      "logs-elasticsearch.audit", Vector("elastic"), Set.empty, "low", jsonCodec = true),
     "unidentified" -> TechnologyConfig("unidentified", "logs-unidentified",
       Vector("elastic"), Set.empty, "low"),
     "cisco.meraki.wap" -> TechnologyConfig("cisco.meraki.wap",
@@ -463,6 +471,10 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "tanium.agent" -> WebSecRules.beatsAgent("tanium", "tanium.agent", 0) _,
+    "rundeck.agent" -> WebSecRules.beatsAgent("rundeck", "rundeck.agent", 0) _,
+    "hadoop.agent" -> WebSecRules.beatsAgent("hadoop", "hadoop.agent", 1) _,
+    "elasticsearch.audit" -> WebSecRules.beatsAgent("elasticsearch", "elasticsearch.audit", 2) _,
     "unidentified" -> WebSecRules.unidentified,
     "cisco.meraki.wap" -> WebSecRules.headerOnly("cisco.meraki", "cisco.meraki.wap", strip = false) _,
     "cisco.meraki.router" -> WebSecRules.headerOnly("cisco.meraki", "cisco.meraki.router", strip = true) _,

@@ -19,6 +19,48 @@ object WebSecRules {
     Parsed(Seq(ev))
   }
 
+  // -------------------------------------------------- beats-agent techs
+  /** tanium.agent / rundeck.agent / hadoop.agent / elasticsearch.audit —
+    * one beats-field shape (ref: log_tanium.conf, log_rundeck.conf,
+    * log_hadoop.conf, log_elasticsearch.conf); the envelope is delivered by
+    * the json input codec. Mirrored quirks: tanium/rundeck `update` message
+    * to the LITERAL string "[event][original]" (no sprintf), hadoop uses
+    * the sprintf form whose ref is absent (the %{...} literal survives 94's
+    * bracketless scrub), and hadoop RENAMES beat.hostname into
+    * log.source.hostname first, so its later host.hostname rename no-ops. */
+  def beatsAgent(module: String, dataset: String, mode: Int)
+                (ev: Event, ctx: ParseCtx): ParseOutcome = {
+    // mode 0 = tanium/rundeck, 1 = hadoop, 2 = elasticsearch.audit
+    val hadoopUser = mode == 1
+    ev.set("[event][module]", module)
+    ev.set("[event][dataset]", dataset)
+    if (mode == 1) ev.rename("[beat][hostname]", "[log][source][hostname]")
+    else ev.copyField("[beat][hostname]", "[log][source][hostname]")
+    if (mode == 0 && ev.has("message")) ev.set("message", "[event][original]")
+    if (mode == 1 && ev.has("message")) Mutate.replace(ev, "message", "%{[event][original]}")
+    ev.rename("@timestamp", "[event][created]")
+    ev.rename("[input][type]", "[file][type]")
+    ev.rename("program", "[event][kind]")
+    ev.rename("source", "[file][path]")
+    ev.rename("destination", "[file][target_path]")
+    ev.rename("severity", "[event][severity_name]")
+    ev.rename("[beat][name]", "[agent][name]")
+    ev.rename("[beat][hostname]", "[host][hostname]")
+    ev.rename("[beat][version]", "[agent][version]")
+    ev.rename("service", "[service][name]")
+    ev.rename("thread", "[process][thread][id]")
+    ev.rename("role", "[user][roles]")
+    ev.rename("[fields][environment]", "[group][name]")
+    if (hadoopUser) ev.rename("[user]", "[user][name]")
+    if (Dates(ev, "[event][created]", Seq("ISO8601"), "[event][created_ms]",
+      timezone = "UTC", tagOnFailure = Seq("_dateparsefailure_ec")))
+      ev.remove("[event][created]")
+    Seq("beat", "input", "topic_name", "offset", "@version", "fields",
+      "prospector", "level").foreach(ev.remove(_))
+    if (mode != 2) ev.remove("[event][original]") // es keeps it in its list
+    Parsed(Seq(ev))
+  }
+
   // ------------------------------------------- header-only syslog techs
   /** The header+syslog_pri-only processors (ref:
     * syslog_security_cisco.meraki.wap.conf, syslog_audit_meraki.router.conf,
