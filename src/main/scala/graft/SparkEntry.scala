@@ -461,6 +461,23 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // syncplicity admin (column-less csv → nothing visible) + user 32-col
+    // csv + security scorecard JSON, one mixed frame
+    "qsy01_syncplicity" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.syInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("technology"), col("event_module"), col("event_dataset"),
+        col("log_source_hostname"), col("route_index"), col("cloud_provider"),
+        col("event_created_ms"), col("file_directory"), col("event_id_s"),
+        col("source_user_email"), col("file_path"), col("file_type"),
+        col("file_name"), col("event_action"), col("rule_category"),
+        col("rule_ruleset"), col("event_start_ms"), col("user_full_name"),
+        col("user_email"), col("host_hostname"), col("host_name"),
+        col("source_ip"), col("rule_name"), col("destination_user_email"),
+        col("event_duration"), col("event_end_ms"), col("client_domain"),
+        col("event_severity"), col("event_outcome"), col("event_sequence"),
+        col("event_provider"), col("event_kind"))),
+
     // four beats-envelope agents in one frame (tanium/rundeck/hadoop/es)
     "qba01_beats" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.baInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -1658,6 +1675,50 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    "qsy01_syncplicity" ->
+      s"""WITH ${Transcripts.syCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.bsel WHEN 2 THEN 'rule 1' ELSE 'not parsed' END AS parse_rule,
+  CASE b.bsel WHEN 0 THEN 'syncplicity.admin_logs' WHEN 1 THEN 'syncplicity.user_logs'
+    ELSE 'security_scorecard.company_scores' END AS technology,
+  CASE b.bsel WHEN 2 THEN 'security_scorecard' ELSE 'syncplicity' END AS event_module,
+  CASE b.bsel WHEN 0 THEN 'syncplicity.admin_logs' WHEN 1 THEN 'syncplicity.user_logs'
+    ELSE 'security_scorecard.company_scores' END AS event_dataset,
+  CASE b.bsel WHEN 0 THEN 'api_syncplicity_adm_log' WHEN 1 THEN 'api_syncplicity'
+    ELSE 'scorecard_events_company_scores' END AS log_source_hostname,
+  'logs-' || (CASE b.bsel WHEN 0 THEN 'syncplicity.admin_logs'
+    WHEN 1 THEN 'syncplicity.user_logs'
+    ELSE 'security_scorecard.company_scores' END) || '_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.bsel = 2 THEN NULL ELSE 'syncplicity' END AS cloud_provider,
+  epoch_ms(t.ts) AS event_created_ms,
+  CASE b.bsel WHEN 1 THEN '/dir' || b.eid_s ELSE NULL END AS file_directory,
+  CASE b.bsel WHEN 1 THEN 'ev' || b.eid_s ELSE NULL END AS event_id_s,
+  CASE b.bsel WHEN 1 THEN 'su' || b.eid_s || '@x.example' ELSE NULL END AS source_user_email,
+  CASE b.bsel WHEN 1 THEN '/files/f' || b.eid_s || '.docx' ELSE NULL END AS file_path,
+  CASE b.bsel WHEN 1 THEN 'docx' ELSE NULL END AS file_type,
+  CASE b.bsel WHEN 1 THEN 'f' || b.eid_s || '.docx' ELSE NULL END AS file_name,
+  CASE b.bsel WHEN 1 THEN 'added' ELSE NULL END AS event_action,
+  CASE b.bsel WHEN 1 THEN 'files' WHEN 2 THEN 'large' ELSE NULL END AS rule_category,
+  CASE b.bsel WHEN 1 THEN 'useraction' ELSE NULL END AS rule_ruleset,
+  CASE b.bsel WHEN 1 THEN epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND))
+    ELSE NULL END AS event_start_ms,
+  CASE b.bsel WHEN 1 THEN 'Full Name' || b.eid_s ELSE NULL END AS user_full_name,
+  CASE b.bsel WHEN 1 THEN 'u' || b.eid_s || '@x.example' ELSE NULL END AS user_email,
+  CASE b.bsel WHEN 1 THEN 'syhost' || b.eid_s ELSE NULL END AS host_hostname,
+  CASE b.bsel WHEN 1 THEN 'syhost' || b.eid_s ELSE NULL END AS host_name,
+  CASE b.bsel WHEN 1 THEN b.sip ELSE NULL END AS source_ip,
+  CASE b.bsel WHEN 1 THEN 'syncrule' ELSE NULL END AS rule_name,
+  CASE b.bsel WHEN 1 THEN 'du' || b.eid_s || '@x.example' ELSE NULL END AS destination_user_email,
+  CASE b.bsel WHEN 1 THEN '77' ELSE NULL END AS event_duration,
+  CAST(NULL AS BIGINT) AS event_end_ms, -- user_logs' end column is undated
+  CASE b.bsel WHEN 2 THEN 'corp' || b.eid_s || '.example' ELSE NULL END AS client_domain,
+  CASE b.bsel WHEN 2 THEN CAST(50 + (b.event_id % 50) AS BIGINT) ELSE NULL END AS event_severity,
+  CASE b.bsel WHEN 2 THEN 'b' ELSE NULL END AS event_outcome,
+  CASE b.bsel WHEN 2 THEN '-2' ELSE NULL END AS event_sequence,
+  CASE b.bsel WHEN 2 THEN 'technology' ELSE NULL END AS event_provider,
+  CASE b.bsel WHEN 2 THEN 'scorecard' ELSE NULL END AS event_kind
+FROM sy_turns t JOIN sy_base b USING (event_id)""",
 
     // tanium/rundeck replace message with the LITERAL "[event][original]";
     // hadoop's sprintf form survives as the %{...} literal (94's bracketless

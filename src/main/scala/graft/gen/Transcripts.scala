@@ -2357,6 +2357,43 @@ pod_turns AS (
     spark.sql(s"WITH $podCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pod_turns")
   }
 
+  /** syncplicity (admin/user csv) + security scorecard corpus. */
+  val syCte: String = s"""
+sy_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 3) AS bsel,
+    ${spSecOf("(ts + INTERVAL 67 SECOND)")} AS d1,
+    ${spSecOf("(ts + INTERVAL 131 SECOND)")} AS d2,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 157) = 11
+),
+sy_turns AS (
+  SELECT 'sy2_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE bsel
+      WHEN 0 THEN 'admincol1,admincol2 ' || eid_s || ',admincol3'
+      WHEN 1 THEN '/dir' || eid_s || ',ev' || eid_s || ',su' || eid_s || ',su' || eid_s
+        || '@x.example,grp1,/files/f' || eid_s || '.docx,docx,f' || eid_s
+        || '.docx,Added,Files,UserAction,x,' || d1 || ',Full Name' || eid_s
+        || ',u' || eid_s || '@x.example,syhost' || eid_s || ',' || sip
+        || ',x,cu' || eid_s || '@x.example,x,x,x,x,SyncRule,fg,du' || eid_s
+        || ',du' || eid_s || '@x.example,x,x,x,77,' || d2
+      ELSE '{"domain":"corp' || eid_s || '.example","name":"Corp ' || eid_s
+        || '","score":' || CAST(50 + (event_id % 50) AS STRING)
+        || ',"grade":"B","last30days_score_change":-2,"industry":"Technology","size":"large","event.dataset":"scorecard"}'
+    END AS text,
+    CASE bsel WHEN 0 THEN 'syncplicity.admin_logs' WHEN 1 THEN 'syncplicity.user_logs'
+      ELSE 'security_scorecard.company_scores' END AS tool, ts, event_id
+  FROM sy_base
+)"""
+
+  def syInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $syCte SELECT conv_id, turn_idx, role, text, tool, ts FROM sy_turns")
+  }
+
   /** Shared beats-envelope corpus for the four agent technologies. */
   val baCte: String = s"""
 ba_base AS (

@@ -103,6 +103,12 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "syncplicity.admin_logs" -> TechnologyConfig("syncplicity.admin_logs",
+      "logs-syncplicity.admin_logs", Vector("elastic"), Set.empty, "low"),
+    "syncplicity.user_logs" -> TechnologyConfig("syncplicity.user_logs",
+      "logs-syncplicity.user_logs", Vector("elastic"), Set.empty, "low"),
+    "security_scorecard.company_scores" -> TechnologyConfig("security_scorecard.company_scores",
+      "logs-security_scorecard.company_scores", Vector("elastic"), Set.empty, "low"),
     "tanium.agent" -> TechnologyConfig("tanium.agent", "logs-tanium.agent",
       Vector("elastic"), Set.empty, "low", jsonCodec = true),
     "rundeck.agent" -> TechnologyConfig("rundeck.agent", "logs-rundeck.agent",
@@ -471,6 +477,9 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "syncplicity.admin_logs" -> WebSecRules.syncplicityAdmin,
+    "syncplicity.user_logs" -> WebSecRules.syncplicityUser,
+    "security_scorecard.company_scores" -> WebSecRules.scorecard,
     "tanium.agent" -> WebSecRules.beatsAgent("tanium", "tanium.agent", 0) _,
     "rundeck.agent" -> WebSecRules.beatsAgent("rundeck", "rundeck.agent", 0) _,
     "hadoop.agent" -> WebSecRules.beatsAgent("hadoop", "hadoop.agent", 1) _,

@@ -19,6 +19,79 @@ object WebSecRules {
     Parsed(Seq(ev))
   }
 
+  // ------------------------------------------------ syncplicity + scorecard
+  /** ref api_audit_syncplicity.adm_report.conf — its csv has NO columns
+    * list (the remove_field still names long-gone fields), so values land
+    * in the default column1..N slots and nothing visible survives. */
+  def syncplicityAdmin(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[cloud][provider]", "syncplicity")
+    ev.set("[log][source][hostname]", "api_syncplicity_adm_log")
+    ev.set("[event][module]", "syncplicity")
+    ev.set("[event][dataset]", "syncplicity.admin_logs")
+    Csv(ev, "message", Vector.empty, skipEmptyColumns = true)
+    Seq("msg", "drop_user_type", "drop_unknown", "drop_unknown_2",
+      "drop_field_time_field", "drop_unknown_3").foreach(ev.remove(_))
+    if (Dates(ev, "[event][created]",
+      Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm:ss.SSS",
+        "MMM dd HH:mm:ss.SSS", "MMM dd HH:mm:ss"),
+      "[event][created_ms]", timezone = "GMT", locale = "en",
+      defaultYear = ctx.tsYear)) ev.remove("[event][created]")
+    Parsed(Seq(ev))
+  }
+
+  private val syncplicityUserCols = Vector(
+    "[file][directory]", "[event][id]", "[source][user][name]",
+    "[source][user][email]", "[group][name]", "[file][path]", "[file][type]",
+    "[file][name]", "[event][action]", "[rule][category]", "[rule][ruleset]",
+    "drop_field", "[event][start]", "[user][full_name]", "[user][email]",
+    "[host][hostname]", "[source][ip]", "drop_field_2",
+    "[client][user][email]", "drop_field_3", "drop_field_4", "drop_field_5",
+    "drop_field_9", "[rule][name]", "[file][group]",
+    "[destination][user][name]", "[destination][user][email]",
+    "drop_field_6", "drop_field_7", "drop_field_8", "[event][duration]",
+    "[event][end]")
+
+  /** ref api_audit_syncplicity.usr_report.conf — 32-column csv; the
+    * [event][end] column has no date block, so 02's unparsed-date pass
+    * removes it. */
+  def syncplicityUser(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[cloud][provider]", "syncplicity")
+    ev.set("[log][source][hostname]", "api_syncplicity")
+    ev.set("[event][module]", "syncplicity")
+    ev.set("[event][dataset]", "syncplicity.user_logs")
+    Csv(ev, "message", syncplicityUserCols, skipEmptyColumns = true)
+    Mutate.convert(ev, "[event][duration]", "integer")
+    Seq("msg", "drop_field", "drop_field_2", "drop_field_3", "drop_field_4",
+      "drop_field_5", "drop_field_6", "drop_field_7", "drop_field_8",
+      "drop_field_9").foreach(ev.remove(_))
+    if (Dates(ev, "[event][start]",
+      Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm:ss.SSS",
+        "MMM dd HH:mm:ss.SSS", "MMM dd HH:mm:ss", "dd-MM-yyyy HH:mm"),
+      "[event][start_ms]", timezone = "GMT", locale = "en",
+      defaultYear = ctx.tsYear)) ev.remove("[event][start]")
+    if (ev.has("[host][hostname]")) ev.copyField("[host][hostname]", "[host][name]")
+    Parsed(Seq(ev))
+  }
+
+  /** ref api_security_scorecard.affiliate_company_scores.conf. */
+  def scorecard(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "security_scorecard")
+    ev.set("[event][dataset]", "security_scorecard.company_scores")
+    ev.set("[log][source][hostname]", "scorecard_events_company_scores")
+    if (!JsonOps.parse(ev, "message", "ss")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.rename("[ss][domain]", "[client][domain]")
+    ev.rename("[ss][name]", "[client][as][organization][name]")
+    ev.rename("[ss][score]", "[event][severity]")
+    ev.rename("[ss][grade]", "[event][outcome]")
+    ev.rename("[ss][last30days_score_change]", "[event][sequence]")
+    ev.rename("[ss][industry]", "[event][provider]")
+    ev.rename("[ss][size]", "[rule][category]")
+    ev.rename("[ss][event.dataset]", "[event][kind]")
+    ev.remove("ss")
+    Parsed(Seq(ev))
+  }
+
   // -------------------------------------------------- beats-agent techs
   /** tanium.agent / rundeck.agent / hadoop.agent / elasticsearch.audit —
     * one beats-field shape (ref: log_tanium.conf, log_rundeck.conf,

@@ -63,7 +63,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("apache", Transcripts.apInput), ("o365dlp", Transcripts.dlpInput),
       ("msgtrkg", Transcripts.mtInput), ("azurefw", Transcripts.fwInput),
       ("pod", Transcripts.podInput), ("zeek", Transcripts.zkInput),
-      ("hxsmall", Transcripts.hxInput), ("beats", Transcripts.baInput))
+      ("hxsmall", Transcripts.hxInput), ("beats", Transcripts.baInput),
+      ("syncplicity", Transcripts.syInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
