@@ -461,6 +461,20 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // nist known-good hash feed (hashes surface via related.hash), sysdig
+    // scan, kafka.error (beats mode)
+    "qnk01_nist" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.nkInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("technology"), col("event_module"), col("event_dataset"),
+        col("log_source_hostname"), col("route_index"), col("event_created_ms"),
+        col("file_name"), col("file_size"),
+        array_join(array_sort(col("related_hash")), ",").as("related_hash_s"),
+        col("user_email"), col("url_full"), col("host_hostname"),
+        col("agent_name"), col("event_kind"), col("file_path"),
+        col("file_type"), col("event_severity_name"), col("service_name"),
+        col("user_roles"))),
+
     // syncplicity admin (column-less csv → nothing visible) + user 32-col
     // csv + security scorecard JSON, one mixed frame
     "qsy01_syncplicity" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.syInput(s, dir)).toDF()
@@ -1675,6 +1689,45 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    "qnk01_nist" ->
+      s"""WITH ${Transcripts.nkCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.bsel WHEN 2 THEN 'not parsed' ELSE 'rule 1' END AS parse_rule,
+  CASE b.bsel WHEN 0 THEN 'known_good_file_hash.nist' WHEN 1 THEN 'sysdig.scan.api'
+    ELSE 'kafka.error' END AS technology,
+  CASE b.bsel WHEN 0 THEN 'known_good_file_hash' WHEN 1 THEN 'sysdig'
+    ELSE 'kafka' END AS event_module,
+  CASE b.bsel WHEN 0 THEN 'known_good_file_hash.nist' WHEN 1 THEN 'sysdig.scan.api'
+    ELSE 'kafka.error' END AS event_dataset,
+  CASE b.bsel WHEN 0 THEN 'api_sqlite_hash.nist' WHEN 1 THEN 'vuln_sysdig_scanning'
+    ELSE 'kb' || CAST(b.user_id % 9 AS STRING) END AS log_source_hostname,
+  'logs-' || (CASE b.bsel WHEN 0 THEN 'known_good_file_hash.nist'
+    WHEN 1 THEN 'sysdig.scan.api' ELSE 'kafka.error' END)
+    || '_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE b.bsel WHEN 0 THEN epoch_ms(t.ts)
+    WHEN 1 THEN epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND))
+    ELSE epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) END AS event_created_ms,
+  CASE b.bsel WHEN 0 THEN 'good' || b.eid_s || '.dll'
+    WHEN 1 THEN 'repo/img' || b.eid_s || ':1.0' ELSE NULL END AS file_name,
+  CASE b.bsel WHEN 0 THEN CAST(1000 + (b.event_id % 900000) AS BIGINT)
+    ELSE NULL END AS file_size,
+  CASE b.bsel WHEN 0 THEN array_to_string(list_sort([
+      md5('m' || b.eid_s),
+      md5('a' || b.eid_s) || substr(md5('b' || b.eid_s), 1, 8),
+      md5(b.eid_s) || md5('s' || b.eid_s)]), ',')
+    ELSE '' END AS related_hash_s,
+  CASE b.bsel WHEN 1 THEN 'dev' || b.eid_s || '@corp.example' ELSE NULL END AS user_email,
+  CASE b.bsel WHEN 1 THEN 'img' || b.eid_s || '.corp.example' ELSE NULL END AS url_full,
+  CASE b.bsel WHEN 2 THEN 'kb' || CAST(b.user_id % 9 AS STRING) ELSE NULL END AS host_hostname,
+  CASE b.bsel WHEN 2 THEN 'kbn' || b.eid_s ELSE NULL END AS agent_name,
+  CASE b.bsel WHEN 2 THEN 'kafka' ELSE NULL END AS event_kind,
+  CASE b.bsel WHEN 2 THEN '/var/log/server.log' ELSE NULL END AS file_path,
+  CASE b.bsel WHEN 2 THEN 'log' ELSE NULL END AS file_type,
+  CASE b.bsel WHEN 2 THEN 'error' ELSE NULL END AS event_severity_name,
+  CASE b.bsel WHEN 2 THEN 'broker' ELSE NULL END AS service_name,
+  CASE b.bsel WHEN 2 THEN 'ops' ELSE NULL END AS user_roles
+FROM nk_turns t JOIN nk_base b USING (event_id)""",
 
     "qsy01_syncplicity" ->
       s"""WITH ${Transcripts.syCte}

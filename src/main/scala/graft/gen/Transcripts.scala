@@ -2357,6 +2357,49 @@ pod_turns AS (
     spark.sql(s"WITH $podCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pod_turns")
   }
 
+  /** nist known-good hashes + sysdig scan + kafka.error corpus. */
+  val nkCte: String = s"""
+nk_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 3) AS bsel,
+    ${spSecOf("(ts + INTERVAL 67 SECOND)")} AS d1,
+    ${isoMsOf("ts")} AS iso0
+  FROM events WHERE (event_id % 163) = 29
+),
+nk_turns AS (
+  SELECT 'nk_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE bsel
+      WHEN 0 THEN '{"sha256":"' || md5(eid_s) || md5('s' || eid_s)
+        || '","sha1":"' || md5('a' || eid_s) || substr(md5('b' || eid_s), 1, 8)
+        || '","md5":"' || md5('m' || eid_s) || '","crc32":"cc' || eid_s
+        || '","file_name":"good' || eid_s || '.dll","file_size":'
+        || CAST(1000 + (event_id % 900000) AS STRING)
+        || ',"package_id":"pkg' || CAST(event_id % 500 AS STRING) || '"}'
+      WHEN 1 THEN '{"application_name":"app' || eid_s
+        || '","team":"teamx","environment":"prod","cloud_platform_external":"no","image":"repo/img'
+        || eid_s || ':1.0","github_repository":"org/repo' || eid_s
+        || '","build_author":"dev' || eid_s || '@corp.example","build_date":"' || d1
+        || ' +0000 UTC","team_distribution_list":"dl@corp.example","team_escalation_contact":"esc@corp.example","vuln_id":"CVE-2024-'
+        || CAST(event_id % 9000 AS STRING)
+        || '","vuln_severity":"High","vuln_exception":"none","dns_records":"img' || eid_s
+        || '.corp.example","build_link":"http://ci/x"}'
+      ELSE '{"message":"kafka broker error ' || eid_s || '","@timestamp":"' || iso0
+        || '","beat":{"hostname":"kb' || CAST(user_id % 9 AS STRING)
+        || '","name":"kbn' || eid_s
+        || '","version":"7.1"},"input":{"type":"log"},"program":"kafka","source":"/var/log/server.log","severity":"ERROR","service":"broker","thread":9,"role":"Ops","fields":{"environment":"prod"}}'
+    END AS text,
+    CASE bsel WHEN 0 THEN 'known_good_file_hash.nist' WHEN 1 THEN 'sysdig.scan.api'
+      ELSE 'kafka.error' END AS tool, ts, event_id
+  FROM nk_base
+)"""
+
+  def nkInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $nkCte SELECT conv_id, turn_idx, role, text, tool, ts FROM nk_turns")
+  }
+
   /** syncplicity (admin/user csv) + security scorecard corpus. */
   val syCte: String = s"""
 sy_base AS (

@@ -103,6 +103,12 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "known_good_file_hash.nist" -> TechnologyConfig("known_good_file_hash.nist",
+      "logs-known_good_file_hash.nist", Vector("elastic"), Set.empty, "low"),
+    "sysdig.scan.api" -> TechnologyConfig("sysdig.scan.api",
+      "logs-sysdig.scan.api", Vector("elastic"), Set.empty, "low"),
+    "kafka.error" -> TechnologyConfig("kafka.error", "logs-kafka.error",
+      Vector("elastic"), Set.empty, "low", jsonCodec = true),
     "syncplicity.admin_logs" -> TechnologyConfig("syncplicity.admin_logs",
       "logs-syncplicity.admin_logs", Vector("elastic"), Set.empty, "low"),
     "syncplicity.user_logs" -> TechnologyConfig("syncplicity.user_logs",
@@ -477,6 +483,9 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "known_good_file_hash.nist" -> WebSecRules.nistHash,
+    "sysdig.scan.api" -> WebSecRules.sysdigScan,
+    "kafka.error" -> WebSecRules.beatsAgent("kafka", "kafka.error", 3) _,
     "syncplicity.admin_logs" -> WebSecRules.syncplicityAdmin,
     "syncplicity.user_logs" -> WebSecRules.syncplicityUser,
     "security_scorecard.company_scores" -> WebSecRules.scorecard,

@@ -19,6 +19,54 @@ object WebSecRules {
     Parsed(Seq(ev))
   }
 
+  // ---------------------------------------------- nist hashes + sysdig
+  /** ref api_sqlite_known_good_hash_nist.conf — the known-good hash feed;
+    * the three hash renames feed 14_related_hash downstream. */
+  def nistHash(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "known_good_file_hash")
+    ev.set("[event][dataset]", "known_good_file_hash.nist")
+    ev.set("[log][source][hostname]", "api_sqlite_hash.nist")
+    if (!JsonOps.parse(ev, "message", "tmp")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.rename("[tmp][sha256]", "[file][hash][sha256]")
+    ev.rename("[tmp][sha1]", "[file][hash][sha1]")
+    ev.rename("[tmp][md5]", "[file][hash][md5]")
+    ev.rename("[tmp][crc32]", "[file][gid]")
+    ev.rename("[tmp][file_name]", "[file][name]")
+    ev.rename("[tmp][file_size]", "[file][size]")
+    ev.rename("[tmp][package_id]", "[file][uid]")
+    ev.remove("tmp")
+    Parsed(Seq(ev))
+  }
+
+  /** ref vuln_sysdig_scanning.conf. */
+  def sysdigScan(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    if (!JsonOps.parse(ev, "message", "tmp")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.set("[event][module]", "sysdig")
+    ev.set("[event][dataset]", "sysdig.scan.api")
+    ev.set("[log][source][hostname]", "vuln_sysdig_scanning")
+    ev.rename("[tmp][application_name]", "[network][application]")
+    ev.rename("[tmp][team]", "[team][name]")
+    ev.rename("[tmp][environment]", "[tags]") // root 'tags' field, not engine tags
+    ev.rename("[tmp][cloud_platform_external]", "[network][dmz]")
+    ev.rename("[tmp][image]", "[file][name]")
+    ev.rename("[tmp][github_repository]", "[repository][name]")
+    ev.rename("[tmp][build_author]", "[user][email]")
+    ev.rename("[tmp][build_date]", "[event][created]")
+    ev.rename("[tmp][team_distribution_list]", "[team][email]")
+    ev.rename("[tmp][team_escalation_contact]", "[escalation][contact]")
+    ev.rename("[tmp][vuln_id]", "[vulnerability][id]")
+    ev.rename("[tmp][vuln_severity]", "[vulnerability][severity]")
+    ev.rename("[tmp][vuln_exception]", "[vulnerability][exception]")
+    ev.rename("[tmp][dns_records]", "[url][full]")
+    ev.remove("[tmp][build_link]")
+    if (Dates(ev, "[event][created]", Seq("yyyy-MM-dd HH:mm:ss Z 'UTC'"),
+      "[event][created_ms]", timezone = "UTC", locale = "en",
+      tagOnFailure = Seq("_dateparsefailure_ec"))) ev.remove("[event][created]")
+    Parsed(Seq(ev))
+  }
+
   // ------------------------------------------------ syncplicity + scorecard
   /** ref api_audit_syncplicity.adm_report.conf — its csv has NO columns
     * list (the remove_field still names long-gone fields), so values land
@@ -103,14 +151,16 @@ object WebSecRules {
     * log.source.hostname first, so its later host.hostname rename no-ops. */
   def beatsAgent(module: String, dataset: String, mode: Int)
                 (ev: Event, ctx: ParseCtx): ParseOutcome = {
-    // mode 0 = tanium/rundeck, 1 = hadoop, 2 = elasticsearch.audit
+    // mode 0 = tanium/rundeck, 1 = hadoop, 2 = elasticsearch.audit,
+    // 3 = kafka.error (copy hostname + sprintf update, ref kafka_error.conf)
     val hadoopUser = mode == 1
     ev.set("[event][module]", module)
     ev.set("[event][dataset]", dataset)
     if (mode == 1) ev.rename("[beat][hostname]", "[log][source][hostname]")
     else ev.copyField("[beat][hostname]", "[log][source][hostname]")
     if (mode == 0 && ev.has("message")) ev.set("message", "[event][original]")
-    if (mode == 1 && ev.has("message")) Mutate.replace(ev, "message", "%{[event][original]}")
+    if ((mode == 1 || mode == 3) && ev.has("message"))
+      Mutate.replace(ev, "message", "%{[event][original]}")
     ev.rename("@timestamp", "[event][created]")
     ev.rename("[input][type]", "[file][type]")
     ev.rename("program", "[event][kind]")
@@ -128,8 +178,12 @@ object WebSecRules {
     if (Dates(ev, "[event][created]", Seq("ISO8601"), "[event][created_ms]",
       timezone = "UTC", tagOnFailure = Seq("_dateparsefailure_ec")))
       ev.remove("[event][created]")
-    Seq("beat", "input", "topic_name", "offset", "@version", "fields",
-      "prospector", "level").foreach(ev.remove(_))
+    if (mode == 3)
+      Seq("program", "topic_name", "hadoop_hdfs_audit", "input", "destination",
+        "fields").foreach(ev.remove(_))
+    else
+      Seq("beat", "input", "topic_name", "offset", "@version", "fields",
+        "prospector", "level").foreach(ev.remove(_))
     if (mode != 2) ev.remove("[event][original]") // es keeps it in its list
     Parsed(Seq(ev))
   }
