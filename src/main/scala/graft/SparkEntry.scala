@@ -461,6 +461,24 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // ghe (no single-digit-day date form → created default on days 1-9),
+    // oci.audit (post-rename hostname sprintf), aws.cloudflare (malformed
+    // Action target read as the [event][action] typo, UNIX_MS date)
+    "qgo01_gheoci" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.goInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("technology"), col("event_module"), col("event_dataset"),
+        col("log_source_hostname"), col("route_index"), col("event_created_ms"),
+        col("client_port"), col("http_request_bytes"), col("url_query"),
+        col("http_version"), col("client_ip"),
+        col("http_response_status_code"), col("http_request_method"),
+        col("service_name"), col("process_pid"), col("rule_description"),
+        col("cloud_provider"), col("event_category"), col("event_type"),
+        col("event_id_s"), col("event_start_ms"), col("source_ip"),
+        col("user_name"), col("user_agent_original"), col("url_path"),
+        col("event_action"), col("event_code"), col("url_domain"),
+        col("http_response_bytes"), col("rule_id"))),
+
     // nist known-good hash feed (hashes surface via related.hash), sysdig
     // scan, kafka.error (beats mode)
     "qnk01_nist" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.nkInput(s, dir)).toDF()
@@ -1689,6 +1707,53 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    "qgo01_gheoci" ->
+      s"""WITH ${Transcripts.goCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule,
+  CASE b.bsel WHEN 0 THEN 'github.ghe' WHEN 1 THEN 'oci.audit'
+    ELSE 'aws.cloudflare' END AS technology,
+  CASE b.bsel WHEN 0 THEN 'github' WHEN 1 THEN 'oci' ELSE 'aws' END AS event_module,
+  CASE b.bsel WHEN 0 THEN 'github.audit' WHEN 1 THEN 'oci.audit'
+    ELSE 'aws.cloudflare' END AS event_dataset,
+  CASE b.bsel WHEN 0 THEN 'ghe' || CAST(b.user_id % 9 AS STRING)
+    WHEN 1 THEN 'ocid1.res.' || b.eid_s ELSE 'api_aws_cloudflare' END AS log_source_hostname,
+  'logs-' || (CASE b.bsel WHEN 0 THEN 'github.ghe' WHEN 1 THEN 'oci.audit'
+    ELSE 'aws.cloudflare' END) || '_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE b.bsel
+    WHEN 0 THEN (CASE WHEN EXTRACT(DAY FROM t.ts) >= 10
+      THEN epoch_ms(date_trunc('second', t.ts)) ELSE epoch_ms(t.ts) END)
+    WHEN 1 THEN epoch_ms(t.ts)
+    ELSE CAST(1700000000 + b.event_id AS BIGINT) * 1000 END AS event_created_ms,
+  CASE b.bsel WHEN 0 THEN CAST(443 AS BIGINT) ELSE NULL END AS client_port,
+  CASE b.bsel WHEN 0 THEN CAST(512 AS BIGINT) ELSE NULL END AS http_request_bytes,
+  CASE b.bsel WHEN 0 THEN 'q=1' ELSE NULL END AS url_query,
+  CASE b.bsel WHEN 0 THEN '1.1' ELSE NULL END AS http_version,
+  CASE WHEN b.bsel IN (0, 2) THEN b.cip ELSE NULL END AS client_ip,
+  CASE b.bsel WHEN 0 THEN CAST(200 AS BIGINT) WHEN 1 THEN CAST(200 AS BIGINT)
+    ELSE CAST(403 AS BIGINT) END AS http_response_status_code,
+  CASE b.bsel WHEN 0 THEN 'get' WHEN 1 THEN 'post' ELSE 'get' END AS http_request_method,
+  CASE b.bsel WHEN 0 THEN 'ghe-auth' ELSE NULL END AS service_name,
+  CASE b.bsel WHEN 0 THEN CAST(77 AS BIGINT) ELSE NULL END AS process_pid,
+  CASE b.bsel WHEN 0 THEN 'ghe msg ' || b.eid_s ELSE NULL END AS rule_description,
+  CASE b.bsel WHEN 1 THEN 'oci' ELSE NULL END AS cloud_provider,
+  CASE b.bsel WHEN 1 THEN 'createbucket' ELSE NULL END AS event_category,
+  CASE b.bsel WHEN 1 THEN 'com.oraclecloud.objectstorage' ELSE NULL END AS event_type,
+  CASE b.bsel WHEN 1 THEN 'oid' || b.eid_s ELSE NULL END AS event_id_s,
+  CASE b.bsel WHEN 1 THEN epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) + (b.event_id % 1000)
+    ELSE NULL END AS event_start_ms,
+  CASE b.bsel WHEN 1 THEN b.cip ELSE NULL END AS source_ip,
+  CASE b.bsel WHEN 1 THEN 'ouser' || b.eid_s ELSE NULL END AS user_name,
+  CASE b.bsel WHEN 1 THEN 'oci-sdk/2.0' ELSE NULL END AS user_agent_original,
+  CASE b.bsel WHEN 1 THEN '/b/bucket' || b.eid_s WHEN 2 THEN '/p' || b.eid_s
+    ELSE NULL END AS url_path,
+  CASE b.bsel WHEN 2 THEN 'allow' ELSE NULL END AS event_action,
+  CASE b.bsel WHEN 2 THEN '/p' || b.eid_s ELSE NULL END AS event_code,
+  CASE b.bsel WHEN 2 THEN 'site.example.com' ELSE NULL END AS url_domain,
+  CASE b.bsel WHEN 2 THEN CAST(2048 AS BIGINT) ELSE NULL END AS http_response_bytes,
+  CASE b.bsel WHEN 2 THEN 'ray' || b.eid_s ELSE NULL END AS rule_id
+FROM go_turns t JOIN go_base b USING (event_id)""",
 
     "qnk01_nist" ->
       s"""WITH ${Transcripts.nkCte}

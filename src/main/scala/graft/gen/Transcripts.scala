@@ -2357,6 +2357,50 @@ pod_turns AS (
     spark.sql(s"WITH $podCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pod_turns")
   }
 
+  /** github-ghe + oci.audit + aws.cloudflare corpus. */
+  val goCte: String = s"""
+go_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 3) AS bsel,
+    $monCase AS mon,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dday,
+    ${hmsOf("ts")} AS t1,
+    ${isoMsOf("(ts + INTERVAL 67 SECOND)")} AS iso1,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS cip
+  FROM events WHERE (event_id % 167) = 90
+),
+go_turns AS (
+  SELECT 'go_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE bsel
+      WHEN 0 THEN '{"client_port":443,"bytes_read":512,"http_request":"q=1","http_version":"1.1","client_ip":"'
+        || cip || '","http_status_code":200,"http_verb":"GET","ident":"ghe-auth","timestamp":"'
+        || mon || ' ' || dday || ' ' || t1 || '","host":"ghe' || CAST(user_id % 9 AS STRING)
+        || '","pid":77,"message":"ghe msg ' || eid_s || '"}'
+      WHEN 1 THEN '{"data":{"resourceId":"ocid1.res.' || eid_s
+        || '","eventName":"CreateBucket","type":"com.oraclecloud.objectstorage","id":"oid' || eid_s
+        || '","time":"' || iso1 || '","identity":{"ipAddress":"' || cip
+        || '","principalName":"ouser' || eid_s
+        || '","userAgent":"oci-sdk/2.0"},"request":{"action":"POST","id":"req' || eid_s
+        || '","path":"/b/bucket' || eid_s
+        || '"},"response":{"message":"ok","status":"200"}}}'
+      ELSE '{"Action":"allow","ClientRequestPath":"/p' || eid_s
+        || '","ClientRequestHost":"site.example.com","EdgeResponseBytes":2048,"ClientRequestMethod":"GET","EdgeResponseStatus":403,"ClientRequestQuery":"x=1","ClientIP":"'
+        || cip || '","ClientRequestURI":"/p' || eid_s || '","RayID":"ray' || eid_s
+        || '","DateTime":' || CAST(1700000000 + event_id AS STRING) || '000}'
+    END AS text,
+    CASE bsel WHEN 0 THEN 'github.ghe' WHEN 1 THEN 'oci.audit'
+      ELSE 'aws.cloudflare' END AS tool, ts, event_id
+  FROM go_base
+)"""
+
+  def goInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $goCte SELECT conv_id, turn_idx, role, text, tool, ts FROM go_turns")
+  }
+
   /** nist known-good hashes + sysdig scan + kafka.error corpus. */
   val nkCte: String = s"""
 nk_base AS (

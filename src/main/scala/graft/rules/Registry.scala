@@ -103,6 +103,12 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "github.ghe" -> TechnologyConfig("github.ghe", "logs-github.ghe",
+      Vector("elastic"), Set.empty, "low"),
+    "oci.audit" -> TechnologyConfig("oci.audit", "logs-oci.audit",
+      Vector("elastic"), Set.empty, "medium"),
+    "aws.cloudflare" -> TechnologyConfig("aws.cloudflare", "logs-aws.cloudflare",
+      Vector("elastic"), Set.empty, "high"),
     "known_good_file_hash.nist" -> TechnologyConfig("known_good_file_hash.nist",
       "logs-known_good_file_hash.nist", Vector("elastic"), Set.empty, "low"),
     "sysdig.scan.api" -> TechnologyConfig("sysdig.scan.api",
@@ -483,6 +489,9 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "github.ghe" -> WebSecRules.awsGhe,
+    "oci.audit" -> WebSecRules.ociAudit,
+    "aws.cloudflare" -> WebSecRules.awsCloudflare,
     "known_good_file_hash.nist" -> WebSecRules.nistHash,
     "sysdig.scan.api" -> WebSecRules.sysdigScan,
     "kafka.error" -> WebSecRules.beatsAgent("kafka", "kafka.error", 3) _,

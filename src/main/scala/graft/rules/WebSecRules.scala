@@ -19,6 +19,95 @@ object WebSecRules {
     Parsed(Seq(ev))
   }
 
+  // ------------------------------------------- ghe / oci / cloudflare
+  /** ref api_audit_aws.ghe.conf. Its date formats are "MMM dd HH:mm:ss"
+    * and "MMM  dd HH:mm:ss" — NO single-digit-day form, so days 1-9 fail
+    * both, get the failure tag, and created falls to the 03 default. */
+  def awsGhe(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    if (!JsonOps.parse(ev, "message", "tmp")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.set("[event][module]", "github")
+    ev.set("[event][dataset]", "github.audit")
+    ev.rename("[tmp][client_port]", "[client][port]")
+    ev.rename("[tmp][bytes_read]", "[http][request][bytes]")
+    ev.rename("[tmp][http_request]", "[url][query]")
+    ev.rename("[tmp][http_version]", "[http][version]")
+    ev.rename("[tmp][client_ip]", "[client][ip]")
+    ev.rename("[tmp][http_status_code]", "[http][response][status_code]")
+    ev.rename("[tmp][http_verb]", "[http][request][method]")
+    ev.rename("[tmp][ident]", "[service][name]")
+    ev.rename("[tmp][timestamp]", "[event][created]")
+    ev.rename("[tmp][host]", "[log][source][hostname]")
+    ev.rename("[tmp][pid]", "[process][pid]")
+    ev.rename("[tmp][message]", "[rule][description]")
+    ev.remove("tmp")
+    if (ev.has("[event][created]")) {
+      if (!Dates(ev, "[event][created]", Seq("MMM dd HH:mm:ss", "MMM  dd HH:mm:ss"),
+        "[event][created_ms]", timezone = "UTC", locale = "en",
+        tagOnFailure = Seq("_dateparsefailure_ec"), defaultYear = ctx.tsYear)
+        && ev.hasTag("_dateparsefailure_ec")) ()
+      ev.remove("[event][created]")
+    }
+    Parsed(Seq(ev))
+  }
+
+  /** ref api_audit_oci.audit.conf — the hostname add_field sprintf runs
+    * AFTER the renames inside its mutate block (Logstash decorate order),
+    * and resourceId is never renamed, so it resolves. */
+  def ociAudit(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    if (!JsonOps.parse(ev, "message", "aud")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.set("[cloud][provider]", "oci")
+    ev.set("[event][module]", "oci")
+    ev.set("[event][dataset]", "oci.audit")
+    ev.rename("[aud][data][eventName]", "[event][category]")
+    ev.rename("[aud][data][type]", "[event][type]")
+    ev.rename("[aud][data][id]", "[event][id]")
+    ev.rename("[aud][data][time]", "[event][start]")
+    ev.rename("[aud][data][identity][ipAddress]", "[source][ip]")
+    ev.rename("[aud][data][identity][principalName]", "[user][name]")
+    ev.rename("[aud][data][identity][userAgent]", "[user_agent][original]")
+    ev.rename("[aud][data][request][action]", "[http][request][method]")
+    ev.rename("[aud][data][request][id]", "[http][request][id]")
+    ev.rename("[aud][data][request][path]", "[url][path]")
+    ev.rename("[aud][data][response][message]", "[http][response][body][content]")
+    ev.rename("[aud][data][response][status]", "[http][response][status_code]")
+    Mutate.addField(ev, "[log][source][hostname]", "%{[aud][data][resourceId]}")
+    if (Dates(ev, "[event][start]", Seq("ISO8601"), "[event][start_ms]",
+      timezone = "GMT", tagOnFailure = Seq("_dateparsefailure_es")))
+      ev.remove("[event][start]")
+    ev.remove("aud")
+    Parsed(Seq(ev))
+  }
+
+  /** ref api_security_aws.cloudflare.conf — the Action rename target is
+    * the malformed "[event]action]"; interpreted as the [event][action]
+    * typo (the plausible production reading), kept cited. */
+  def awsCloudflare(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "aws")
+    ev.set("[event][dataset]", "aws.cloudflare")
+    ev.set("[log][source][hostname]", "api_aws_cloudflare")
+    if (!JsonOps.parse(ev, "message", "tmp")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.rename("[tmp][Action]", "[event][action]") // conf: "[event]action]"
+    ev.rename("[tmp][ClientRequestPath]", "[event][code]")
+    ev.rename("[tmp][ClientRequestHost]", "[url][domain]")
+    ev.rename("[tmp][EdgeResponseBytes]", "[http][response][bytes]")
+    ev.rename("[tmp][ClientRequestMethod]", "[http][request][method]")
+    ev.rename("[tmp][EdgeResponseStatus]", "[http][response][status_code]")
+    ev.rename("[tmp][ClientRequestQuery]", "[http][request][body][content]")
+    ev.rename("[tmp][ClientIP]", "[client][ip]")
+    ev.rename("[tmp][ClientRequestURI]", "[url][path]")
+    ev.rename("[tmp][RayID]", "[rule][id]")
+    ev.rename("[tmp][DateTime]", "[event][created]")
+    ev.copyField("message", "[event][original]")
+    if (Dates(ev, "[event][created]", Seq("UNIX_MS"), "[event][created_ms]",
+      timezone = "GMT", tagOnFailure = Seq("_dateparsefailure_ec")))
+      ev.remove("[event][created]")
+    ev.remove("tmp")
+    Parsed(Seq(ev))
+  }
+
   // ---------------------------------------------- nist hashes + sysdig
   /** ref api_sqlite_known_good_hash_nist.conf — the known-good hash feed;
     * the three hash renames feed 14_related_hash downstream. */

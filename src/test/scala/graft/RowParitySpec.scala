@@ -64,7 +64,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("msgtrkg", Transcripts.mtInput), ("azurefw", Transcripts.fwInput),
       ("pod", Transcripts.podInput), ("zeek", Transcripts.zkInput),
       ("hxsmall", Transcripts.hxInput), ("beats", Transcripts.baInput),
-      ("syncplicity", Transcripts.syInput), ("nistkafka", Transcripts.nkInput))
+      ("syncplicity", Transcripts.syInput), ("nistkafka", Transcripts.nkInput),
+      ("gheoci", Transcripts.goInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
