@@ -461,6 +461,23 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // rsa.auth (numeric pri vs string translate keys → fallback always; the
+    // Joda yyyy-mm-dd minute-collision date; double source.ip capture) +
+    // gitguardian (scalar related.hash, undated resolved_at)
+    "qrg01_rsagg" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.rgInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("technology"), col("event_module"), col("event_dataset"),
+        col("route_index"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("event_created_ms"),
+        col("event_start_ms"), col("source_ip"), col("destination_ip"),
+        col("rule_ruleset"), col("rule_description"), col("user_id"),
+        col("source_address"), col("source_domain"), col("rule_category"),
+        col("event_id_s"),
+        array_join(array_sort(col("related_hash")), ",").as("related_hash_s"),
+        col("rule_name"), col("user_email"), col("file_path"),
+        col("event_end_ms"), col("log_source_hostname"))),
+
     // ghe (no single-digit-day date form → created default on days 1-9),
     // oci.audit (post-rename hostname sprintf), aws.cloudflare (malformed
     // Action target read as the [event][action] typo, UNIX_MS date)
@@ -1707,6 +1724,44 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    // start_ms: the buggy yyyy-mm-dd pattern parses the month digits as a
+    // minute — only rows whose month equals the timestamp minute parse, and
+    // they resolve into JANUARY (no month field in the pattern)
+    "qrg01_rsagg" ->
+      s"""WITH ${Transcripts.rgCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.bsel WHEN 0 THEN 'not parsed' ELSE 'rule 1' END AS parse_rule,
+  CASE b.bsel WHEN 0 THEN 'rsa.auth' ELSE 'vuln.gitguardian_api' END AS technology,
+  CASE b.bsel WHEN 0 THEN 'rsa' ELSE 'gitguardian' END AS event_module,
+  CASE b.bsel WHEN 0 THEN 'rsa.auth' ELSE 'vuln.gitguardian_api' END AS event_dataset,
+  'logs-' || (CASE b.bsel WHEN 0 THEN 'rsa.auth' ELSE 'vuln.gitguardian_api' END)
+    || '_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE b.bsel WHEN 0 THEN CAST(16 + (b.event_id % 8) AS BIGINT) ELSE NULL END AS log_syslog_facility_code,
+  CASE b.bsel WHEN 0 THEN CAST(b.event_id % 5 AS BIGINT) ELSE NULL END AS log_syslog_severity_code,
+  CASE b.bsel WHEN 0 THEN epoch_ms(t.ts)
+    ELSE epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000) END AS event_created_ms,
+  CASE WHEN b.bsel = 0 AND EXTRACT(MONTH FROM t.ts) = EXTRACT(MINUTE FROM t.ts)
+    THEN epoch_ms(make_timestamp(CAST(EXTRACT(YEAR FROM t.ts) AS BIGINT), 1,
+      CAST(EXTRACT(DAY FROM t.ts) AS BIGINT), CAST(EXTRACT(HOUR FROM t.ts) AS BIGINT),
+      CAST(EXTRACT(MINUTE FROM t.ts) AS BIGINT), FLOOR(EXTRACT(SECOND FROM t.ts))))
+    ELSE NULL END AS event_start_ms,
+  CASE b.bsel WHEN 0 THEN b.sip2 ELSE NULL END AS source_ip,
+  CASE b.bsel WHEN 0 THEN b.dip ELSE NULL END AS destination_ip,
+  CASE b.bsel WHEN 0 THEN 'authrule' WHEN 1 THEN 'generic api key' END AS rule_ruleset,
+  CASE b.bsel WHEN 0 THEN 'auth desc ' || b.eid_s ELSE NULL END AS rule_description,
+  CASE b.bsel WHEN 0 THEN 'uid' || b.eid_s ELSE NULL END AS user_id,
+  CASE b.bsel WHEN 0 THEN 'agent' || b.eid_s ELSE NULL END AS source_address,
+  CASE b.bsel WHEN 0 THEN 'rsa.example' ELSE NULL END AS source_domain,
+  CASE b.bsel WHEN 0 THEN 'others' ELSE NULL END AS rule_category,
+  CASE b.bsel WHEN 1 THEN CAST(10000 + (b.event_id % 90000) AS STRING) ELSE NULL END AS event_id_s,
+  CASE b.bsel WHEN 1 THEN md5('g' || b.eid_s) ELSE '' END AS related_hash_s,
+  CASE b.bsel WHEN 1 THEN 'apikey' ELSE NULL END AS rule_name,
+  CASE b.bsel WHEN 1 THEN 'dev' || b.eid_s || '@corp.example' ELSE NULL END AS user_email,
+  CASE b.bsel WHEN 1 THEN '/src/config' || b.eid_s || '.py' ELSE NULL END AS file_path,
+  CAST(NULL AS BIGINT) AS event_end_ms,
+  CASE b.bsel WHEN 1 THEN 'vuln_gitguardian' ELSE NULL END AS log_source_hostname
+FROM rg_turns t JOIN rg_base b USING (event_id)""",
 
     "qgo01_gheoci" ->
       s"""WITH ${Transcripts.goCte}

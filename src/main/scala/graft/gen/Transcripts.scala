@@ -2357,6 +2357,50 @@ pod_turns AS (
     spark.sql(s"WITH $podCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pod_turns")
   }
 
+  /** rsa.auth + gitguardian corpus. */
+  val rgCte: String = s"""
+rg_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 2) AS bsel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    ${spSecOf("ts")} AS d1,
+    ${isoMsOf("ts")} AS iso0,
+    ${isoMsOf("(ts + INTERVAL 67 SECOND)")} AS iso1,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip1,
+    '9.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip2,
+    '172.16.' || CAST(event_id % 100 AS STRING) || '.' || CAST(1 + (user_id % 254) AS STRING) AS dip
+  FROM events WHERE (event_id % 173) = 58
+),
+rg_turns AS (
+  SELECT 'rg_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE bsel
+      WHEN 0 THEN '<' || CAST(pri AS STRING) || '>' || d1
+        || ',f2,f3,f4,f5,f6,f7,' || sip1 || ',' || dip
+        || ',AuthRule,f11,f12,Auth Desc ' || eid_s
+        || ',f14,f15,f16,f17,uid' || eid_s || ',f19,f20,f21,' || sip2
+        || ',agent' || eid_s || '.rsa.example,f24'
+      ELSE '{"date":"' || iso0 || '","gitguardian_url":"https://gg/x","id":'
+        || CAST(10000 + (event_id % 90000) AS STRING)
+        || ',"tags":["t1"],"regression":false,"resolved_at":"' || iso1
+        || '","secret_hash":"' || md5('g' || eid_s)
+        || '","status":"triggered","validity":"valid","severity":"high","detect_group_name":"Generic API Key","repository_url":"org/repo","matched_on":"apikey","commit_author":"dev'
+        || eid_s || '@corp.example","file_path":"/src/config' || eid_s
+        || '.py","full_name":"org/repo' || eid_s
+        || '","visibility":"private","assignee_email":"a@b","ignore_reason":"","ignored_at":"","occurrences_count":2,"secret_revoked":false,"share_url":"x"}'
+    END AS text,
+    CASE bsel WHEN 0 THEN 'rsa.auth' ELSE 'vuln.gitguardian_api' END AS tool, ts, event_id
+  FROM rg_base
+)"""
+
+  def rgInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $rgCte SELECT conv_id, turn_idx, role, text, tool, ts FROM rg_turns")
+  }
+
   /** github-ghe + oci.audit + aws.cloudflare corpus. */
   val goCte: String = s"""
 go_base AS (

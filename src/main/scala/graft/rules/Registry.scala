@@ -103,6 +103,10 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "rsa.auth" -> TechnologyConfig("rsa.auth", "logs-rsa.auth",
+      Vector("elastic"), Set.empty, "medium"),
+    "vuln.gitguardian_api" -> TechnologyConfig("vuln.gitguardian_api",
+      "logs-vuln.gitguardian_api", Vector("elastic"), Set.empty, "low"),
     "github.ghe" -> TechnologyConfig("github.ghe", "logs-github.ghe",
       Vector("elastic"), Set.empty, "low"),
     "oci.audit" -> TechnologyConfig("oci.audit", "logs-oci.audit",
@@ -489,6 +493,8 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "rsa.auth" -> WebSecRules.rsaAuth,
+    "vuln.gitguardian_api" -> WebSecRules.gitguardian,
     "github.ghe" -> WebSecRules.awsGhe,
     "oci.audit" -> WebSecRules.ociAudit,
     "aws.cloudflare" -> WebSecRules.awsCloudflare,

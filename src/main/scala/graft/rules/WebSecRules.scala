@@ -19,6 +19,71 @@ object WebSecRules {
     Parsed(Seq(ev))
   }
 
+  // --------------------------------------------- rsa.auth + gitguardian
+  /** ref syslog_audit_rsa.auth.conf. Mirrored bugs: the translate keys the
+    * NUMERIC pri against ERRR/INFO/... strings, so the fallback "Others"
+    * always wins; the date's Joda "yyyy-mm-dd" parses the month digits as
+    * MINUTES — the pattern only succeeds on rows whose month equals the
+    * timestamp's minute, and then resolves into January; the dissect
+    * captures [source][ip] twice (the second wins). */
+  def rsaAuth(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "rsa")
+    ev.set("[event][dataset]", "rsa.auth")
+    Mutate.strip(ev, "message")
+    Grok(ev, "message", Seq(Registry.HeaderGrok), Seq("_parsefailure_header"))
+    SyslogPri(ev, removeField = false) // conf keeps pri
+    Dissect(ev, "actual_msg",
+      "%{[[event][start]]->} %{+[[event][start]]},%{?data},%{?data},%{?data},%{?data},%{?data},%{?data},%{[[source][ip]]},%{[[destination][ip]]},%{[[rule][ruleset]]},%{?data},%{?data},%{[[rule][description]]},%{?data},%{?data},%{?data},%{?data},%{[[user][id]]},%{?data},%{?data},%{?data},%{[[source][ip]]},%{[[source][address]]},%{?data}")
+    if (Dates(ev, "[event][start]",
+      Seq("yyyy-mm-dd HH:mm:ss", "yyyy-mm-dd HH:mm:ss.SSS", "MMM dd HH:mm:ss"),
+      "[event][start_ms]", timezone = "UTC", locale = "en",
+      defaultYear = ctx.tsYear)) ev.remove("[event][start]")
+    ev.getString("pri").foreach { p => // absent source: translate no-ops
+      ev.set("[rule][category]", Map(
+        "ERRR" -> "Security/Failed Activity", "INFO" -> "Security/Activity",
+        "NOTE" -> "Security/Activity", "WARN" -> "Security/Warning")
+        .getOrElse(p, "Others")) // numeric pri never matches — fallback always
+    }
+    ev.remove("actual_msg"); ev.remove("pri")
+    Parsed(Seq(ev))
+  }
+
+  /** ref vuln_gitguardian_internal.conf — secret_hash lands directly on
+    * [related][hash] (a scalar the related-hash collector keeps); the
+    * undated resolved_at string is swept by the coercion pass. */
+  def gitguardian(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    if (!JsonOps.parse(ev, "message", "tmp")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.set("[event][module]", "gitguardian")
+    ev.set("[event][dataset]", "vuln.gitguardian_api")
+    ev.set("[log][source][hostname]", "vuln_gitguardian")
+    ev.rename("[tmp][date]", "[event][created]")
+    ev.rename("[tmp][gitguardian_url]", "[event][reference]")
+    ev.rename("[tmp][id]", "[event][id]")
+    ev.rename("[tmp][tags]", "[tags]")
+    ev.rename("[tmp][regression]", "[vulnerability][regression]")
+    ev.rename("[tmp][resolved_at]", "[event][end]")
+    ev.rename("[tmp][secret_hash]", "[related][hash]")
+    ev.rename("[tmp][status]", "[vulnerability][status]")
+    ev.rename("[tmp][validity]", "[vulnerability][exploitable]")
+    ev.rename("[tmp][severity]", "[vulnerability][severity]")
+    ev.rename("[tmp][detect_group_name]", "[rule][ruleset]")
+    ev.rename("[tmp][repository_url]", "[repository][name]")
+    ev.rename("[tmp][matched_on]", "[rule][name]")
+    ev.rename("[tmp][commit_author]", "[user][email]")
+    ev.rename("[tmp][file_path]", "[file][path]")
+    ev.rename("[tmp][full_name]", "[network][application]")
+    ev.rename("[tmp][visibility]", "[repository][visibility]")
+    Seq("[tmp][assignee_email]", "[tmp][ignore_reason]", "[tmp][ignored_at]",
+      "[tmp][occurrences_count]", "[tmp][secret_revoked]", "[tmp][share_url]")
+      .foreach(ev.remove(_))
+    if (Dates(ev, "[event][created]", Seq("ISO8601"), "[event][created_ms]",
+      timezone = "UTC", locale = "en", tagOnFailure = Seq("_dateparsefailure_ec")))
+      ev.remove("[event][created]")
+    ev.remove("tmp")
+    Parsed(Seq(ev))
+  }
+
   // ------------------------------------------- ghe / oci / cloudflare
   /** ref api_audit_aws.ghe.conf. Its date formats are "MMM dd HH:mm:ss"
     * and "MMM  dd HH:mm:ss" — NO single-digit-day form, so days 1-9 fail
