@@ -461,6 +461,25 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // mcas (date probes created but timestamp landed in start — dead),
+    // redhat (uppercase sudo kv keys kill all three renames), trendmicro
+    // forwarder (json envelope + pipe dissect + space kv)
+    "qmc01_mcas" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mcInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("technology"), col("event_module"), col("event_dataset"),
+        col("log_source_hostname"), col("route_index"), col("cloud_provider"),
+        col("event_created_ms"), col("event_id_s"), col("event_severity"),
+        col("event_risk_score"), col("event_category"), col("event_url"),
+        col("user_name"), col("user_email"), col("event_reason"),
+        col("event_action"), col("event_start_ms"), col("agent_name"),
+        col("process_name"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("host_hostname"),
+        col("event_provider"), col("rule_version"), col("event_type"),
+        col("source_ip"), col("destination_ip"), col("source_port"),
+        col("destination_port"), col("source_mac"), col("network_transport"),
+        col("host_id"), col("source_bytes"))),
+
     // rsa.auth (numeric pri vs string translate keys → fallback always; the
     // Joda yyyy-mm-dd minute-collision date; double source.ip capture) +
     // gitguardian (scalar related.hash, undated resolved_at)
@@ -1724,6 +1743,53 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    "qmc01_mcas" ->
+      s"""WITH ${Transcripts.mcCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.bsel WHEN 1 THEN 'not parsed' ELSE 'rule 1' END AS parse_rule,
+  CASE b.bsel WHEN 0 THEN 'azure.mcas' WHEN 1 THEN 'redhat.syslog'
+    ELSE 'virtustream.trendmicro' END AS technology,
+  CASE b.bsel WHEN 0 THEN 'azure' WHEN 1 THEN 'redhat' ELSE 'virtustream' END AS event_module,
+  CASE b.bsel WHEN 0 THEN 'azure.mcas' WHEN 1 THEN 'redhat.syslog'
+    ELSE 'virtustream.trendmicro' END AS event_dataset,
+  CASE b.bsel WHEN 0 THEN 'api_azure_mcas' WHEN 2 THEN 'tmhost' || b.eid_s
+    ELSE NULL END AS log_source_hostname,
+  'logs-' || (CASE b.bsel WHEN 0 THEN 'azure.mcas' WHEN 1 THEN 'redhat.syslog'
+    ELSE 'virtustream.trendmicro' END) || '_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE b.bsel WHEN 0 THEN 'azure' ELSE NULL END AS cloud_provider,
+  CASE WHEN b.bsel = 0 THEN epoch_ms(t.ts)
+    WHEN EXTRACT(DAY FROM t.ts) >= 10 THEN epoch_ms(date_trunc('second', t.ts))
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CASE b.bsel WHEN 0 THEN 'ctx' || b.eid_s ELSE NULL END AS event_id_s,
+  CASE b.bsel WHEN 0 THEN CAST(2 AS BIGINT) WHEN 2 THEN CAST(6 AS BIGINT)
+    ELSE NULL END AS event_severity,
+  CASE b.bsel WHEN 0 THEN CAST(b.event_id % 100 AS BIGINT) ELSE NULL END AS event_risk_score,
+  CASE b.bsel WHEN 0 THEN 'impossible travel' ELSE NULL END AS event_category,
+  CASE b.bsel WHEN 0 THEN 'https://portal/x' || b.eid_s ELSE NULL END AS event_url,
+  CASE b.bsel WHEN 0 THEN 'mu' || b.eid_s WHEN 1 THEN 'ruser' || b.eid_s
+    ELSE NULL END AS user_name,
+  CASE b.bsel WHEN 0 THEN 'mu' || b.eid_s || '@corp.example' ELSE NULL END AS user_email,
+  CASE b.bsel WHEN 0 THEN 'risky' ELSE NULL END AS event_reason,
+  CASE b.bsel WHEN 0 THEN 'block' WHEN 2 THEN 'deny' ELSE NULL END AS event_action,
+  CAST(NULL AS BIGINT) AS event_start_ms, -- mcas date probes the wrong field
+  CASE b.bsel WHEN 1 THEN 'rh' || CAST(b.user_id % 9 AS STRING) ELSE NULL END AS agent_name,
+  CAST(NULL AS STRING) AS process_name, -- uppercase sudo keys kill the rename
+  CASE b.bsel WHEN 1 THEN CAST(16 + (b.event_id % 8) AS BIGINT) ELSE NULL END AS log_syslog_facility_code,
+  CASE b.bsel WHEN 1 THEN CAST(b.event_id % 5 AS BIGINT) ELSE NULL END AS log_syslog_severity_code,
+  CASE b.bsel WHEN 2 THEN 'tmhost' || b.eid_s ELSE NULL END AS host_hostname,
+  CASE b.bsel WHEN 2 THEN 'trend micro' ELSE NULL END AS event_provider,
+  CASE b.bsel WHEN 2 THEN '12.0' ELSE NULL END AS rule_version,
+  CASE b.bsel WHEN 2 THEN 'probe event' ELSE NULL END AS event_type,
+  CASE b.bsel WHEN 2 THEN b.sip ELSE NULL END AS source_ip,
+  CASE b.bsel WHEN 2 THEN b.dip ELSE NULL END AS destination_ip,
+  CASE b.bsel WHEN 2 THEN CAST(1234 AS BIGINT) ELSE NULL END AS source_port,
+  CASE b.bsel WHEN 2 THEN CAST(443 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE b.bsel WHEN 2 THEN 'aa:bb:cc:dd:ee:01' ELSE NULL END AS source_mac,
+  CASE b.bsel WHEN 2 THEN 'tcp' ELSE NULL END AS network_transport,
+  CASE b.bsel WHEN 2 THEN 'h' || CAST(b.event_id % 400 AS STRING) ELSE NULL END AS host_id,
+  CASE b.bsel WHEN 2 THEN CAST(512 AS BIGINT) ELSE NULL END AS source_bytes
+FROM mc_turns t JOIN mc_base b USING (event_id)""",
 
     // start_ms: the buggy yyyy-mm-dd pattern parses the month digits as a
     // minute — only rows whose month equals the timestamp minute parse, and

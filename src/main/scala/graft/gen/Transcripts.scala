@@ -2357,6 +2357,53 @@ pod_turns AS (
     spark.sql(s"WITH $podCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pod_turns")
   }
 
+  /** mcas + redhat + trendmicro forwarder corpus. */
+  val mcCte: String = s"""
+mc_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 3) AS bsel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase AS mon,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dday,
+    ${hmsOf("ts")} AS t1,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    '172.16.' || CAST(event_id % 100 AS STRING) || '.' || CAST(1 + (user_id % 254) AS STRING) AS dip
+  FROM events WHERE (event_id % 179) = 100
+),
+mc_turns AS (
+  SELECT 'mc_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE bsel
+      WHEN 0 THEN '{"contextId":"ctx' || eid_s
+        || '","description":"alert desc","severityValue":2,"threatScore":'
+        || CAST(event_id % 100 AS STRING) || ',"timestamp":'
+        || CAST(1700000000 + event_id AS STRING)
+        || '000,"title":"Impossible travel","URL":"https://portal/x' || eid_s
+        || '","user.name":"mu' || eid_s || '","user.email":"mu' || eid_s
+        || '@corp.example","event.reason":"Risky","event.action":"block","server.ip":"'
+        || dip || '","client.geo.country_iso_code":"US"}'
+      WHEN 1 THEN '<' || CAST(pri AS STRING) || '>' || mon || ' ' || dday || ' ' || t1
+        || ' rh' || CAST(user_id % 9 AS STRING) || ' sudo: ruser' || eid_s
+        || '@CORP : PWD=/home/r' || eid_s || ' ; USER=root ; COMMAND=/bin/ls'
+      ELSE '{"message":"<134>' || mon || ' ' || dday || ' ' || t1 || ' tmhost' || eid_s
+        || ' CEF:0|Trend Micro|Deep Security Agent|12.0|1009|Probe Event|6|src=' || sip
+        || ' dst=' || dip
+        || ' spt=1234 dpt=443 smac=aa:bb:cc:dd:ee:01 dmac=aa:bb:cc:dd:ee:02 proto=TCP cn1=h'
+        || CAST(event_id % 400 AS STRING)
+        || ' in=512 act=Deny dvchost=dsm1 TrendMicroDsFrameType=IP"}'
+    END AS text,
+    CASE bsel WHEN 0 THEN 'azure.mcas' WHEN 1 THEN 'redhat.syslog'
+      ELSE 'virtustream.trendmicro' END AS tool, ts, event_id
+  FROM mc_base
+)"""
+
+  def mcInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $mcCte SELECT conv_id, turn_idx, role, text, tool, ts FROM mc_turns")
+  }
+
   /** rsa.auth + gitguardian corpus. */
   val rgCte: String = s"""
 rg_base AS (

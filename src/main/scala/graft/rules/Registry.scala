@@ -103,6 +103,12 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "azure.mcas" -> TechnologyConfig("azure.mcas", "logs-azure.mcas",
+      Vector("elastic"), Set.empty, "low"),
+    "redhat.syslog" -> TechnologyConfig("redhat.syslog", "logs-redhat.syslog",
+      Vector("elastic"), Set.empty, "medium"),
+    "virtustream.trendmicro" -> TechnologyConfig("virtustream.trendmicro",
+      "logs-virtustream.trendmicro", Vector("elastic"), Set.empty, "medium"),
     "rsa.auth" -> TechnologyConfig("rsa.auth", "logs-rsa.auth",
       Vector("elastic"), Set.empty, "medium"),
     "vuln.gitguardian_api" -> TechnologyConfig("vuln.gitguardian_api",
@@ -493,6 +499,9 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "azure.mcas" -> WebSecRules.azureMcas,
+    "redhat.syslog" -> WebSecRules.redhatSyslog,
+    "virtustream.trendmicro" -> WebSecRules.trendmicroFwd,
     "rsa.auth" -> WebSecRules.rsaAuth,
     "vuln.gitguardian_api" -> WebSecRules.gitguardian,
     "github.ghe" -> WebSecRules.awsGhe,

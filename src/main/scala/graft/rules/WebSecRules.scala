@@ -19,6 +19,99 @@ object WebSecRules {
     Parsed(Seq(ev))
   }
 
+  // -------------------------------- mcas / redhat / trendmicro forwarder
+  /** ref api_security_azure.mcas_alerts.conf. Mirrored bug: the date block
+    * probes [event][created], but the timestamp was renamed to
+    * [event][start] — UNIX_MS never runs, the raw epoch string sits in
+    * start until the coercion pass removes it (start_ms null). */
+  def azureMcas(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[cloud][provider]", "azure")
+    ev.set("[log][source][hostname]", "api_azure_mcas")
+    ev.set("[event][module]", "azure")
+    ev.set("[event][dataset]", "azure.mcas")
+    if (!JsonOps.parse(ev, "message", "az")) {
+      ev.addTag("_json_failure_azure_mcas")
+      ev.set("[agent][parse_rule]", "not parsed")
+      return Parsed(Seq(ev))
+    }
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.rename("[az][contextId]", "[event][id]")
+    ev.rename("[az][description]", "[event][description]")
+    ev.rename("[az][severityValue]", "[event][severity]")
+    ev.rename("[az][threatScore]", "[event][risk_score]")
+    ev.rename("[az][timestamp]", "[event][start]")
+    ev.rename("[az][title]", "[event][category]")
+    ev.rename("[az][URL]", "[event][url]")
+    ev.rename("[az][user.name]", "[user][name]")
+    ev.rename("[az][user.email]", "[user][email]")
+    ev.rename("[az][event.reason]", "[event][reason]")
+    ev.rename("[az][event.action]", "[event][action]")
+    ev.rename("[az][server.ip]", "[server][ip]")
+    ev.rename("[az][client.geo.country_iso_code]", "[client][geo][country_iso_code]")
+    ev.remove("az")
+    Dates(ev, "[event][created]", Seq("UNIX_MS"), "[event][created_ms]",
+      timezone = "UTC", tagOnFailure = Seq("_dateparsefailure_ec")) // dead: never set
+    Parsed(Seq(ev))
+  }
+
+  /** ref syslog_audit_linux.redhat.conf. The kv keys are the sudo
+    * UPPERCASE PWD/USER/COMMAND, but the renames probe lowercase
+    * [linux][pwd]/[linux][user]/[linux][command] — all three are dead (and
+    * the user `update` would only write a literal anyway). The dissected
+    * [agent][name] overwrites the input normalization. */
+  def redhatSyslog(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "redhat")
+    ev.set("[event][dataset]", "redhat.syslog")
+    Grok(ev, "message", Seq(Registry.HeaderGrok), Seq("_parsefailure_header"))
+    SyslogPri(ev)
+    Dissect(ev, "actual_msg",
+      "%{[[event][created]]} %{+[[event][created]]} %{+[[event][created]]} %{[[agent][name]]} %{[[process][parent][name]]}: %{[[user][name]]}@%{[[host][user][domain]]} : %{rest_message}")
+    Kv.withPattern(ev, "rest_message", "[ ;]", '=', target = "linux")
+    ev.rename("[linux][pwd]", "[process][working_directory]") // dead: key is PWD
+    if (ev.has("[linux][user]")) Mutate.replace(ev, "[linux][user]", "[user][name]")
+    ev.rename("[linux][command]", "[process][name]") // dead: key is COMMAND
+    ev.rename("[host][name]", "[log][source][hostname]")
+    Seq("data", "rest_message", "linux", "host", "actual_msg").foreach(ev.remove(_))
+    if (Dates(ev, "[event][created]", Seq("MMM dd HH:mm:ss"),
+      "[event][created_ms]", timezone = "UTC", locale = "en",
+      tagOnFailure = Seq("_dateparsefailure_ec"), defaultYear = ctx.tsYear))
+      ev.remove("[event][created]")
+    else ev.remove("[event][created]")
+    Parsed(Seq(ev))
+  }
+
+  /** ref syslog_virtustream_trendmicro_forwarder.conf — json envelope
+    * around a CEF-ish syslog line, pipe dissect + space kv. */
+  def trendmicroFwd(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "virtustream")
+    ev.set("[event][dataset]", "virtustream.trendmicro")
+    if (!JsonOps.parse(ev, "message", "tmp_msg")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    Dissect(ev, "[tmp_msg][message]",
+      "<%{?data}>%{[[event][created]]->} %{+[[event][created]]} %{+[[event][created]]} %{[[host][hostname]]} %{?data}|%{[[event][provider]]}|%{?data}|%{[[rule][version]]}|%{?data}|%{[[event][type]]}|%{[[event][severity]]}|%{rest_msg}")
+    Kv(ev, "rest_msg", ' ', '=', target = "tmp")
+    ev.rename("[tmp][src]", "[source][ip]")
+    ev.rename("[tmp][dst]", "[destination][ip]")
+    ev.rename("[tmp][spt]", "[source][port]")
+    ev.rename("[tmp][dpt]", "[destination][port]")
+    ev.rename("[tmp][smac]", "[source][mac]")
+    ev.rename("[tmp][dmac]", "[destination][mac]")
+    ev.rename("[tmp][proto]", "[network][transport]")
+    ev.rename("[tmp][cn1]", "[host][id]")
+    ev.rename("[tmp][in]", "[source][bytes]")
+    ev.rename("[tmp][act]", "[event][action]")
+    ev.rename("[tmp][dvchost]", "[observer][hostname]")
+    ev.rename("[tmp][TrendMicroDsFrameType]", "[observer][egress][zone]")
+    if (ev.has("[host][hostname]")) ev.copyField("[host][hostname]", "[log][source][hostname]")
+    if (Dates(ev, "[event][created]", Seq("MMM dd HH:mm:ss"),
+      "[event][created_ms]", timezone = "UTC", locale = "en",
+      tagOnFailure = Seq("_dateparsefailure_ec"), defaultYear = ctx.tsYear))
+      ev.remove("[event][created]")
+    else ev.remove("[event][created]")
+    Seq("rest_msg", "tmp", "tmp_msg").foreach(ev.remove(_))
+    Parsed(Seq(ev))
+  }
+
   // --------------------------------------------- rsa.auth + gitguardian
   /** ref syslog_audit_rsa.auth.conf. Mirrored bugs: the translate keys the
     * NUMERIC pri against ERRR/INFO/... strings, so the fallback "Others"

@@ -65,7 +65,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("pod", Transcripts.podInput), ("zeek", Transcripts.zkInput),
       ("hxsmall", Transcripts.hxInput), ("beats", Transcripts.baInput),
       ("syncplicity", Transcripts.syInput), ("nistkafka", Transcripts.nkInput),
-      ("gheoci", Transcripts.goInput), ("rsagg", Transcripts.rgInput))
+      ("gheoci", Transcripts.goInput), ("rsagg", Transcripts.rgInput),
+      ("mcas", Transcripts.mcInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
