@@ -461,6 +461,21 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // checkpoint fw-audit branches, hms tab-kv (severity killed by long
+    // coercion), ansible path groks (dead Dev pattern + quoted-literal if)
+    "qch01_cpops" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.chInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("technology"), col("event_module"), col("event_dataset"),
+        col("route_index"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("event_created_ms"),
+        col("observer_name"), col("rule_description"), col("user_id"),
+        col("network_protocol"), col("user_name"), col("network_name"),
+        col("service_type"), col("source_ip"), col("source_port"),
+        col("database_instance"), col("event_severity"), col("user_roles"),
+        col("event_provider"), col("process_command_line"), col("url_path"),
+        col("file_directory"), col("file_name"))),
+
     // mcas (date probes created but timestamp landed in start — dead),
     // redhat (uppercase sudo kv keys kill all three renames), trendmicro
     // forwarder (json envelope + pipe dissect + space kv)
@@ -1743,6 +1758,48 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    "qch01_cpops" ->
+      s"""WITH ${Transcripts.chCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule,
+  CASE b.bsel WHEN 0 THEN 'checkpoint.fw_audit' WHEN 1 THEN 'hadoop.hms_audit'
+    ELSE 'ansible.audit' END AS technology,
+  CASE b.bsel WHEN 0 THEN 'checkpoint' WHEN 1 THEN 'hadoop' ELSE 'ansible' END AS event_module,
+  CASE b.bsel WHEN 0 THEN 'checkpoint.fw_audit' WHEN 1 THEN 'hadoop.hms_audit'
+    ELSE 'ansible.audit' END AS event_dataset,
+  'logs-' || (CASE b.bsel WHEN 0 THEN 'checkpoint.fw_audit' WHEN 1 THEN 'hadoop.hms_audit'
+    ELSE 'ansible.audit' END) || '_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE b.bsel WHEN 0 THEN CAST(16 + (b.event_id % 8) AS BIGINT) ELSE NULL END AS log_syslog_facility_code,
+  CASE b.bsel WHEN 0 THEN CAST(b.event_id % 5 AS BIGINT) ELSE NULL END AS log_syslog_severity_code,
+  CASE WHEN b.bsel = 0 AND b.csel <= 3 THEN epoch_ms(date_trunc('second', t.ts))
+    WHEN b.bsel = 1 THEN epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000)
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CASE WHEN b.bsel = 0 AND b.csel <= 1 THEN 'cpmgr' || CAST(b.user_id % 9 AS STRING)
+    ELSE NULL END AS observer_name,
+  CASE WHEN b.bsel = 0 AND b.csel <= 1 THEN 'authentication failure'
+    WHEN b.bsel = 0 AND b.csel <= 3 THEN 'illegal pam password attempt'
+    ELSE NULL END AS rule_description,
+  CASE WHEN b.bsel = 0 AND b.csel <= 1 THEN '0' ELSE NULL END AS user_id,
+  CASE WHEN b.bsel = 0 AND b.csel <= 1 THEN 'ssh'
+    WHEN b.bsel = 0 AND b.csel <= 3 THEN 'ssh2' ELSE NULL END AS network_protocol,
+  CASE WHEN b.bsel = 0 AND b.csel <= 1 THEN 'root'
+    WHEN b.bsel = 0 AND b.csel <= 3 THEN 'admin' ELSE NULL END AS user_name,
+  CASE WHEN b.bsel = 0 AND b.csel IN (2, 3) THEN 'cpgw' ELSE NULL END AS network_name,
+  CASE WHEN b.bsel = 0 AND b.csel IN (2, 3) THEN 'mgmt' ELSE NULL END AS service_type,
+  CASE WHEN b.bsel = 0 AND b.csel IN (2, 3) THEN '9.1.2.' || CAST(1 + (b.event_id % 250) AS STRING)
+    WHEN b.bsel = 1 THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.bsel = 0 AND b.csel IN (2, 3) THEN CAST(51515 AS BIGINT) ELSE NULL END AS source_port,
+  CASE b.bsel WHEN 1 THEN 'prod' ELSE NULL END AS database_instance,
+  CAST(NULL AS BIGINT) AS event_severity, -- INFO dies on the long coercion
+  CASE b.bsel WHEN 1 THEN 'hive' ELSE NULL END AS user_roles,
+  CASE b.bsel WHEN 1 THEN 'hivemetastore.audit' WHEN 2 THEN 'node1' END AS event_provider,
+  CASE b.bsel WHEN 1 THEN 'source:get_table ' || b.eid_s ELSE NULL END AS process_command_line,
+  CASE b.bsel WHEN 1 THEN 'hive' ELSE NULL END AS url_path,
+  CASE b.bsel WHEN 2 THEN '/var/log/ansible' ELSE NULL END AS file_directory,
+  CASE b.bsel WHEN 2 THEN 'app-cnetops-repo' || b.eid_s || '-123-node1-srv1-out.txt'
+    ELSE NULL END AS file_name
+FROM ch_turns t JOIN ch_base b USING (event_id)""",
 
     "qmc01_mcas" ->
       s"""WITH ${Transcripts.mcCte}

@@ -2357,6 +2357,51 @@ pod_turns AS (
     spark.sql(s"WITH $podCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pod_turns")
   }
 
+  /** checkpoint.fw_audit + hadoop.hms_audit + ansible.audit corpus. */
+  val chCte: String = s"""
+ch_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 3) AS bsel, (event_id % 5) AS csel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0') AS yr,
+    $monCase AS mon,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dday,
+    ${hmsOf("ts")} AS t1,
+    ${spSecOf("ts")} || ',' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') AS dms,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 181) = 7
+),
+ch_turns AS (
+  SELECT 'ch_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE bsel
+      WHEN 0 THEN '<' || CAST(pri AS STRING) || '>' ||
+        CASE WHEN csel <= 1 THEN yr || ' ' || mon || ' ' || dday || ' ' || t1
+            || ' cpmgr' || CAST(user_id % 9 AS STRING)
+            || ' sshd(pam_unix): authentication failure; logname= uid=0 euid=0 tty=ssh ruser= rhost='
+            || sip || ' user=root'
+          WHEN csel <= 3 THEN yr || ' ' || mon || '  ' || dday || ' ' || t1
+            || ' cpgw-mgmt sshd: [ssh2] illegal pam password attempt for ''admin'' from 9.1.2.'
+            || CAST(1 + (event_id % 250) AS STRING) || ':51515'
+          ELSE 'checkpoint admin note ' || eid_s END
+      WHEN 1 THEN '{"message":"ugi=hive' || chr(92) || 'tip=' || sip || chr(92)
+        || 'tcmd=source:get_table ' || eid_s || '","event":{"original":"' || dms
+        || ' INFO audit"},"fields":{"environment":"prod"},"severity":"INFO","role":"Hive","class":"HiveMetaStore.audit","thread":"pool-6"}'
+      ELSE '{"message":"ansible log","log":{"file":{"path":"/var/log/ansible/APP-CNetOps-repo'
+        || eid_s || '-123-node1-srv1-out.txt"}}}'
+    END AS text,
+    CASE bsel WHEN 0 THEN 'checkpoint.fw_audit' WHEN 1 THEN 'hadoop.hms_audit'
+      ELSE 'ansible.audit' END AS tool, ts, event_id
+  FROM ch_base
+)"""
+
+  def chInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $chCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ch_turns")
+  }
+
   /** mcas + redhat + trendmicro forwarder corpus. */
   val mcCte: String = s"""
 mc_base AS (

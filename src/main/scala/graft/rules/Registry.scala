@@ -103,6 +103,12 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "checkpoint.fw_audit" -> TechnologyConfig("checkpoint.fw_audit",
+      "logs-checkpoint.fw_audit", Vector("elastic"), Set.empty, "medium"),
+    "hadoop.hms_audit" -> TechnologyConfig("hadoop.hms_audit",
+      "logs-hadoop.hms_audit", Vector("elastic"), Set.empty, "low", jsonCodec = true),
+    "ansible.audit" -> TechnologyConfig("ansible.audit", "logs-ansible.audit",
+      Vector("elastic"), Set.empty, "low", jsonCodec = true),
     "azure.mcas" -> TechnologyConfig("azure.mcas", "logs-azure.mcas",
       Vector("elastic"), Set.empty, "low"),
     "redhat.syslog" -> TechnologyConfig("redhat.syslog", "logs-redhat.syslog",
@@ -499,6 +505,9 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "checkpoint.fw_audit" -> WebSecRules.checkpointOps,
+    "hadoop.hms_audit" -> WebSecRules.hmsAudit,
+    "ansible.audit" -> WebSecRules.ansibleAudit,
     "azure.mcas" -> WebSecRules.azureMcas,
     "redhat.syslog" -> WebSecRules.redhatSyslog,
     "virtustream.trendmicro" -> WebSecRules.trendmicroFwd,

@@ -19,6 +19,92 @@ object WebSecRules {
     Parsed(Seq(ev))
   }
 
+  // ------------------------- checkpoint.fw_audit / hms_audit / ansible
+  /** ref syslog_audit_checkpoint.operations.conf — auth-failure grok and
+    * illegal-pam dissect branches; no parse_rule is ever set. */
+  def checkpointOps(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "checkpoint")
+    ev.set("[event][dataset]", "checkpoint.fw_audit")
+    Grok(ev, "message", Seq(Registry.HeaderGrok), Seq("_parsefailure_header"))
+    SyslogPri(ev)
+    val am = ev.getString("actual_msg").getOrElse("")
+    if (am.contains("authentication failure")) {
+      Grok(ev, "actual_msg", Seq(
+        "^(?<[event][created]>.*?\\d+:\\d+:\\d+) (?<[observer][name]>.*?) .*?\\): (?<[rule][description]>.*?);.*?uid=(?<[user][id]>\\d+).*?tty=(?<[network][protocol]>.*?) .*? user=(?<[user][name]>.*?)$"),
+        Seq("_parsefailure_auth"))
+    }
+    if (am.matches(".*illegal (pam|PAM) password attempt.*")) {
+      Dissect(ev, "actual_msg",
+        "%{[[event][created]]} %{+[[event][created]]->} %{+[[event][created]]} %{+[[event][created]]} %{[[network][name]]}-%{[[service][type]]} %{?data}: [%{[[network][protocol]]}] %{[[rule][description]]} for '%{[[user][name]]}' from %{[[source][ip]]}:%{[[source][port]]}")
+    }
+    Mutate.gsub(ev, "[event][created]", "  ", " ")
+    if (ev.has("[event][created]")) {
+      Dates(ev, "[event][created]", Seq("yyyy MMM d HH:mm:ss", "ISO8601"),
+        "[event][created_ms]", timezone = "GMT", locale = "en",
+        tagOnFailure = Seq("_dateparsefailure_ec"))
+      ev.remove("[event][created]")
+    }
+    ev.remove("actual_msg")
+    Parsed(Seq(ev))
+  }
+
+  /** ref hadoop_hms_audit.conf (beats envelope via json codec) — the
+    * severity string dies on the enumerated long coercion, and the date
+    * removal guard probes the generic _dateparsefailure tag while the
+    * date emits _dateparsefailure_ec (dead guard). */
+  def hmsAudit(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "hadoop")
+    ev.set("[event][dataset]", "hadoop.hms_audit")
+    Grok(ev, "[event][original]",
+      Seq("^(?<[event][created]>\\d+-\\d+-\\d+\\s\\d+:\\d+:\\d+,\\d+)"),
+      Seq("_grokparsefailure_to_tmp"))
+    Kv.withPattern(ev, "message", "\\t+", '=', target = "tmp_kv")
+    ev.rename("[fields][environment]", "[database][instance]")
+    ev.rename("severity", "[event][severity]") // string → long coercion kills it
+    ev.rename("role", "[user][roles]")
+    ev.rename("class", "[event][provider]")
+    ev.rename("thread", "[process][thread][name]")
+    ev.rename("[tmp_kv][cmd]", "[process][command_line]")
+    ev.rename("[tmp_kv][ugi]", "[url][path]")
+    ev.rename("[tmp_kv][ip]", "[source][ip]")
+    if (Dates(ev, "[event][created]", Seq("yyyy-MM-dd HH:mm:ss,SSS"),
+      "[event][created_ms]", timezone = "GMT", locale = "en",
+      tagOnFailure = Seq("_dateparsefailure_ec"))) ev.remove("[event][created]")
+    else ev.remove("[event][created]") // the conf's guard is dead; net same
+    Seq("program", "role", "topic_name", "hadoop_hdfs_audit", "input",
+      "service", "destination", "fields", "tmp", "[event][original]",
+      "tmp_kv").foreach(ev.remove(_))
+    Parsed(Seq(ev))
+  }
+
+  /** ref flat_file_audit_ansible.conf (log.file.path via json codec).
+    * Mirrored bugs: the first grok pattern's NOTSPACE swallows "Dev-…", so
+    * the dedicated Dev pattern is dead; the build-version conditional
+    * probes the QUOTED literal "[log][file][path]" (not the field), so the
+    * else branch always wins. */
+  def ansibleAudit(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "ansible")
+    ev.set("[event][dataset]", "ansible.audit")
+    ev.copyField("[log][file][path]", "[tmp][full_filename]")
+    Grok(ev, "[log][file][path]", Seq(
+      "%{GREEDYDATA:[[tmp][path]]}/%{WORD:[[tmp][app]]}-CNetOps-%{NOTSPACE:[[tmp][repository]]}-%{POSINT:[[tmp][build]]}-%{NOTSPACE:[[tmp][ansible_node]]}-%{NOTSPACE:[[tmp][server]]}-%{NOTSPACE:[[tmp][rem_filename]]}",
+      "%{GREEDYDATA:[[tmp][path]]}/%{WORD:[[tmp][app]]}-CNetOps-Dev-%{NOTSPACE:[[tmp][repository]]}-%{POSINT:[[tmp][build]]}-%{NOTSPACE:[[tmp][ansible_node]]}-%{NOTSPACE:[[tmp][server]]}-%{NOTSPACE:[[tmp][rem_filename]]}"),
+      Seq("_grokparsefailure"))
+    Grok(ev, "[tmp][full_filename]",
+      Seq("%{GREEDYDATA}/%{GREEDYDATA:[[file][name]]}"), Seq("_grokparsefailure"))
+    ev.rename("[tmp][path]", "[file][directory]")
+    ev.rename("[tmp][repository]", "[package][name]")
+    ev.rename("[tmp][build]", "[package][version]")
+    ev.rename("[tmp][ansible_node]", "[event][provider]")
+    ev.rename("[tmp][rem_filename]", "[file][group]")
+    if ("[log][file][path]".contains("CNetOps-Dev")) // quoted-literal bug, verbatim
+      Mutate.addField(ev, "[package][build_version]", "CNetOps-Dev")
+    else
+      Mutate.addField(ev, "[package][build_version]", "CNetOps")
+    ev.remove("tmp")
+    Parsed(Seq(ev))
+  }
+
   // -------------------------------- mcas / redhat / trendmicro forwarder
   /** ref api_security_azure.mcas_alerts.conf. Mirrored bug: the date block
     * probes [event][created], but the timestamp was renamed to

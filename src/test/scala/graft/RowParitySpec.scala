@@ -66,7 +66,7 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("hxsmall", Transcripts.hxInput), ("beats", Transcripts.baInput),
       ("syncplicity", Transcripts.syInput), ("nistkafka", Transcripts.nkInput),
       ("gheoci", Transcripts.goInput), ("rsagg", Transcripts.rgInput),
-      ("mcas", Transcripts.mcInput))
+      ("mcas", Transcripts.mcInput), ("cpops", Transcripts.chInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
