@@ -461,6 +461,18 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // as400 dotted-time JSON audit + dell.drac action-refining dissects
+    "qa401_as400" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.a4Input(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("technology"), col("event_module"), col("event_dataset"),
+        col("route_index"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("event_created_ms"),
+        col("host_name"), col("log_source_hostname"), col("event_id_s"),
+        col("process_command_line"), col("host_ip"), col("rule_name"),
+        col("rule_id"), col("user_name"), col("event_action"),
+        col("source_ip"), col("service_name"))),
+
     // checkpoint fw-audit branches, hms tab-kv (severity killed by long
     // coercion), ansible path groks (dead Dev pattern + quoted-literal if)
     "qch01_cpops" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.chInput(s, dir)).toDF()
@@ -1758,6 +1770,38 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    "qa401_as400" ->
+      s"""WITH ${Transcripts.a4Cte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.bsel WHEN 0 THEN 'rule 1' ELSE 'not parsed' END AS parse_rule,
+  CASE b.bsel WHEN 0 THEN 'as400.audit' ELSE 'dell.drac' END AS technology,
+  CASE b.bsel WHEN 0 THEN 'as400' ELSE 'dell' END AS event_module,
+  CASE b.bsel WHEN 0 THEN 'as400.audit' ELSE 'dell.drac' END AS event_dataset,
+  'logs-' || (CASE b.bsel WHEN 0 THEN 'as400.audit' ELSE 'dell.drac' END)
+    || '_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  CASE WHEN b.bsel = 0 THEN epoch_ms(date_trunc('second', t.ts))
+    WHEN EXTRACT(DAY FROM t.ts) >= 10 THEN epoch_ms(date_trunc('second', t.ts))
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CASE b.bsel WHEN 0 THEN 'as400prod' ELSE NULL END AS host_name,
+  CASE b.bsel WHEN 0 THEN 'as400prod' ELSE NULL END AS log_source_hostname,
+  CASE b.bsel WHEN 0 THEN 'zc' ELSE NULL END AS event_id_s,
+  CASE b.bsel WHEN 0 THEN 'wrkactjob' ELSE NULL END AS process_command_line,
+  CASE WHEN b.bsel = 0 THEN b.sip
+    WHEN b.csel = 1 THEN b.sip ELSE NULL END AS host_ip,
+  CASE b.bsel WHEN 0 THEN 'qpadev' || b.eid_s ELSE NULL END AS rule_name,
+  CASE b.bsel WHEN 0 THEN CAST(100000 + (b.event_id % 900000) AS STRING) ELSE NULL END AS rule_id,
+  CASE b.bsel WHEN 0 THEN 'qsecofr' || b.eid_s ELSE NULL END AS user_name,
+  CASE WHEN b.bsel = 1 AND b.csel = 0 THEN 'authentication failure for root'
+    WHEN b.bsel = 1 AND b.csel = 1 THEN 'connection closed host=' || b.sip
+    WHEN b.bsel = 1 THEN 'login succeeded (ip:9.9.2.' || CAST(1 + (b.event_id % 250) AS STRING)
+      || ', service:web)' ELSE NULL END AS event_action,
+  CASE WHEN b.bsel = 1 AND b.csel = 2 THEN '9.9.2.' || CAST(1 + (b.event_id % 250) AS STRING)
+    ELSE NULL END AS source_ip,
+  CASE WHEN b.bsel = 1 AND b.csel = 2 THEN 'web' ELSE NULL END AS service_name
+FROM a4_turns t JOIN a4_base b USING (event_id)""",
 
     "qch01_cpops" ->
       s"""WITH ${Transcripts.chCte}

@@ -2357,6 +2357,53 @@ pod_turns AS (
     spark.sql(s"WITH $podCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pod_turns")
   }
 
+  /** as400.audit + dell.drac corpus. */
+  val a4Cte: String = s"""
+a4_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 2) AS bsel, (event_id % 3) AS csel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase AS mon,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dday,
+    ${hmsOf("ts")} AS t1,
+    LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0') || '-'
+      || LPAD(CAST(EXTRACT(MONTH FROM ts) AS STRING), 2, '0') || '-'
+      || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dpart,
+    LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || '.'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || '.'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS tdot,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 191) = 55
+),
+a4_turns AS (
+  SELECT 'a4_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE bsel
+      WHEN 0 THEN '{name=as400} <' || CAST(pri AS STRING) || '>{"a_date":"' || dpart
+        || '","b_time":"' || tdot
+        || '","c_system":"AS400PROD","d_event":"ZC","e_command":"wrkactjob","f_remote_ip_add":"'
+        || sip || '","g_job_name":"QPADEV' || eid_s || '","h_job_number":"'
+        || CAST(100000 + (event_id % 900000) AS STRING) || '","i_job_user":"qsecofr' || eid_s || '"}'
+      ELSE '<' || CAST(pri AS STRING) || '>' || mon || ' ' || dday || ' ' || t1
+        || ' drac' || CAST(user_id % 9 AS STRING) || ' ' ||
+        CASE csel
+          WHEN 0 THEN 'sshd[123]: pam_unix(sshd:auth): authentication failure for root'
+          WHEN 1 THEN 'sshd[123]: connection closed host=' || sip
+          ELSE 'login[9]: login succeeded (ip:9.9.2.' || CAST(1 + (event_id % 250) AS STRING)
+            || ', service:web)'
+        END
+    END AS text,
+    CASE bsel WHEN 0 THEN 'as400.audit' ELSE 'dell.drac' END AS tool, ts, event_id
+  FROM a4_base
+)"""
+
+  def a4Input(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $a4Cte SELECT conv_id, turn_idx, role, text, tool, ts FROM a4_turns")
+  }
+
   /** checkpoint.fw_audit + hadoop.hms_audit + ansible.audit corpus. */
   val chCte: String = s"""
 ch_base AS (

@@ -103,6 +103,10 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "as400.audit" -> TechnologyConfig("as400.audit", "logs-as400.audit",
+      Vector("elastic"), Set.empty, "low"),
+    "dell.drac" -> TechnologyConfig("dell.drac", "logs-dell.drac",
+      Vector("elastic"), Set.empty, "low"),
     "checkpoint.fw_audit" -> TechnologyConfig("checkpoint.fw_audit",
       "logs-checkpoint.fw_audit", Vector("elastic"), Set.empty, "medium"),
     "hadoop.hms_audit" -> TechnologyConfig("hadoop.hms_audit",
@@ -505,6 +509,8 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "as400.audit" -> WebSecRules.as400Audit,
+    "dell.drac" -> WebSecRules.dellDrac,
     "checkpoint.fw_audit" -> WebSecRules.checkpointOps,
     "hadoop.hms_audit" -> WebSecRules.hmsAudit,
     "ansible.audit" -> WebSecRules.ansibleAudit,

@@ -19,6 +19,65 @@ object WebSecRules {
     Parsed(Seq(ev))
   }
 
+  // ----------------------------------------- as400.audit + dell.drac
+  /** ref syslog_as400_audit.conf — lowercased message, optional
+    * {name=…}/pri header, JSON payload with a_/b_/… prefixed columns, and
+    * a dotted-time "yyyy-MM-dd HH.mm.ss" date built by sprintf. */
+  def as400Audit(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "as400")
+    ev.set("[event][dataset]", "as400.audit")
+    Mutate.lowercase(ev, "message")
+    Grok(ev, "message", Seq(
+      "^(.*?\\{name=.*?\\}(\\s)?)?(<(?<pri>\\d+)>)?(\\s)?(?<actual_msg>.*)$|(^(?<actual_msg>.*)$)"),
+      Seq("_parsefailure_header"))
+    SyslogPri(ev)
+    if (!JsonOps.parse(ev, "actual_msg", "tmp")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.rename("[tmp][a_date]", "date")
+    ev.rename("[tmp][b_time]", "time")
+    ev.rename("[tmp][c_system]", "[host][name]")
+    ev.rename("[tmp][d_event]", "[event][id]")
+    ev.rename("[tmp][e_command]", "[process][command_line]")
+    ev.rename("[tmp][f_remote_ip_add]", "[host][ip]")
+    ev.rename("[tmp][g_job_name]", "[rule][name]")
+    ev.rename("[tmp][h_job_number]", "[rule][id]")
+    ev.rename("[tmp][i_job_user]", "[user][name]")
+    if (ev.has("[host][name]"))
+      Mutate.addField(ev, "[log][source][hostname]", "%{[host][name]}")
+    Mutate.addField(ev, "[event][created]", "%{date} %{time}")
+    if (Dates(ev, "[event][created]", Seq("yyyy-MM-dd HH.mm.ss"),
+      "[event][created_ms]", timezone = "GMT", locale = "en",
+      tagOnFailure = Seq("_dateparsefailure_ec"))) ev.remove("[event][created]")
+    else ev.remove("[event][created]")
+    Seq("actual_msg", "tmp", "date", "time", "[log][original]").foreach(ev.remove(_))
+    Parsed(Seq(ev))
+  }
+
+  /** ref syslog_remote_console.conf (dell.drac) — event.action refined in
+    * place by three sequential dissects. */
+  def dellDrac(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "dell")
+    ev.set("[event][dataset]", "dell.drac")
+    Grok(ev, "message", Seq(Registry.HeaderGrok), Seq("_parsefailure_header"))
+    SyslogPri(ev)
+    Dissect(ev, "actual_msg",
+      "%{[event][created]} %{+[event][created]} %{+[event][created]} %{?data} %{?data}: %{[event][action]}")
+    if (ev.getString("[event][action]").exists(_.contains("sshd:auth")))
+      Dissect(ev, "[event][action]", "%{?data}: %{[event][action]}")
+    if (ev.getString("[event][action]").exists(_.contains("host=")))
+      Dissect(ev, "[event][action]", "%{?data} host=%{[host][ip]}")
+    if (ev.getString("[event][action]").exists(_.contains("ip:")))
+      Dissect(ev, "[event][action]", "%{?data} (ip:%{[source][ip]}, service:%{[service][name]})")
+    if (ev.has("[event][created]")) {
+      Dates(ev, "[event][created]", Seq("MMM dd HH:mm:ss"),
+        "[event][created_ms]", timezone = "GMT",
+        tagOnFailure = Seq("_dateparsefailure_ec"), defaultYear = ctx.tsYear)
+      ev.remove("[event][created]")
+    }
+    ev.remove("actual_msg")
+    Parsed(Seq(ev))
+  }
+
   // ------------------------- checkpoint.fw_audit / hms_audit / ansible
   /** ref syslog_audit_checkpoint.operations.conf — auth-failure grok and
     * illegal-pam dissect branches; no parse_rule is ever set. */

@@ -66,7 +66,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("hxsmall", Transcripts.hxInput), ("beats", Transcripts.baInput),
       ("syncplicity", Transcripts.syInput), ("nistkafka", Transcripts.nkInput),
       ("gheoci", Transcripts.goInput), ("rsagg", Transcripts.rgInput),
-      ("mcas", Transcripts.mcInput), ("cpops", Transcripts.chInput))
+      ("mcas", Transcripts.mcInput), ("cpops", Transcripts.chInput),
+      ("as400", Transcripts.a4Input))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
