@@ -461,6 +461,22 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // oci.vcn flow logs + aix embedded-JSON audit re-dissect
+    "qvx01_vcnaix" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.vxInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("technology"), col("event_module"), col("event_dataset"),
+        col("route_index"), col("cloud_provider"), col("log_source_hostname"),
+        col("event_action"), col("network_bytes"), col("destination_ip"),
+        col("destination_port"), col("network_transport"),
+        col("network_iana_number"), col("network_packets"), col("source_ip"),
+        col("source_port"), col("rule_description"), col("event_ingested_ms"),
+        col("rule_version"), col("event_start_ms"), col("event_type"),
+        col("rule_uuid"), col("event_created_ms"),
+        col("log_syslog_facility_code"), col("log_syslog_severity_code"),
+        col("event_severity"), col("user_name"), col("process_command_line"),
+        col("event_original"))),
+
     // as400 dotted-time JSON audit + dell.drac action-refining dissects
     "qa401_as400" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.a4Input(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -1770,6 +1786,47 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    "qvx01_vcnaix" ->
+      s"""WITH ${Transcripts.vxCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule,
+  CASE b.bsel WHEN 0 THEN 'oci.vcn' ELSE 'aix.rsyslog' END AS technology,
+  CASE b.bsel WHEN 0 THEN 'oci' ELSE 'aix' END AS event_module,
+  CASE b.bsel WHEN 0 THEN 'oci.vcn' ELSE 'aix.rsyslog' END AS event_dataset,
+  'logs-' || (CASE b.bsel WHEN 0 THEN 'oci.vcn' ELSE 'aix.rsyslog' END)
+    || '_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE b.bsel WHEN 0 THEN 'oci' ELSE NULL END AS cloud_provider,
+  CASE b.bsel WHEN 0 THEN 'ocid1.tenancy.t' || CAST(b.user_id % 9 AS STRING)
+    ELSE NULL END AS log_source_hostname,
+  CASE b.bsel WHEN 0 THEN 'accept' ELSE NULL END AS event_action,
+  CASE b.bsel WHEN 0 THEN CAST(b.event_id % 100000 AS BIGINT) ELSE NULL END AS network_bytes,
+  CASE b.bsel WHEN 0 THEN b.dip ELSE NULL END AS destination_ip,
+  CASE b.bsel WHEN 0 THEN CAST(443 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE b.bsel WHEN 0 THEN 'tcp' ELSE NULL END AS network_transport,
+  CASE b.bsel WHEN 0 THEN '6' ELSE NULL END AS network_iana_number,
+  CASE b.bsel WHEN 0 THEN CAST(1 + (b.event_id % 1000) AS BIGINT) ELSE NULL END AS network_packets,
+  CASE b.bsel WHEN 0 THEN b.sip ELSE NULL END AS source_ip,
+  CASE b.bsel WHEN 0 THEN CAST(1024 + (b.event_id % 40000) AS BIGINT) ELSE NULL END AS source_port,
+  CASE b.bsel WHEN 0 THEN 'ok' ELSE NULL END AS rule_description,
+  CASE b.bsel WHEN 0 THEN epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000)
+    ELSE NULL END AS event_ingested_ms,
+  CASE b.bsel WHEN 0 THEN '1.0' ELSE NULL END AS rule_version,
+  CASE b.bsel WHEN 0 THEN epoch_ms(date_trunc('second', t.ts + INTERVAL 67 SECOND)) + (b.event_id % 1000)
+    ELSE NULL END AS event_start_ms,
+  CASE b.bsel WHEN 0 THEN 'com.oraclecloud.vcn.flowlogs' WHEN 1 THEN 'audit' END AS event_type,
+  CASE b.bsel WHEN 0 THEN 'fl' || b.eid_s ELSE NULL END AS rule_uuid,
+  CASE b.bsel WHEN 0 THEN epoch_ms(t.ts)
+    ELSE epoch_ms(date_trunc('second', t.ts)) END AS event_created_ms,
+  CASE b.bsel WHEN 1 THEN CAST(16 + (b.event_id % 8) AS BIGINT) ELSE NULL END AS log_syslog_facility_code,
+  CASE b.bsel WHEN 1 THEN CAST(b.event_id % 5 AS BIGINT) ELSE NULL END AS log_syslog_severity_code,
+  CASE b.bsel WHEN 1 THEN CAST(5 AS BIGINT) ELSE NULL END AS event_severity,
+  CASE b.bsel WHEN 1 THEN 'root' ELSE NULL END AS user_name,
+  CASE b.bsel WHEN 1 THEN '/usr/bin/ls -l ' || b.eid_s ELSE NULL END AS process_command_line,
+  CASE b.bsel WHEN 1 THEN 'audit: ' || lower(b.mon) || ' ' || b.dd2 || ' ' || b.t1
+    || ' ' || b.yr || ' f5 f6 root f8 f9 f10 f11 /usr/bin/ls -l ' || b.eid_s
+    ELSE NULL END AS event_original
+FROM vx_turns t JOIN vx_base b USING (event_id)""",
 
     "qa401_as400" ->
       s"""WITH ${Transcripts.a4Cte}

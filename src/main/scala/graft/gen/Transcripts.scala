@@ -2357,6 +2357,48 @@ pod_turns AS (
     spark.sql(s"WITH $podCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pod_turns")
   }
 
+  /** oci.vcn + aix.rsyslog corpus. */
+  val vxCte: String = s"""
+vx_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 2) AS bsel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase AS mon,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd2,
+    ${hmsOf("ts")} AS t1,
+    LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0') AS yr,
+    ${isoMsOf("ts")} AS iso0,
+    ${isoMsOf("(ts + INTERVAL 67 SECOND)")} AS iso1,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    '172.16.' || CAST(event_id % 100 AS STRING) || '.' || CAST(1 + (user_id % 254) AS STRING) AS dip
+  FROM events WHERE (event_id % 193) = 111
+),
+vx_turns AS (
+  SELECT 'vx_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE bsel
+      WHEN 0 THEN '{"data":{"action":"ACCEPT","bytesOut":' || CAST(event_id % 100000 AS STRING)
+        || ',"destinationAddress":"' || dip || '","destinationPort":443,"protocolName":"tcp","protocol":6,"packets":'
+        || CAST(1 + (event_id % 1000) AS STRING) || ',"sourceAddress":"' || sip
+        || '","sourcePort":' || CAST(1024 + (event_id % 40000) AS STRING)
+        || ',"status":"OK"},"oracle":{"tenantid":"ocid1.tenancy.t' || CAST(user_id % 9 AS STRING)
+        || '","ingestedtime":"' || iso0 || '","loggroupid":"lg1"},"specversion":"1.0","time":"'
+        || iso1 || '","type":"com.oraclecloud.vcn.flowlogs","id":"fl' || eid_s || '"}'
+      ELSE '<' || CAST(pri AS STRING) || '>aixhdr} {"severity":5,"type":"audit","message":"audit: '
+        || mon || ' ' || dd2 || ' ' || t1 || ' ' || yr
+        || ' f5 f6 root f8 f9 f10 f11 /usr/bin/ls -l ' || eid_s || '"}'
+    END AS text,
+    CASE bsel WHEN 0 THEN 'oci.vcn' ELSE 'aix.rsyslog' END AS tool, ts, event_id
+  FROM vx_base
+)"""
+
+  def vxInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $vxCte SELECT conv_id, turn_idx, role, text, tool, ts FROM vx_turns")
+  }
+
   /** as400.audit + dell.drac corpus. */
   val a4Cte: String = s"""
 a4_base AS (

@@ -103,6 +103,10 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "oci.vcn" -> TechnologyConfig("oci.vcn", "logs-oci.vcn",
+      Vector("elastic"), Set.empty, "high"),
+    "aix.rsyslog" -> TechnologyConfig("aix.rsyslog", "logs-aix.rsyslog",
+      Vector("elastic"), Set.empty, "medium"),
     "as400.audit" -> TechnologyConfig("as400.audit", "logs-as400.audit",
       Vector("elastic"), Set.empty, "low"),
     "dell.drac" -> TechnologyConfig("dell.drac", "logs-dell.drac",
@@ -509,6 +513,8 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "oci.vcn" -> WebSecRules.ociVcn,
+    "aix.rsyslog" -> WebSecRules.aixRsyslog,
     "as400.audit" -> WebSecRules.as400Audit,
     "dell.drac" -> WebSecRules.dellDrac,
     "checkpoint.fw_audit" -> WebSecRules.checkpointOps,

@@ -19,6 +19,70 @@ object WebSecRules {
     Parsed(Seq(ev))
   }
 
+  // ----------------------------------------- oci.vcn + aix.rsyslog
+  /** ref api_network_oci.vcn.conf — VCN flow logs. */
+  def ociVcn(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    if (!JsonOps.parse(ev, "message", "vcn")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.set("[cloud][provider]", "oci")
+    ev.set("[event][module]", "oci")
+    ev.set("[event][dataset]", "oci.vcn")
+    Mutate.addField(ev, "[log][source][hostname]", "%{[vcn][oracle][tenantid]}")
+    ev.rename("[vcn][data][action]", "[event][action]")
+    ev.rename("[vcn][data][bytesOut]", "[network][bytes]")
+    ev.rename("[vcn][data][destinationAddress]", "[destination][ip]")
+    ev.rename("[vcn][data][destinationPort]", "[destination][port]")
+    ev.rename("[vcn][data][protocolName]", "[network][transport]")
+    ev.rename("[vcn][data][protocol]", "[network][iana_number]")
+    ev.rename("[vcn][data][packets]", "[network][packets]")
+    ev.rename("[vcn][data][sourceAddress]", "[source][ip]")
+    ev.rename("[vcn][data][sourcePort]", "[source][port]")
+    ev.rename("[vcn][data][status]", "[rule][description]")
+    ev.rename("[vcn][oracle][ingestedtime]", "[event][ingested]")
+    ev.rename("[vcn][oracle][loggroupid]", "[file][gid]")
+    ev.rename("[vcn][specversion]", "[rule][version]")
+    ev.rename("[vcn][time]", "[event][start]")
+    ev.rename("[vcn][type]", "[event][type]")
+    ev.rename("[vcn][id]", "[rule][uuid]")
+    if (Dates(ev, "[event][start]", Seq("ISO8601"), "[event][start_ms]",
+      timezone = "GMT", tagOnFailure = Seq("_dateparsefailure_es")))
+      ev.remove("[event][start]")
+    if (Dates(ev, "[event][ingested]", Seq("ISO8601"), "[event][ingested_ms]",
+      timezone = "GMT", tagOnFailure = Seq("_dateparsefailure_ei")))
+      ev.remove("[event][ingested]")
+    ev.remove("vcn")
+    Parsed(Seq(ev))
+  }
+
+  /** ref syslog_audit_aix_rsyslog.conf — brace-split header, embedded JSON,
+    * whitespace-collapsed + lowercased audit text re-dissected with a
+    * four-token MMM dd HH:mm:ss yyyy date. */
+  def aixRsyslog(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "aix")
+    ev.set("[event][dataset]", "aix.rsyslog")
+    Grok(ev, "message", Seq(Registry.HeaderGrok), Seq("_parsefailure_header"))
+    SyslogPri(ev)
+    Dissect(ev, "actual_msg", "%{?data}} %{rest_message}",
+      tagOnFailure = Seq("_dissectfailure_1"))
+    Mutate.gsub(ev, "rest_message", "\\\\\"", "\"")
+    if (!JsonOps.parse(ev, "rest_message", "tmp")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    Mutate.gsub(ev, "[tmp][message]", "(\\s+)", " ")
+    ev.rename("[tmp][severity]", "[event][severity]")
+    ev.rename("[tmp][type]", "[event][type]")
+    ev.rename("[tmp][message]", "[event][original]")
+    Mutate.lowercase(ev, "[event][original]")
+    Dissect(ev, "[event][original]",
+      "%{?data} %{[event][created]} %{+[event][created]} %{+[event][created]} %{+[event][created]} %{?data} %{?data} %{[user][name]} %{?data} %{?data} %{?data} %{?data} %{[process][command_line]}",
+      tagOnFailure = Seq("_dissectfailure_2"))
+    if (Dates(ev, "[event][created]", Seq("MMM dd HH:mm:ss yyyy"),
+      "[event][created_ms]", timezone = "GMT", locale = "en",
+      tagOnFailure = Seq("_dateparsefailure_ec"))) ev.remove("[event][created]")
+    else ev.remove("[event][created]")
+    Seq("actual_msg", "rest_message", "tmp").foreach(ev.remove(_))
+    Parsed(Seq(ev))
+  }
+
   // ----------------------------------------- as400.audit + dell.drac
   /** ref syslog_as400_audit.conf — lowercased message, optional
     * {name=…}/pri header, JSON payload with a_/b_/… prefixed columns, and
