@@ -461,6 +461,19 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // sap tcodes (compact date, value_header[0] probes, client_pc migrated
+    // to source.address) + riverbed stdout bracketed-line branches
+    "qsp01_sap" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.spInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("technology"), col("event_module"), col("event_dataset"),
+        col("route_index"), col("event_created_ms"), col("event_reason"),
+        col("agent_name"), col("source_ip"), col("source_address"),
+        col("user_name"), col("group_id"), col("process_name"),
+        col("rule_name"), col("rule_id"), col("rule_description"),
+        col("rule_category"), col("host_id"), col("host_hostname"),
+        col("log_source_hostname"), col("log_level"), col("file_path"))),
+
     // oci.vcn flow logs + aix embedded-JSON audit re-dissect
     "qvx01_vcnaix" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.vxInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -1786,6 +1799,38 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    "qsp01_sap" ->
+      s"""WITH ${Transcripts.spCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.bsel WHEN 0 THEN 'rule 1' ELSE 'not parsed' END AS parse_rule,
+  CASE b.bsel WHEN 0 THEN 'sap.t-codes' ELSE 'cisco.riverbed.stdout' END AS technology,
+  CASE b.bsel WHEN 0 THEN 'sap' ELSE 'cisco' END AS event_module,
+  CASE b.bsel WHEN 0 THEN 'sap.t-codes' ELSE 'cisco.riverbed.stdout' END AS event_dataset,
+  'logs-' || (CASE b.bsel WHEN 0 THEN 'sap.t-codes' ELSE 'cisco.riverbed.stdout' END)
+    || '_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.bsel = 0 THEN epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000)
+    WHEN b.csel = 0 THEN epoch_ms(date_trunc('second', t.ts))
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CASE b.bsel WHEN 0 THEN 'logon' ELSE NULL END AS event_reason,
+  CASE b.bsel WHEN 0 THEN 'sapagent' || CAST(b.user_id % 9 AS STRING) ELSE NULL END AS agent_name,
+  CAST(NULL AS STRING) AS source_ip, -- PC-… is not an ip: migrated by 02
+  CASE b.bsel WHEN 0 THEN 'pc-' || b.eid_s ELSE NULL END AS source_address,
+  CASE b.bsel WHEN 0 THEN 'sapu' || b.eid_s ELSE NULL END AS user_name,
+  CASE b.bsel WHEN 0 THEN '100' ELSE NULL END AS group_id,
+  CASE b.bsel WHEN 0 THEN 'sapmsyst' ELSE NULL END AS process_name,
+  CASE b.bsel WHEN 0 THEN 'login screen' ELSE NULL END AS rule_name,
+  CASE b.bsel WHEN 0 THEN 'su01' ELSE NULL END AS rule_id,
+  CASE b.bsel WHEN 0 THEN 'user admin' ELSE NULL END AS rule_description,
+  CASE b.bsel WHEN 0 THEN 'aud' ELSE NULL END AS rule_category,
+  CASE b.bsel WHEN 0 THEN 'prd' ELSE NULL END AS host_id,
+  CASE b.bsel WHEN 0 THEN 'saphost' || b.eid_s ELSE NULL END AS host_hostname,
+  CASE b.bsel WHEN 0 THEN 'saplog' || CAST(b.user_id % 9 AS STRING) ELSE NULL END AS log_source_hostname,
+  CASE WHEN b.bsel = 1 AND b.csel = 1 THEN 'warn'
+    WHEN b.bsel = 1 THEN 'info' ELSE NULL END AS log_level,
+  CASE WHEN b.bsel = 1 AND b.csel = 1 THEN '/etc/rvbd' || b.eid_s || '.conf'
+    ELSE NULL END AS file_path
+FROM sp_turns t JOIN sp_base b USING (event_id)""",
 
     "qvx01_vcnaix" ->
       s"""WITH ${Transcripts.vxCte}

@@ -2357,6 +2357,52 @@ pod_turns AS (
     spark.sql(s"WITH $podCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pod_turns")
   }
 
+  /** sap tcodes + riverbed stdout corpus. */
+  val spCte: String = s"""
+sp_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 2) AS bsel, (event_id % 3) AS csel,
+    $monCase AS mon,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd2,
+    ${hmsOf("ts")} AS t1,
+    LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0') AS yr,
+    LPAD(CAST(EXTRACT(YEAR FROM ts) AS STRING), 4, '0')
+      || LPAD(CAST(EXTRACT(MONTH FROM ts) AS STRING), 2, '0')
+      || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0')
+      || replace(${hmsOf("ts")}, ':', '') || '.'
+      || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') AS compact,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 197) = 13
+),
+sp_turns AS (
+  SELECT 'sp_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE bsel
+      WHEN 0 THEN '{"timestamp":"' || compact
+        || '","reason_id":"LOGON","tags":"sap","agent":{"type":"sapgui","name":"sapagent'
+        || CAST(user_id % 9 AS STRING) || '"},"client_pc":"PC-' || eid_s
+        || '","username":"sapu' || eid_s
+        || '","log_client":"100","edm_data":{"log_sapgui":{"value_header":[{"pprogram":"SAPMSYST","gui_title":"Login Screen","tcode":"SU01"}]}},"trx_name":"user admin","tid":"AUD","sysid":"PRD","technology":"abap","host_name":"saphost'
+        || eid_s || '","log":{"source":{"ip":"' || sip || '","hostname":"saplog'
+        || CAST(user_id % 9 AS STRING) || '"}}}'
+      ELSE CASE csel
+        WHEN 0 THEN 'INFO [Start time: Mon ' || mon || ' ' || dd2 || ' ' || t1
+          || ' UTC ' || yr || ']'
+        WHEN 1 THEN 'WARN [config file:/etc/rvbd' || eid_s || '.conf]'
+        ELSE 'INFO [maintenance task run *** cleanup ' || eid_s || ' done ***]'
+      END
+    END AS text,
+    CASE bsel WHEN 0 THEN 'sap.t-codes' ELSE 'cisco.riverbed.stdout' END AS tool, ts, event_id
+  FROM sp_base
+)"""
+
+  def spInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $spCte SELECT conv_id, turn_idx, role, text, tool, ts FROM sp_turns")
+  }
+
   /** oci.vcn + aix.rsyslog corpus. */
   val vxCte: String = s"""
 vx_base AS (

@@ -103,6 +103,10 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "sap.t-codes" -> TechnologyConfig("sap.t-codes", "logs-sap.t-codes",
+      Vector("elastic"), Set.empty, "low"),
+    "cisco.riverbed.stdout" -> TechnologyConfig("cisco.riverbed.stdout",
+      "logs-cisco.riverbed.stdout", Vector("elastic"), Set.empty, "low"),
     "oci.vcn" -> TechnologyConfig("oci.vcn", "logs-oci.vcn",
       Vector("elastic"), Set.empty, "high"),
     "aix.rsyslog" -> TechnologyConfig("aix.rsyslog", "logs-aix.rsyslog",
@@ -513,6 +517,8 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "sap.t-codes" -> WebSecRules.sapTcodes,
+    "cisco.riverbed.stdout" -> WebSecRules.riverbedStdout,
     "oci.vcn" -> WebSecRules.ociVcn,
     "aix.rsyslog" -> WebSecRules.aixRsyslog,
     "as400.audit" -> WebSecRules.as400Audit,

@@ -19,6 +19,73 @@ object WebSecRules {
     Parsed(Seq(ev))
   }
 
+  // ------------------------------------- sap tcodes + riverbed stdout
+  /** ref api_https_audit_sap_tcodes.conf — compact yyyyMMddHHmmss.SSS date,
+    * [value_header][0] probes, and a non-ip client_pc that the coercion
+    * pass migrates into source.address. */
+  def sapTcodes(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    Seq("event", "host", "log").foreach(ev.remove(_))
+    if (!JsonOps.parse(ev, "message", "tmp")) return failParse(ev)
+    ev.set("[agent][parse_rule]", "Rule 1")
+    ev.set("[event][module]", "sap")
+    ev.set("[event][dataset]", "sap.t-codes")
+    ev.addTag(Mutate.sprintf(ev, "%{[tmp][tags]}"))
+    ev.rename("[tmp][timestamp]", "[event][created]")
+    ev.rename("[tmp][reason_id]", "[event][reason]")
+    ev.rename("[tmp][agent][type]", "[agent][type]")
+    ev.rename("[tmp][agent][name]", "[agent][name]")
+    ev.rename("[tmp][client_pc]", "[source][ip]")
+    ev.rename("[tmp][username]", "[user][name]")
+    ev.rename("[tmp][log_client]", "[group][id]")
+    ev.rename("[tmp][edm_data][log_sapgui][value_header][0][pprogram]", "[process][name]")
+    ev.rename("[tmp][edm_data][log_sapgui][value_header][0][gui_title]", "[rule][name]")
+    ev.rename("[tmp][edm_data][log_sapgui][value_header][0][tcode]", "[rule][id]")
+    ev.rename("[tmp][trx_name]", "[rule][description]")
+    ev.rename("[tmp][tid]", "[rule][category]")
+    ev.rename("[tmp][sysid]", "[host][id]")
+    ev.rename("[tmp][technology]", "[host][os][type]")
+    ev.rename("[tmp][host_name]", "[host][hostname]")
+    ev.rename("[tmp][log][source][ip]", "[log][source][ip]")
+    ev.rename("[tmp][log][source][hostname]", "[log][source][hostname]")
+    Mutate.strip(ev, "[event][created]")
+    if (Dates(ev, "[event][created]", Seq("yyyyMMddHHmmss.SSS"),
+      "[event][created_ms]", timezone = "GMT", locale = "en"))
+      ev.remove("[event][created]")
+    else ev.remove("[event][created]")
+    ev.remove("tmp")
+    Parsed(Seq(ev))
+  }
+
+  /** ref flat_file_audit_riverbed.stdout.conf — three bracketed-line
+    * branches; only the Start/Stop branch assembles a date. */
+  def riverbedStdout(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "cisco")
+    ev.set("[event][dataset]", "cisco.riverbed.stdout")
+    val msg = ev.getString("message").getOrElse("")
+    if (msg.matches(".*(Stop|Start time).*")) {
+      Dissect(ev, "message",
+        "%{[[log][level]]} [%{?data} time: %{[[tmp][weekday]]} %{[[tmp][month]]} %{[[tmp][date]]} %{[[tmp][time]]} %{?data} %{[[tmp][year]]}]",
+        tagOnFailure = Seq("dissectfailure_1"))
+      Mutate.addField(ev, "[event][created]",
+        "%{[tmp][year]} %{[tmp][month]} %{[tmp][date]} %{[tmp][time]}")
+    } else if (msg.contains("file:")) {
+      Dissect(ev, "message",
+        "%{[[log][level]]} [%{?data} file:%{[[file][path]]}]",
+        tagOnFailure = Seq("dissectfailure_2"))
+    } else if (msg.contains("maintenance task")) {
+      Dissect(ev, "message",
+        "%{[[log][level]]} [%{?data}*** %{[[network][log]]} ***]",
+        tagOnFailure = Seq("dissectfailure_3"))
+    }
+    if (ev.has("[event][created]")) {
+      Dates(ev, "[event][created]", Seq("YYYY MMM dd HH:mm:ss"),
+        "[event][created_ms]", timezone = "GMT")
+      ev.remove("[event][created]")
+    }
+    ev.remove("tmp")
+    Parsed(Seq(ev))
+  }
+
   // ----------------------------------------- oci.vcn + aix.rsyslog
   /** ref api_network_oci.vcn.conf — VCN flow logs. */
   def ociVcn(ev: Event, ctx: ParseCtx): ParseOutcome = {

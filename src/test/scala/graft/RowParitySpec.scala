@@ -67,7 +67,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("syncplicity", Transcripts.syInput), ("nistkafka", Transcripts.nkInput),
       ("gheoci", Transcripts.goInput), ("rsagg", Transcripts.rgInput),
       ("mcas", Transcripts.mcInput), ("cpops", Transcripts.chInput),
-      ("as400", Transcripts.a4Input), ("vcnaix", Transcripts.vxInput))
+      ("as400", Transcripts.a4Input), ("vcnaix", Transcripts.vxInput),
+      ("sap", Transcripts.spInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
