@@ -461,6 +461,15 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // entrust mpki kv + cisco.mso fluentd refinement dissects
+    "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("technology"), col("event_module"), col("event_dataset"),
+        col("route_index"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("event_created_ms"),
+        col("user_name"), col("rule_description"))),
+
     // sap tcodes (compact date, value_header[0] probes, client_pc migrated
     // to source.address) + riverbed stdout bracketed-line branches
     "qsp01_sap" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.spInput(s, dir)).toDF()
@@ -1799,6 +1808,26 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    "qmp01_mpki" ->
+      s"""WITH ${Transcripts.mpCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE WHEN b.bsel = 1 AND b.csel = 0 THEN 'rule 1'
+    WHEN b.bsel = 1 AND b.csel = 1 THEN 'rule 2' ELSE 'not parsed' END AS parse_rule,
+  CASE b.bsel WHEN 0 THEN 'entrust.mpki.cmpv2' ELSE 'cisco.mso' END AS technology,
+  CASE b.bsel WHEN 0 THEN 'entrust' ELSE 'cisco' END AS event_module,
+  CASE b.bsel WHEN 0 THEN 'entrust.mpki.cmpv2' ELSE 'cisco.mso' END AS event_dataset,
+  'logs-' || (CASE b.bsel WHEN 0 THEN 'entrust.mpki.cmpv2' ELSE 'cisco.mso' END)
+    || '_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  CASE WHEN b.bsel = 0 THEN 'mu' || b.eid_s
+    WHEN b.csel = 0 THEN 'admin' || b.eid_s ELSE NULL END AS user_name,
+  CASE WHEN b.bsel = 1 AND b.csel = 0 THEN 'failed attempt from console'
+    WHEN b.bsel = 1 AND b.csel = 1 THEN 'audit: log: cleanup' || b.eid_s
+    ELSE NULL END AS rule_description
+FROM mp_turns t JOIN mp_base b USING (event_id)""",
 
     "qsp01_sap" ->
       s"""WITH ${Transcripts.spCte}

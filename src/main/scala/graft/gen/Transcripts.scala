@@ -2357,6 +2357,44 @@ pod_turns AS (
     spark.sql(s"WITH $podCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pod_turns")
   }
 
+  /** entrust mpki + cisco.mso corpus. */
+  val mpCte: String = s"""
+mp_base AS (
+  SELECT event_id, ts, user_id, CAST(event_id AS STRING) AS eid_s,
+    (event_id % 2) AS bsel, (event_id % 3) AS csel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase AS mon,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd2,
+    ${hmsOf("ts")} AS t1,
+    ${spSecOf("ts")} AS d1
+  FROM events WHERE (event_id % 199) = 77
+),
+mp_turns AS (
+  SELECT 'mp_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' ||
+    CASE bsel
+      WHEN 0 THEN d1 || ',srv1 mpki INFO tenant=acme' || eid_s
+        || ' cn=ca-root user=mu' || eid_s
+      ELSE mon || ' ' || dd2 || ' ' || t1 || ' msc-logging-service fluentd: message:' ||
+        CASE csel
+          WHEN 0 THEN '2026-05-01 10:00:01 [auth] svc - User : admin' || eid_s
+            || ' failed attempt from console:rep'
+          WHEN 1 THEN '2026-05-01 10:00:01 [audit] svc - Audit: log: cleanup' || eid_s
+            || 'event:rep'
+          ELSE '2026-05-01 10:00:01 [sys] svc - hostname: node' || eid_s
+        END
+    END AS text,
+    CASE bsel WHEN 0 THEN 'entrust.mpki.cmpv2' ELSE 'cisco.mso' END AS tool, ts, event_id
+  FROM mp_base
+)"""
+
+  def mpInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $mpCte SELECT conv_id, turn_idx, role, text, tool, ts FROM mp_turns")
+  }
+
   /** sap tcodes + riverbed stdout corpus. */
   val spCte: String = s"""
 sp_base AS (

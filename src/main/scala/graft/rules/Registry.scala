@@ -103,6 +103,10 @@ object Registry {
       "logs-aws.securityhub", Vector("elastic"), Set.empty, "low"),
     "a10.proxy" -> TechnologyConfig("a10.proxy", "logs-a10.proxy",
       Vector("elastic"), Set.empty, "medium", jsonCodec = true),
+    "entrust.mpki.cmpv2" -> TechnologyConfig("entrust.mpki.cmpv2",
+      "logs-entrust.mpki.cmpv2", Vector("elastic"), Set.empty, "low"),
+    "cisco.mso" -> TechnologyConfig("cisco.mso", "logs-cisco.mso",
+      Vector("elastic"), Set.empty, "low"),
     "sap.t-codes" -> TechnologyConfig("sap.t-codes", "logs-sap.t-codes",
       Vector("elastic"), Set.empty, "low"),
     "cisco.riverbed.stdout" -> TechnologyConfig("cisco.riverbed.stdout",
@@ -517,6 +521,8 @@ object Registry {
     "proofpoint.trap" -> DbRules.proofpointTrap,
     "aws.securityhub" -> SecRules.awsSecurityhub,
     "a10.proxy" -> EdgeRules.a10Proxy,
+    "entrust.mpki.cmpv2" -> WebSecRules.mpkiCmpv2,
+    "cisco.mso" -> WebSecRules.ciscoMso,
     "sap.t-codes" -> WebSecRules.sapTcodes,
     "cisco.riverbed.stdout" -> WebSecRules.riverbedStdout,
     "oci.vcn" -> WebSecRules.ociVcn,

@@ -19,6 +19,62 @@ object WebSecRules {
     Parsed(Seq(ev))
   }
 
+  // ------------------------------------ entrust mpki + cisco.mso
+  /** ref syslog_audit_mpki.cmpv2.conf. */
+  def mpkiCmpv2(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "entrust")
+    ev.set("[event][dataset]", "entrust.mpki.cmpv2")
+    Grok(ev, "message", Seq(Registry.HeaderGrok), Seq("_parsefailure_header"))
+    SyslogPri(ev)
+    Dissect(ev, "actual_msg",
+      "%{[[event][created]]->} %{+[[event][created]]},%{?data} %{?data} %{?data} %{rest_msg}")
+    Seq("[\"]", "[']", "[\\[]", "[\\]]").foreach(p => Mutate.gsub(ev, "rest_msg", p, ""))
+    Kv(ev, "rest_msg", ' ', '=', target = "mpki", trimKey = " ")
+    ev.rename("[mpki][tenant]", "[organization][name]")
+    ev.rename("[mpki][cn]", "[tls][client][issuer]")
+    ev.rename("[mpki][user]", "[user][name]")
+    ev.rename("[host][name]", "[log][source][hostname]")
+    Seq("mpki", "rest_msg", "actual_msg").foreach(ev.remove(_))
+    if (Dates(ev, "[event][created]", Seq("yyyy-MM-dd HH:mm:ss"),
+      "[event][created_ms]", timezone = "GMT", locale = "en"))
+      ev.remove("[event][created]")
+    else ev.remove("[event][created]")
+    Parsed(Seq(ev))
+  }
+
+  /** ref syslog_audit_cisco.mso.conf — fluentd-wrapped lines with two
+    * refinement dissects (failed-attempt user split; triple-append audit
+    * description cut at "event:"). */
+  def ciscoMso(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.set("[event][module]", "cisco")
+    ev.set("[event][dataset]", "cisco.mso")
+    Grok(ev, "message", Seq(Registry.HeaderGrok), Seq("_parsefailure_header"))
+    SyslogPri(ev)
+    Dissect(ev, "actual_msg",
+      "%{[[event][created]]->} %{+[[event][created]]} %{+[[event][created]]} msc-logging-service fluentd: message:%{mso}",
+      tagOnFailure = Seq("_dissect_failure_1"))
+    if (ev.has("[event][created]")) {
+      Dates(ev, "[event][created]", Seq("MMM dd HH:mm:ss"),
+        "[event][created_ms]", timezone = "GMT", locale = "en",
+        defaultYear = ctx.tsYear)
+      ev.remove("[event][created]")
+    }
+    val mso = ev.getString("mso").getOrElse("")
+    if (mso.contains("failed attempt")) {
+      Mutate.addField(ev, "[agent][parse_rule]", "RULE 1")
+      Dissect(ev, "mso",
+        "%{?date} %{?date} [%{?somedata}] %{?somedata} - User : %{[[user][name]]} %{[[rule][description]]}:%{?repeated_msg}",
+        tagOnFailure = Seq("_dissect_failure_2"))
+    } else if (!mso.contains("hostname:")) {
+      Mutate.addField(ev, "[agent][parse_rule]", "RULE 2")
+      Dissect(ev, "mso",
+        "%{?date} %{?date} [%{?somedata}] %{?somedata} - %{[[rule][description]]}: %{+[[rule][description]]}: %{+[[rule][description]]}event:%{?repeated_msg}",
+        tagOnFailure = Seq("_dissect_failure_3"))
+    }
+    Seq("rest_msg", "mso", "actual_msg").foreach(ev.remove(_))
+    Parsed(Seq(ev))
+  }
+
   // ------------------------------------- sap tcodes + riverbed stdout
   /** ref api_https_audit_sap_tcodes.conf — compact yyyyMMddHHmmss.SSS date,
     * [value_header][0] probes, and a non-ip client_pc that the coercion

@@ -68,7 +68,7 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("gheoci", Transcripts.goInput), ("rsagg", Transcripts.rgInput),
       ("mcas", Transcripts.mcInput), ("cpops", Transcripts.chInput),
       ("as400", Transcripts.a4Input), ("vcnaix", Transcripts.vxInput),
-      ("sap", Transcripts.spInput))
+      ("sap", Transcripts.spInput), ("mpki", Transcripts.mpInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
