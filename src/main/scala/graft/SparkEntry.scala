@@ -461,6 +461,35 @@ px AS (
         col("event_created_ms"), col("event_module"), col("event_dataset"),
         col("route_index"))),
 
+    // citrix.netscaler end-to-end: the largest reference conf (681 lines) —
+    // header grok + pri, two-stage dissect, classification translate, and the
+    // 18-rule kind ladder incl. its mirrored accidents (always-failing RULE 5
+    // dissect-with-grok-syntax, `{?starting_data}` literals, RULE 7 user_dom
+    // grok failure, RULE 7 recv/send byte swap, RULE 15 stacked parse_rule)
+    "qnt01_netscaler" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ntInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("event_kind"), col("event_category"),
+        col("event_type"), col("source_address"), col("source_ip"),
+        col("source_port"), col("destination_ip"), col("destination_port"),
+        col("network_protocol"), col("source_nat_ip"), col("source_nat_port"),
+        col("server_ip"), col("server_port"), col("source_bytes"),
+        col("destination_bytes"), col("event_start_ms"), col("event_end_ms"),
+        col("event_created_ms"), col("event_reason"), col("event_action"),
+        col("event_outcome"), col("event_code"), col("event_sequence"),
+        col("event_duration"), col("rule_name"), col("rule_description"),
+        col("group_name"), col("group_id"), col("source_user_name"),
+        col("source_user_domain"), col("trace_id"), col("url_full"),
+        col("url_domain"), col("http_request_method"),
+        col("http_request_referrer"), col("http_response_status_code"),
+        col("user_agent_name"), col("event_id_s"), col("host_serial"),
+        col("http_cookie_name"), col("service_type"), col("service_name"),
+        col("error_code"), col("event_risk_score"), col("client_ip"),
+        col("destination_address"), col("process_command_line"),
+        col("log_syslog_facility_code"), col("log_syslog_severity_code"),
+        col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -1808,6 +1837,131 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.proxy_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM a10_turns t JOIN a10_base b USING (event_id)
 WHERE b.asel <> 0""",
+
+    // ksel→branch map mirrors the generator CTE; parse_ok=0 rows are the
+    // conf's own always-failing dissects/groks (RULE 3 double-dissect, RULE 4
+    // LOGIN_FAILED `{?starting_data}`, RULE 5 grok-in-dissect, RULE 7
+    // user_dom, RULE 18 OCSP broken nesting); events are RULE-1-dropped at
+    // ksel 0 (absent here). e03 stamps created for every row (the conf
+    // removes [event][created]); iana port dict backfills https from 443
+    // except ACL, whose broken `%{[network][protocol]- Type ...}` token
+    // occupies the protocol path with a subtree.
+    "qnt01_netscaler" ->
+      s"""WITH ${Transcripts.ntCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.ksel IN (6,8,9,15,25) THEN 0 ELSE 1 END AS parse_ok_i,
+  'citrix.netscaler' AS technology,
+  CASE WHEN b.ksel IN (1,2,3) THEN 'rule 2 (tcp)'
+    WHEN b.ksel IN (4,5,6) THEN 'rule 3 (ica)'
+    WHEN b.ksel IN (7,8) THEN 'rule 4 (aaa)'
+    WHEN b.ksel = 9 THEN 'rule 5 (dns-ssli)'
+    WHEN b.ksel IN (10,11,12,13) THEN 'rule 6 (sslvpn)'
+    WHEN b.ksel IN (14,15) THEN 'rule 7 (aaatm)'
+    WHEN b.ksel = 16 THEN 'rule 8 (acl)'
+    WHEN b.ksel = 17 THEN 'rule 9 (alg)'
+    WHEN b.ksel = 18 THEN 'rule 10 (subscriber)'
+    WHEN b.ksel = 19 THEN 'rule 11 (urlfilt)'
+    WHEN b.ksel = 20 THEN 'rule 12 (ci)'
+    WHEN b.ksel = 21 THEN 'rule 15 (cmd_execute),rule 3'
+    WHEN b.ksel = 22 THEN 'rule 16 (bot)'
+    WHEN b.ksel = 23 THEN 'rule 17 (cvpn)'
+    WHEN b.ksel IN (24,25) THEN 'rule 18 (ssllog)'
+    ELSE 'rule 18 (others)' END AS parse_rule,
+  'citrix' AS event_module, 'citrix.netscaler' AS event_dataset,
+  CASE WHEN b.ksel IN (1,2,3) THEN 'tcp' WHEN b.ksel IN (4,5,6) THEN 'ica'
+    WHEN b.ksel IN (7,8) THEN 'aaa' WHEN b.ksel = 9 THEN 'dns'
+    WHEN b.ksel IN (10,11,12,13) THEN 'sslvpn'
+    WHEN b.ksel IN (14,15) THEN 'aaatm' WHEN b.ksel = 16 THEN 'acl'
+    WHEN b.ksel = 17 THEN 'alg' WHEN b.ksel = 18 THEN 'subscriber'
+    WHEN b.ksel = 19 THEN 'urlfilt' WHEN b.ksel = 20 THEN 'ci'
+    WHEN b.ksel = 21 THEN 'cli' WHEN b.ksel = 22 THEN 'bot'
+    WHEN b.ksel = 23 THEN 'cvpn' WHEN b.ksel IN (24,25) THEN 'ssllog'
+    ELSE 'appfw' END AS event_kind,
+  CASE WHEN b.ksel IN (1,2,4,5,6,7,12,13,21,24) THEN 'audit/information'
+    WHEN b.ksel = 8 THEN 'audit/authentication failure'
+    WHEN b.ksel IN (10,11) THEN 'audit/authentication success'
+    ELSE 'others' END AS event_category,
+  CASE b.ksel WHEN 1 THEN 'conn_terminate' WHEN 2 THEN 'conn_delink'
+    WHEN 3 THEN 'nat_conn_delink' WHEN 4 THEN 'message' WHEN 5 THEN 'message'
+    WHEN 6 THEN 'session_update' WHEN 7 THEN 'extracted_groups'
+    WHEN 8 THEN 'login_failed' WHEN 9 THEN 'query_resp' WHEN 10 THEN 'login'
+    WHEN 11 THEN 'logout' WHEN 12 THEN 'httprequest'
+    WHEN 13 THEN 'icaend_connstat' WHEN 14 THEN 'tcpstat'
+    WHEN 15 THEN 'natstat' WHEN 16 THEN 'deny' WHEN 17 THEN 'sip_event'
+    WHEN 18 THEN 'session_event' WHEN 19 THEN 'url_filtered'
+    WHEN 20 THEN 'icap_log' WHEN 21 THEN 'cmd_executed' WHEN 22 THEN 'bot_sig'
+    WHEN 23 THEN 'rewrite' WHEN 24 THEN 'ssl_handshake_success'
+    WHEN 25 THEN 'ssl_ocspurl_resolve_success'
+    ELSE 'appfw_violation' END AS event_type,
+  CASE WHEN b.ksel IN (4,19) THEN 'cli' || b.uid_s ELSE b.hostv END AS source_address,
+  CASE WHEN b.ksel IN (1,2,3,4,10,11,12,13,14,16,20) THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel IN (1,2,3,4,13,14,16,20) THEN CAST(50123 AS BIGINT) ELSE NULL END AS source_port,
+  CASE WHEN b.ksel IN (1,2,3,4,10,11,12,13,14,16,20) THEN '10.9.8.7'
+    WHEN b.ksel = 21 THEN '10.2.3.4' ELSE NULL END AS destination_ip,
+  CASE WHEN b.ksel IN (1,2,3,4,10,11,12,13,14,16,20) THEN CAST(443 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE WHEN b.ksel IN (1,2,3,4,10,11,12,13,14,20) THEN 'https' ELSE NULL END AS network_protocol,
+  CASE WHEN b.ksel IN (2,10,11,15) THEN '10.5.5.5' ELSE NULL END AS source_nat_ip,
+  CASE WHEN b.ksel = 2 THEN CAST(4040 AS BIGINT) ELSE NULL END AS source_nat_port,
+  CASE WHEN b.ksel IN (2,14,15) THEN '10.7.7.7'
+    WHEN b.ksel = 20 THEN '10.5.5.5' ELSE NULL END AS server_ip,
+  CASE WHEN b.ksel IN (2,14,15) THEN CAST(8443 AS BIGINT)
+    WHEN b.ksel = 20 THEN CAST(1344 AS BIGINT) ELSE NULL END AS server_port,
+  CASE WHEN b.ksel IN (1,2,3,11,13) THEN CAST(1500 AS BIGINT)
+    WHEN b.ksel = 14 THEN CAST(98000 AS BIGINT) ELSE NULL END AS source_bytes,
+  CASE WHEN b.ksel IN (1,2,3,11,13) THEN CAST(98000 AS BIGINT)
+    WHEN b.ksel = 14 THEN CAST(1500 AS BIGINT) ELSE NULL END AS destination_bytes,
+  CASE WHEN b.ksel IN (1,3,4,11,12,13,14) THEN epoch_ms(date_trunc('second', t.ts)) ELSE NULL END AS event_start_ms,
+  CASE WHEN b.ksel IN (1,2,3,11,13,14) THEN epoch_ms(date_trunc('second', t.ts + INTERVAL 60 SECOND)) ELSE NULL END AS event_end_ms,
+  epoch_ms(t.ts) AS event_created_ms,
+  CASE WHEN b.ksel = 3 THEN 'timeout' WHEN b.ksel IN (11,14) THEN 'explicit' ELSE NULL END AS event_reason,
+  CASE WHEN b.ksel = 16 THEN 'deny' WHEN b.ksel = 19 THEN 'block'
+    WHEN b.ksel = 22 THEN 'bot_sig_matched' ELSE NULL END AS event_action,
+  CASE WHEN b.ksel = 21 THEN 'success' ELSE NULL END AS event_outcome,
+  CASE WHEN b.ksel = 4 THEN '0' WHEN b.ksel = 16 THEN '16' ELSE NULL END AS event_code,
+  CASE WHEN b.ksel = 16 THEN '5' ELSE NULL END AS event_sequence,
+  CASE WHEN b.ksel = 14 THEN '180' WHEN b.ksel = 15 THEN '240'
+    WHEN b.ksel = 16 THEN '1670000000' ELSE NULL END AS event_duration,
+  CASE WHEN b.ksel = 4 THEN 'nsepa' || b.eid_s
+    WHEN b.ksel = 16 THEN 'acl' || CAST(b.event_id % 40 AS STRING) ELSE NULL END AS rule_name,
+  CASE WHEN b.ksel = 5 THEN 'session cleanup for user usr' || b.uid_s
+    WHEN b.ksel = 23 THEN 'html_url /portal/x' || b.uid_s || ':pcre_error 42'
+    WHEN b.ksel = 26 THEN 'profile violation starturl for req' || b.eid_s
+    ELSE NULL END AS rule_description,
+  CASE WHEN b.ksel = 7 THEN 'grp' || b.uid_s
+    WHEN b.ksel IN (10,11,12,14) THEN 'staff' || b.u5
+    WHEN b.ksel = 19 THEN 'streaming' ELSE NULL END AS group_name,
+  CASE WHEN b.ksel = 19 THEN '12' ELSE NULL END AS group_id,
+  CASE WHEN b.ksel IN (4,10,11,12,13,14) THEN 'usr' || b.uid_s
+    WHEN b.ksel = 21 THEN 'admin' || b.uid_s ELSE NULL END AS source_user_name,
+  CASE WHEN b.ksel = 13 THEN 'dom' || CAST(b.user_id % 9 AS STRING) ELSE NULL END AS source_user_domain,
+  CASE WHEN b.ksel IN (10,12) THEN 'sid' || b.eid_s
+    WHEN b.ksel = 13 THEN 'conn' || b.eid_s
+    WHEN b.ksel = 18 THEN 'sess' || b.eid_s ELSE NULL END AS trace_id,
+  CASE WHEN b.ksel = 12 THEN 'http://portal' || b.uid_s || '/home'
+    WHEN b.ksel = 19 THEN 'http://ex' || b.uid_s || '/p'
+    WHEN b.ksel = 23 THEN '/portal/x' || b.uid_s ELSE NULL END AS url_full,
+  CASE WHEN b.ksel = 20 THEN 'intra' || b.uid_s ELSE NULL END AS url_domain,
+  CASE WHEN b.ksel = 12 THEN 'get' ELSE NULL END AS http_request_method,
+  CASE WHEN b.ksel = 12 THEN 'http://ref' || b.uid_s ELSE NULL END AS http_request_referrer,
+  CASE WHEN b.ksel = 20 THEN CAST(200 AS BIGINT) ELSE NULL END AS http_response_status_code,
+  CASE WHEN b.ksel = 10 THEN 'mozilla' ELSE NULL END AS user_agent_name,
+  CASE WHEN b.ksel = 4 THEN 'guid' || b.eid_s
+    WHEN b.ksel = 6 THEN 'g' || b.eid_s ELSE NULL END AS event_id_s,
+  CASE WHEN b.ksel = 6 THEN 'sn' || b.eid_s ELSE NULL END AS host_serial,
+  CASE WHEN b.ksel = 6 THEN 'ck' || b.eid_s ELSE NULL END AS http_cookie_name,
+  CASE WHEN b.ksel = 20 THEN 'reqmod' ELSE NULL END AS service_type,
+  CASE WHEN b.ksel = 20 THEN 'av_scan' ELSE NULL END AS service_name,
+  CASE WHEN b.ksel = 23 THEN '42' ELSE NULL END AS error_code,
+  CASE WHEN b.ksel = 19 THEN CAST(85 AS BIGINT) ELSE NULL END AS event_risk_score,
+  CASE WHEN b.ksel = 14 THEN b.sip ELSE NULL END AS client_ip,
+  CASE WHEN b.ksel = 4 THEN 'srv' || b.uid_s
+    WHEN b.ksel = 19 THEN 'dst' || b.uid_s ELSE NULL END AS destination_address,
+  CASE WHEN b.ksel = 21 THEN 'show run all' ELSE NULL END AS process_command_line,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-citrix.netscaler_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM nt_turns t JOIN nt_base b USING (event_id)
+WHERE b.ksel <> 0""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

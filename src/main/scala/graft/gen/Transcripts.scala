@@ -2995,6 +2995,110 @@ mf_turns AS (
   def ehnInput(spark: SparkSession, sfDir: String): DataFrame = ehInputOf(ehnCte, "ehn_turns")(spark, sfDir)
   def ehsInput(spark: SparkSession, sfDir: String): DataFrame = ehInputOf(ehsCte, "ehs_turns")(spark, sfDir)
 
+  /** Portable "MM/dd/yyyy:HH:mm:ss" netscaler wall-clock render of a
+    * timestamp expression (Spark + DuckDB EXTRACT only). */
+  private def mdyClock(tsExpr: String): String =
+    s"LPAD(CAST(EXTRACT(MONTH FROM $tsExpr) AS STRING), 2, '0') || '/'" +
+      s" || LPAD(CAST(EXTRACT(DAY FROM $tsExpr) AS STRING), 2, '0') || '/'" +
+      s" || CAST(EXTRACT(YEAR FROM $tsExpr) AS STRING) || ':'" +
+      s" || LPAD(CAST(EXTRACT(HOUR FROM $tsExpr) AS STRING), 2, '0') || ':'" +
+      s" || LPAD(CAST(EXTRACT(MINUTE FROM $tsExpr) AS STRING), 2, '0') || ':'" +
+      s" || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM $tsExpr)) AS INT) AS STRING), 2, '0')"
+
+  /** citrix.netscaler — the largest reference conf (681 lines, 18-rule
+    * ladder; syslog_audit_citrix.netscaler.conf). One corpus member per
+    * exercised branch: ksel (quotient selector, coprime with the %23 event
+    * filter) picks the feature kind + classification; timestamps appear as
+    * the netscaler "MM/dd/yyyy:HH:mm:ss GMT" wall-clock derived from ts.
+    * ksel 0 is the RULE 1 empty-body drop. */
+  val ntCte: String = s"""
+nt_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 50 AS STRING) AS uid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 23) AS INT) % 27 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    'ns-' || CAST(user_id % 20 AS STRING) AS hostv,
+    ${mdyClock("ts")} AS t1,
+    ${mdyClock("ts + INTERVAL 60 SECOND")} AS t2,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 23) = 7
+),
+nt_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 1 THEN 'TCP CONN_TERMINATE'
+      WHEN 2 THEN 'TCP CONN_DELINK'
+      WHEN 3 THEN 'TCP NAT_CONN_DELINK'
+      WHEN 4 THEN 'ICA Message' WHEN 5 THEN 'ICA Message'
+      WHEN 6 THEN 'ICA SESSION_UPDATE'
+      WHEN 7 THEN 'AAA EXTRACTED_GROUPS' WHEN 8 THEN 'AAA LOGIN_FAILED'
+      WHEN 9 THEN 'DNS QUERY_RESP'
+      WHEN 10 THEN 'SSLVPN LOGIN' WHEN 11 THEN 'SSLVPN LOGOUT'
+      WHEN 12 THEN 'SSLVPN HTTPREQUEST' WHEN 13 THEN 'SSLVPN ICAEND_CONNSTAT'
+      WHEN 14 THEN 'AAATM TCPSTAT' WHEN 15 THEN 'AAATM NATSTAT'
+      WHEN 16 THEN 'ACL DENY' WHEN 17 THEN 'ALG SIP_EVENT'
+      WHEN 18 THEN 'SUBSCRIBER SESSION_EVENT' WHEN 19 THEN 'URLFILT URL_FILTERED'
+      WHEN 20 THEN 'CI ICAP_LOG' WHEN 21 THEN 'CLI CMD_EXECUTED'
+      WHEN 22 THEN 'BOT BOT_SIG' WHEN 23 THEN 'CVPN REWRITE'
+      WHEN 24 THEN 'SSLLOG SSL_HANDSHAKE_SUCCESS'
+      WHEN 25 THEN 'SSLLOG SSL_OCSPURL_RESOLVE_SUCCESS'
+      ELSE 'APPFW APPFW_VIOLATION'
+    END AS kindcls,
+    CASE ksel
+      WHEN 1 THEN ' Source ' || sip || ':50123 - Destination 10.9.8.7:443 - Start Time ' || t1 || ' GMT - End Time ' || t2 || ' GMT - Total_bytes_send 1500 - Total_bytes_recv 98000'
+      WHEN 2 THEN ' Source ' || sip || ':50123 - Vserver 10.7.7.7:8443 - NatIP 10.5.5.5:4040 - Destination 10.9.8.7:443 - Delink Time ' || t2 || ' GMT - Total_bytes_send 1500 - Total_bytes_recv 98000'
+      WHEN 3 THEN ' Source ' || sip || ':50123 - Destination 10.9.8.7:443 - NatIP 10.5.5.5:4040 - Destination 10.9.8.7:443 - Start Time ' || t1 || ' GMT -End Time ' || t2 || ' GMT - Total_bytes_send 1500 - total_bytes_recv 98000 - ClosureReason timeout'
+      WHEN 4 THEN ' nsepa' || eid_s || ':x Session GUID [guid' || eid_s || '], Client IP/Port [' || sip || '/50123], Server IP/Port [10.9.8.7/443], User [usr' || uid_s || '], Server [srv' || uid_s || '], Client [cli' || uid_s || '], Session setup time [' || t1 || ' GMT], Skip Code [0]'
+      WHEN 5 THEN 'session cleanup for user usr' || uid_s
+      WHEN 6 THEN ' session_guid g' || eid_s || ' - device_serial_number sn' || eid_s || ' - client_cookie ck' || eid_s || ' - flags f - nsica_session_status up'
+      WHEN 7 THEN ' Extracted_groups grp' || uid_s
+      WHEN 8 THEN 'User usr' || uid_s || ' - Client_ip ' || sip || ' - Failure_reason bad_pass - Browser chrome'
+      WHEN 9 THEN 'query resp data ' || eid_s
+      WHEN 10 THEN 'SessionId: sid' || eid_s || ' - User usr' || uid_s || ' - Client_ip ' || sip || ' - Nat_ip 10.5.5.5 - Vserver 10.9.8.7:443 - Browser_type mozilla - SSLVPN_client_type agent - Group(s) staff' || u5
+      WHEN 11 THEN 'User usr' || uid_s || ' - Client_ip ' || sip || ' - Nat_ip 10.5.5.5 - Vserver 10.9.8.7:443 - Start_time ' || t1 || ' GMT - End_time ' || t2 || ' GMT - Duration 180  - Http_resources_accessed 4 - Total_TCP_connections 2 - Total_policies_allowed 3 - Total_policies_denied 1 - Total_bytes_send 1500 - Total_bytes_recv 98000 - Total_compressedbytes_send 700 - Total_compressedbytes_recv 4000 - Compression_ratio_send 2.1 - Compression_ratio_recv 24.5 - LogoutMethod Explicit - Group(s) staff' || u5
+      WHEN 12 THEN 'Context usr' || uid_s || '@' || sip || ' - SessionId: sid' || eid_s || '- http://portal' || uid_s || '/home User usr' || uid_s || ' : Group(s) staff' || u5 || ' : Vserver 10.9.8.7:443 - ' || t1 || ' GMT : SSO is ON : GET http://ref' || uid_s || ' -NA'
+      WHEN 13 THEN ' Source ' || sip || ':50123 - Destination 10.9.8.7:443 - customername  - username:domainname usr' || uid_s || ':dom' || CAST(user_id % 9 AS STRING) || ' - startTime ' || t1 || ' GMT - endTime ' || t2 || ' GMT - Duration 180  - Total_bytes_send 1500 - Total_bytes_recv 98000 - Total_compressedbytes_send 700 - Total_compressedbytes_recv 4000 - Compression_ratio_send 2.1 - Compression_ratio_recv 24.5 - connectionId conn' || eid_s || ' - Total_bytes_wire_send 1600 - Total_bytes_wire_recv 99000'
+      WHEN 14 THEN 'User usr' || uid_s || ' - Client_ip ' || sip || ' - Vserver 10.7.7.7:8443 - Source ' || sip || ':50123 - Destination 10.9.8.7:443 - Start_time ' || t1 || ' GMT - End_time ' || t2 || ' GMT - Duration 180 - Total_bytes_send 1500 - Total_bytes_recv 98000 - LogoutMethod Explicit - Group(s) staff' || u5
+      WHEN 15 THEN 'username:domainname usr' || uid_s || ':dom3 - Vserver 10.7.7.7:8443 - Nat_ip 10.5.5.5 - Duration 240'
+      WHEN 16 THEN ' Source ' || sip || ':50123 -> Destination 10.9.8.7:443 Protocol tcp - Code 16 Timestamp 1670000000 - Hit count 5 - Hit Rule acl' || CAST(event_id % 40 AS STRING) || ' - Action deny - Data'
+      WHEN 17 THEN 'Source_IP:' || sip || '-Errmsg:bad_call'
+      WHEN 18 THEN ' Session sess' || eid_s
+      WHEN 19 THEN ' Source cli' || uid_s || ' - Destination dst' || uid_s || ' URL http://ex' || uid_s || '/p - Category 12 - Categorygroup streaming - Reputation 85 - Policyaction block'
+      WHEN 20 THEN ' Source ' || sip || ':50123 - Destination 10.9.8.7:443 - Domain intra' || uid_s || ' - Content - Type application ICAPServer 10.5.5.5:1344 - Mode reqmod Service av_scan Response200 - Action allow'
+      WHEN 21 THEN 'User admin' || uid_s || ' - Remote_ip 10.2.3.4 - Command show run all - Status success'
+      WHEN 22 THEN 'bot_sig_matched. URL:http://bx LogMsg:captcha_served'
+      WHEN 23 THEN 'HTML_URL /portal/x' || uid_s || ':PCRE_ERROR 42'
+      WHEN 24 THEN 'ServerIP:10.9.8.7-ServerPort:443-SubjectName:cn=web' || uid_s || '-IssuerName:ca' || uid_s
+      WHEN 25 THEN 'Domainname d' || uid_s || ' Ipaddress 10.1.1.1'
+      ELSE 'profile violation starturl for req' || eid_s
+    END AS rest
+  FROM nt_base
+),
+nt_line AS (
+  SELECT *,
+    CASE WHEN ksel = 0 THEN ''
+      ELSE t1 || ' GMT ' || hostv || ' 0-ppe-' || CAST(event_id % 4 AS STRING)
+        || ' : default ' || kindcls || ' ' || eid_s || ' 0 : ' || rest
+    END AS line
+  FROM nt_body
+),
+nt_turns AS (
+  SELECT 'nt_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || line AS text,
+    'citrix.netscaler' AS tool, ts, event_id
+  FROM nt_line
+)"""
+
+  def ntInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ntCte SELECT conv_id, turn_idx, role, text, tool, ts FROM nt_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -374,6 +374,12 @@ object Engine {
       threat_list_event_info = s("[threat][list][event_info]"),
       threat_list_object_relation = s("[threat][list][object_relation]"),
       threat_list_comment = s("[threat][list][comment]"),
-      threat_framework = s("[threat][framework]"))
+      threat_framework = s("[threat][framework]"),
+      source_user_name = s("[source][user][name]"),
+      group_name = s("[group][name]"),
+      server_ip = s("[server][ip]"),
+      server_port = l("[server][port]"),
+      source_nat_port = l("[source][nat][port]"),
+      host_serial = s("[host][serial]"))
   }
 }

@@ -433,6 +433,12 @@ object RowKernel {
     s("[threat][list][object_relation]")
     s("[threat][list][comment]")
     s("[threat][framework]")
+    s("[source][user][name]")
+    s("[group][name]")
+    s("[server][ip]")
+    l("[server][port]")
+    l("[source][nat][port]")
+    s("[host][serial]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -215,6 +215,8 @@ object Registry {
       Vector("elastic"), Set.empty, "low"),
     "azure.interactivesignin" -> TechnologyConfig("azure.interactivesignin",
       "logs-azure.interactivesignin", Vector("elastic"), Set.empty, "high"),
+    "citrix.netscaler" -> TechnologyConfig("citrix.netscaler",
+      "logs-citrix.netscaler", Vector("elastic"), Set.empty, "high"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -577,6 +579,7 @@ object Registry {
     "azure.securityincident" -> EventHubRules.ehSecurityincident,
     "azure.anomalies" -> EventHubRules.ehAnomalies,
     "azure.interactivesignin" -> EventHubRules.ehInteractiveSignin,
+    "citrix.netscaler" -> NetscalerRules.netscaler,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =
