@@ -490,6 +490,53 @@ px AS (
         col("log_syslog_facility_code"), col("log_syslog_severity_code"),
         col("route_index"))),
 
+    // juniper pulse_secure.vpn: wide preamble dissect + 20-rule description
+    // ladder + stacked classification ladder (RULE 17-27), incl. the
+    // case-sensitivity trap (gate (?i) vs classification exact-case) and the
+    // never-matching RULE 3 `hello%{msg}` dissect
+    "qjp01_pulse" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.jpInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("rule_category"), col("event_code"),
+        col("event_type"), col("event_action"), col("event_outcome"),
+        col("event_id_s"), col("rule_description"), col("source_address"),
+        col("source_ip"), col("source_user_name"), col("source_mac"),
+        col("server_user_id"), col("trace_id"), col("destination_ip"),
+        col("url_full"), col("source_nat_ip"), col("host_name"),
+        col("user_id"), col("user_agent_name"), col("ua_os_version"),
+        col("ua_os_name"), col("event_duration"), col("source_bytes"),
+        col("destination_bytes"), col("group_name"), col("source_user_roles"),
+        col("tls_client_subject"), col("event_created_ms"),
+        col("log_syslog_facility_code"), col("log_syslog_severity_code"),
+        col("route_index"))),
+
+    // tanium.events: JSON decode + four-way Intel-Type branch (signal/
+    // reputation renames + six-level ancestry chain, asset inventory,
+    // openioc finding, Custom-Tags fallback); 'not parsed' default
+    // parse_rule is the conf's own behavior (it never sets one)
+    "qtn01_tanium" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.tnInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("event_type"), col("event_id_s"),
+        col("rule_name"), col("host_hostname"), col("host_name"),
+        col("source_ip"), col("source_nat_ip"), col("host_ip"),
+        col("host_os_name"), col("host_os_family"), col("host_os_version"),
+        col("host_serial"), col("host_domain"), col("host_mac"),
+        col("host_model"), col("host_manufacturer"), col("observer_hostname"),
+        col("observer_vendor"), col("observer_name"), col("observer_version"),
+        col("network_name"), col("event_reason"), col("service_name"),
+        col("service_version"), col("service_type"), col("rule_ruleset"),
+        col("event_original"), col("user_name"), col("user_domain"),
+        col("process_executable"), col("file_size"), col("file_path"),
+        when(size(col("threat_technique_id")) > 0,
+          concat_ws(",", col("threat_technique_id"))).as("techniques"),
+        when(size(col("related_hash")) > 0,
+          concat_ws(",", col("related_hash"))).as("rhash"),
+        col("event_created_ms"), col("event_start_ms"), col("event_end_ms"),
+        col("event_ingested_ms"), col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -1962,6 +2009,178 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
   'logs-citrix.netscaler_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM nt_turns t JOIN nt_base b USING (event_id)
 WHERE b.ksel <> 0""",
+
+    // ksel→rule map mirrors jp_body; parse_rule stacks the ladder rules with
+    // the classification rule (add_field array promotion, comma-joined);
+    // ksel 1 is the never-matching RULE 3 dissect (parse_ok 0); ksel 20/21
+    // hit the case-sensitive classification trap (RULE 27 'others')
+    "qjp01_pulse" ->
+      s"""WITH ${Transcripts.jpCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.ksel = 1 THEN 0 ELSE 1 END AS parse_ok_i,
+  'juniper_pulse.ssl.vpn' AS technology,
+  CASE b.ksel
+    WHEN 0 THEN 'rule 1,rule 2,rule 22' WHEN 1 THEN 'rule 1,rule 3,rule 27'
+    WHEN 2 THEN 'rule 4,rule 4 (a),rule 25' WHEN 3 THEN 'rule 4,rule 4 (b),rule 25'
+    WHEN 4 THEN 'rule 5,rule 5 (a),rule 24' WHEN 5 THEN 'rule 5,rule 5 (b),rule 24'
+    WHEN 6 THEN 'rule 6,rule 22' WHEN 7 THEN 'rule 7,rule 22'
+    WHEN 8 THEN 'rule 8,rule 22' WHEN 9 THEN 'rule 9,rule 18'
+    WHEN 10 THEN 'rule 9,rule 17' WHEN 11 THEN 'rule 10,rule 22'
+    WHEN 12 THEN 'rule 11,rule 23' WHEN 13 THEN 'rule 12,rule 12 (b),rule 25'
+    WHEN 14 THEN 'rule 13,rule 25' WHEN 15 THEN 'rule 14,rule 14 (a),rule 19'
+    WHEN 16 THEN 'rule 14,rule 14 (b),rule 19' WHEN 17 THEN 'rule 15,rule 25'
+    WHEN 18 THEN 'rule hc-timeout,rule 26' WHEN 19 THEN 'rule login,rule 18'
+    WHEN 20 THEN 'rule login,rule 27' WHEN 21 THEN 'rule login,rule 27'
+    WHEN 22 THEN 'vpnt-session,rule 25' WHEN 23 THEN 'vpnt-closed,rule 23'
+    WHEN 24 THEN 'logout,rule 18' WHEN 25 THEN 'rule 16,rule 21'
+    WHEN 26 THEN 'rule 16,rule 20' ELSE 'rule 16,rule 27' END AS parse_rule,
+  'pulse_secure' AS event_module, 'pulse_secure.vpn' AS event_dataset,
+  CASE WHEN b.ksel = 0 THEN 'audit/information'
+    WHEN b.ksel IN (1,20,21,27) THEN 'others'
+    WHEN b.ksel IN (2,3,13,14,17,22) THEN 'audit/other audit success'
+    WHEN b.ksel IN (4,5) THEN 'audit/other audit failure'
+    WHEN b.ksel IN (6,7,8,11) THEN 'audit/information'
+    WHEN b.ksel IN (9,19,24) THEN 'audit/authentication success'
+    WHEN b.ksel = 10 THEN 'audit/authentication failure'
+    WHEN b.ksel IN (12,23) THEN 'ops/network traffic'
+    WHEN b.ksel IN (15,16) THEN 'audit/account modified'
+    WHEN b.ksel = 18 THEN 'ops/warning'
+    WHEN b.ksel = 25 THEN 'ops/error'
+    WHEN b.ksel = 26 THEN 'audit/configuration' END AS rule_category,
+  CASE WHEN b.ksel IN (2,3,4,5,18) THEN 'host checker'
+    WHEN b.ksel = 6 THEN 'received ocsp response'
+    WHEN b.ksel = 7 THEN 'sending ocsp request'
+    WHEN b.ksel = 8 THEN 'ocsp checking successfully passed'
+    WHEN b.ksel IN (10,19,20,21) THEN 'login'
+    WHEN b.ksel IN (12,13,14,22,23) THEN 'vpn tunneling'
+    WHEN b.ksel = 16 THEN 'user accounts modified'
+    WHEN b.ksel = 17 THEN 'session expired'
+    WHEN b.ksel = 24 THEN 'logout' ELSE NULL END AS event_code,
+  CASE WHEN b.ksel = 0 THEN 'major'
+    WHEN b.ksel IN (2,3,4,5) THEN 'policy'
+    WHEN b.ksel = 13 THEN 'session ended for user'
+    WHEN b.ksel = 14 THEN 'session started for user'
+    WHEN b.ksel = 18 THEN 'time out'
+    WHEN b.ksel = 19 THEN 'agent'
+    WHEN b.ksel = 22 THEN 'session resumed' ELSE NULL END AS event_type,
+  CASE b.ksel WHEN 2 THEN 'pola' WHEN 3 THEN 'polb' WHEN 4 THEN 'polc'
+    WHEN 5 THEN 'pold' WHEN 10 THEN 'failed' WHEN 12 THEN 'esp'
+    WHEN 19 THEN 'succeeded' WHEN 20 THEN 'succeeded' WHEN 21 THEN 'web'
+    WHEN 23 THEN 'closed connection' ELSE NULL END AS event_action,
+  CASE WHEN b.ksel IN (2,3) THEN 'passed'
+    WHEN b.ksel IN (4,5) THEN 'failed' ELSE NULL END AS event_outcome,
+  CASE WHEN b.ksel = 0 THEN 'lid' || b.eid_s ELSE NULL END AS event_id_s,
+  CASE WHEN b.ksel = 0 THEN 'system()[] trap ' || b.eid_s
+    WHEN b.ksel = 4 THEN 'av off' WHEN b.ksel = 5 THEN 'firewall off'
+    WHEN b.ksel = 9 THEN 'primary authentication successful for usr' || b.uid_s || '/users from 10.1.2.3'
+    WHEN b.ksel = 10 THEN 'primary authentication failed for usr' || b.uid_s || '/users from 10.1.2.3'
+    WHEN b.ksel = 25 THEN 'ntp server 10.9.9.9 unreachable since boot'
+    WHEN b.ksel = 26 THEN 'remote address for user changed by admin'
+    WHEN b.ksel = 27 THEN 'transport keepalive tick ' || b.eid_s
+    ELSE NULL END AS rule_description,
+  b.hostv AS source_address,
+  CASE WHEN b.ksel = 7 THEN '10.7.7.7' ELSE b.sip END AS source_ip,
+  CASE WHEN b.ksel = 16 THEN 'ub' || b.uid_s
+    WHEN b.ksel = 17 THEN 'uc' || b.uid_s ELSE 'usr' || b.uid_s END AS source_user_name,
+  CASE WHEN b.ksel = 2 THEN '00:11:22:33:44:55'
+    WHEN b.ksel = 4 THEN '00:11:22:33:44:66' ELSE NULL END AS source_mac,
+  CASE WHEN b.ksel IN (2,3,4,18) THEN 'hu' || b.uid_s
+    WHEN b.ksel = 19 THEN 'ud' || b.uid_s
+    WHEN b.ksel = 20 THEN 'ue' || b.uid_s
+    WHEN b.ksel = 21 THEN 'uf' || b.uid_s ELSE NULL END AS server_user_id,
+  CASE WHEN b.ksel IN (2,4,13,14,19,22,24) THEN 'sid' || b.eid_s ELSE NULL END AS trace_id,
+  CASE b.ksel WHEN 3 THEN '10.3.3.3' WHEN 6 THEN '10.6.6.6'
+    WHEN 11 THEN '10.11.0.3' ELSE NULL END AS destination_ip,
+  CASE b.ksel WHEN 6 THEN 'http://ocsp6/chk' WHEN 7 THEN 'http://ocsp7/req'
+    ELSE NULL END AS url_full,
+  CASE WHEN b.ksel IN (12,13,14,23) THEN '10.5.5.5' ELSE NULL END AS source_nat_ip,
+  CASE WHEN b.ksel = 14 THEN 'host' || b.uid_s ELSE NULL END AS host_name,
+  CASE WHEN b.ksel = 15 THEN 'ua' || b.uid_s ELSE NULL END AS user_id,
+  CASE b.ksel WHEN 19 THEN 'pulse-secure/9.0' WHEN 20 THEN 'mozilla/5.0'
+    WHEN 22 THEN 'pulse' ELSE NULL END AS user_agent_name,
+  CASE b.ksel WHEN 19 THEN 'win 10' WHEN 20 THEN 'win nt 10.0' ELSE NULL END AS ua_os_version,
+  CASE WHEN b.ksel = 22 THEN 'win 10' ELSE NULL END AS ua_os_name,
+  CASE WHEN b.ksel = 23 THEN '3600' ELSE NULL END AS event_duration,
+  CASE WHEN b.ksel = 23 THEN CAST(111222 AS BIGINT) ELSE NULL END AS source_bytes,
+  CASE WHEN b.ksel = 23 THEN CAST(333444 AS BIGINT) ELSE NULL END AS destination_bytes,
+  CASE WHEN b.ksel = 21 THEN 'users' ELSE NULL END AS group_name,
+  CASE WHEN b.ksel = 21 THEN 'role a' ELSE NULL END AS source_user_roles,
+  CASE WHEN b.ksel = 8 THEN 'cn=client' || b.uid_s ELSE NULL END AS tls_client_subject,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-juniper_pulse.ssl.vpn_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM jp_turns t JOIN jp_base b USING (event_id)""",
+
+    // ksel map mirrors tn_body; created stamps from the alert Timestamp for
+    // signal/reputation, e03 default elsewhere; ksel 2's two-level ancestry
+    // chain turns user.name/domain into arrays (scalar flatten → NULL);
+    // techniques/rhash are size-gated concat_ws on both sides
+    "qtn01_tanium" ->
+      s"""WITH ${Transcripts.tnCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'tanium' AS technology, 'not parsed' AS parse_rule,
+  CASE WHEN b.ksel IN (0,1,2) THEN 'tanium'
+    WHEN b.ksel = 3 THEN 'tanium-asset-info'
+    WHEN b.ksel IN (4,5) THEN 'openioc'
+    WHEN b.ksel = 6 THEN 'conn' || b.u5
+    ELSE 'not parsed' END AS event_module,
+  'tanium.events' AS event_dataset,
+  CASE WHEN b.ksel IN (0,2) THEN 'tanium-signal'
+    WHEN b.ksel = 1 THEN 'reputation' ELSE NULL END AS event_type,
+  CASE WHEN b.ksel IN (0,1,2) THEN 'in' || b.eid_s
+    WHEN b.ksel IN (4,5) THEN 'io' || b.eid_s ELSE NULL END AS event_id_s,
+  CASE b.ksel WHEN 0 THEN 'sig rule ' || b.u5
+    WHEN 1 THEN 'reputation watch ' || b.u5
+    WHEN 2 THEN 'sig chain ' || b.u5
+    WHEN 4 THEN 'detect cve-2021-44228 log4shell'
+    WHEN 5 THEN 'reputation malicious files on disk' ELSE NULL END AS rule_name,
+  CASE WHEN b.ksel <= 6 THEN 'tn-host' || b.uid_s ELSE NULL END AS host_hostname,
+  CASE WHEN b.ksel <= 6 THEN 'tn-host' || b.uid_s ELSE NULL END AS host_name,
+  CASE WHEN b.ksel IN (0,1,2,3,6) THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel = 3 THEN '10.5.5.5' ELSE NULL END AS source_nat_ip,
+  CASE b.ksel WHEN 3 THEN '10.4.4.4' WHEN 4 THEN '10.4.4.5'
+    WHEN 5 THEN '10.4.4.6' ELSE NULL END AS host_ip,
+  CASE b.ksel WHEN 0 THEN 'windows server 2019' WHEN 3 THEN 'windows 10'
+    WHEN 4 THEN 'linux' WHEN 6 THEN 'win 10' ELSE NULL END AS host_os_name,
+  CASE b.ksel WHEN 0 THEN 'windows' WHEN 4 THEN 'debian' ELSE NULL END AS host_os_family,
+  CASE b.ksel WHEN 0 THEN '17763' WHEN 4 THEN '11' ELSE NULL END AS host_os_version,
+  CASE WHEN b.ksel = 3 THEN 'sn' || b.eid_s ELSE NULL END AS host_serial,
+  CASE WHEN b.ksel = 3 THEN 'corp' || b.u5 ELSE NULL END AS host_domain,
+  CASE WHEN b.ksel = 3 THEN '00-aa-bb-cc-dd-22' ELSE NULL END AS host_mac,
+  CASE b.ksel WHEN 3 THEN 'latitude 5400' WHEN 6 THEN 'optiplex' ELSE NULL END AS host_model,
+  CASE WHEN b.ksel = 3 THEN 'dell' ELSE NULL END AS host_manufacturer,
+  CASE WHEN b.ksel = 3 THEN 'tnsrv' || b.u5 ELSE NULL END AS observer_hostname,
+  CASE WHEN b.ksel = 3 THEN 'tanium' ELSE NULL END AS observer_vendor,
+  CASE WHEN b.ksel = 6 THEN 'mcp client' ELSE NULL END AS observer_name,
+  CASE WHEN b.ksel = 6 THEN '5.2' ELSE NULL END AS observer_version,
+  CASE WHEN b.ksel = 6 THEN 'tag' || b.u5 ELSE NULL END AS network_name,
+  CASE WHEN b.ksel = 6 THEN 'conn' || b.u5 ELSE NULL END AS event_reason,
+  CASE WHEN b.ksel = 6 THEN 'sep client' ELSE NULL END AS service_name,
+  CAST(NULL AS STRING) AS service_version,
+  CASE b.ksel WHEN 4 THEN 'file' WHEN 5 THEN 'process' ELSE NULL END AS service_type,
+  CASE b.ksel WHEN 4 THEN 'yara' WHEN 5 THEN 'reputation' ELSE NULL END AS rule_ruleset,
+  CASE WHEN b.ksel = 4 THEN 'ioc matched ' || b.eid_s ELSE NULL END AS event_original,
+  CASE WHEN b.ksel = 0 THEN 'psvc' || b.uid_s ELSE NULL END AS user_name,
+  CASE WHEN b.ksel = 0 THEN 'dom' || b.uid_s ELSE NULL END AS user_domain,
+  CASE b.ksel WHEN 0 THEN 'c:/windows/cmd.exe' WHEN 1 THEN 'd:/apps/mal.exe'
+    WHEN 2 THEN 'c:/tmp/payload.exe' ELSE NULL END AS process_executable,
+  CASE WHEN b.ksel = 1 THEN CAST(40960 AS BIGINT) ELSE NULL END AS file_size,
+  CASE WHEN b.ksel = 5 THEN 'e:/tmp/bad.exe' ELSE NULL END AS file_path,
+  CASE b.ksel WHEN 0 THEN 't1059.001,t1027' WHEN 1 THEN 't1204'
+    WHEN 2 THEN 't1055' WHEN 4 THEN 't1190' WHEN 5 THEN 't1105'
+    ELSE NULL END AS techniques,
+  CASE b.ksel WHEN 0 THEN 'ff' || b.eid_s || ',aa' || b.eid_s || ',bb' || b.eid_s || ',pm' || b.eid_s
+    WHEN 1 THEN 'm' || b.eid_s || ',s' || b.eid_s || ',q' || b.eid_s
+    WHEN 2 THEN 'ff' || b.eid_s || ',aa' || b.eid_s || ',bb' || b.eid_s
+    ELSE NULL END AS rhash,
+  CASE WHEN b.ksel IN (0,1,2) THEN epoch_ms(date_trunc('second', t.ts))
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CASE WHEN b.ksel = 4 THEN epoch_ms(date_trunc('second', t.ts)) ELSE NULL END AS event_start_ms,
+  CASE WHEN b.ksel = 4 THEN epoch_ms(date_trunc('second', t.ts + INTERVAL 60 SECOND)) ELSE NULL END AS event_end_ms,
+  CASE WHEN b.ksel IN (4,5) THEN epoch_ms(date_trunc('second', t.ts)) ELSE NULL END AS event_ingested_ms,
+  'logs-tanium_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM tn_turns t JOIN tn_base b USING (event_id)""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

@@ -3099,6 +3099,165 @@ nt_turns AS (
     spark.sql(s"WITH $ntCte SELECT conv_id, turn_idx, role, text, tool, ts FROM nt_turns")
   }
 
+  /** Portable ISO-8601 "+00:00" render of a timestamp expression. */
+  private def isoClock(tsExpr: String): String =
+    s"CAST(EXTRACT(YEAR FROM $tsExpr) AS STRING) || '-'" +
+      s" || LPAD(CAST(EXTRACT(MONTH FROM $tsExpr) AS STRING), 2, '0') || '-'" +
+      s" || LPAD(CAST(EXTRACT(DAY FROM $tsExpr) AS STRING), 2, '0') || 'T'" +
+      s" || LPAD(CAST(EXTRACT(HOUR FROM $tsExpr) AS STRING), 2, '0') || ':'" +
+      s" || LPAD(CAST(EXTRACT(MINUTE FROM $tsExpr) AS STRING), 2, '0') || ':'" +
+      s" || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM $tsExpr)) AS INT) AS STRING), 2, '0') || '+00:00'"
+
+  /** juniper pulse_secure.vpn — one corpus member per rule of the 20-rule
+    * description ladder (syslog_security_juniper_pulse.ssl.vpn.conf);
+    * ksel = quotient selector over the %20 event filter. The preamble
+    * carries (iso created, host, source ip, user, realm, roles) for every
+    * member; descriptions are crafted per rule, including the case-sensitive
+    * classification trap (ksel 20/21: "Login succeeded" → RULE 27). */
+  val jpCte: String = s"""
+jp_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 50 AS STRING) AS uid_s,
+    CAST(FLOOR(event_id / 20) AS INT) % 28 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    'vpn-' || CAST(user_id % 20 AS STRING) AS hostv,
+    ${isoClock("ts")} AS iso1,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 20) = 11
+),
+jp_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN 'Sending logMessageTrap [ logID=' || chr(39) || 'lid' || eid_s || chr(39) || ' logType=' || chr(39) || 'major' || chr(39) || ' logDescription=' || chr(39) || 'System()[] trap ' || eid_s || chr(39) || ' ]'
+      WHEN 1 THEN 'System()[] agent restart ' || eid_s
+      WHEN 2 THEN 'Host Checker policy ' || chr(39) || 'pola' || chr(39) || ' passed on host ' || chr(39) || 'h2' || chr(39) || ' address ' || chr(39) || '00-11-22-33-44-55' || chr(39) || '  for user ' || chr(39) || 'hu' || uid_s || chr(39) || '  session ' || chr(39) || 'sid' || eid_s || chr(39)
+      WHEN 3 THEN 'Host Checker policy ' || chr(39) || 'polb' || chr(39) || ' passed on host 10.3.3.3  for user ' || chr(39) || 'hu' || uid_s || chr(39)
+      WHEN 4 THEN 'Host Checker policy ' || chr(39) || 'polc' || chr(39) || ' failed on host ' || chr(39) || 'h4' || chr(39) || ' address ' || chr(39) || '00-11-22-33-44-66' || chr(39) || '  for user ' || chr(39) || 'hu' || uid_s || chr(39) || ' x reason ' || chr(39) || 'av off' || chr(39) || ' session ' || chr(39) || 'sid' || eid_s || chr(39)
+      WHEN 5 THEN 'Host Checker policy ' || chr(39) || 'pold' || chr(39) || ' failed on host h5 Reason: ' || chr(39) || 'firewall off' || chr(39)
+      WHEN 6 THEN 'Received OCSP response from responder ' || chr(39) || '10.6.6.6' || chr(39) || ' with url ' || chr(39) || 'http://ocsp6/chk' || chr(39) || ', user: ' || chr(39) || 'u6' || chr(39) || '; serial number: ' || chr(39) || 'sn6' || chr(39)
+      WHEN 7 THEN 'Sending OCSP request to responder ' || chr(39) || '10.7.7.7' || chr(39) || ' with url ' || chr(39) || 'http://ocsp7/req' || chr(39) || '; user: ' || chr(39) || 'u7' || chr(39) || '; serial number: ' || chr(39) || 'sn7' || chr(39)
+      WHEN 8 THEN 'OCSP checking successfully passed for user: ' || chr(39) || 'u8' || chr(39) || ' having x509 certificate ' || chr(39) || 'cn=client' || uid_s || chr(39) || ' with serial number: ' || chr(39) || 'sn8' || chr(39) || ' issued by ' || chr(39) || 'ca8' || chr(39)
+      WHEN 9 THEN 'Primary authentication successful for usr' || uid_s || '/users from 10.1.2.3'
+      WHEN 10 THEN 'Primary authentication failed for usr' || uid_s || '/users from 10.1.2.3'
+      WHEN 11 THEN 'Key Exchange number 3 occurred for user with NCIP 10.11.0.3'
+      WHEN 12 THEN 'VPN Tunneling: User with IP 10.5.5.5 connected with ESP'
+      WHEN 13 THEN 'VPN Tunneling: Session ended for user  (session: sid' || eid_s || ') with IPv4 address 10.5.5.5'
+      WHEN 14 THEN 'VPN Tunneling: Session started for user  (session: sid' || eid_s || ') with IPv4 address 10.5.5.5, hostname host' || uid_s
+      WHEN 15 THEN 'User Accounts modified for username ua' || uid_s || ' via admin'
+      WHEN 16 THEN 'User Accounts modified. Removed username ub' || uid_s || ' from the realm'
+      WHEN 17 THEN 'Session for user uc' || uid_s || ' on host h17 expired'
+      WHEN 18 THEN 'System process detected a Host Checker time out on host h18  for user ' || chr(39) || 'hu' || uid_s || chr(39) || '.'
+      WHEN 19 THEN 'Agent login succeeded for ud' || uid_s || '/users (session:sid' || eid_s || ') from 10.1.2.3 with Pulse-Secure/9.0 (win 10)'
+      WHEN 20 THEN 'Login succeeded for ue' || uid_s || '/users from 10.1.2.3 with Mozilla/5.0 (win nt 10.0)'
+      WHEN 21 THEN 'Login succeeded for uf' || uid_s || '/users from 10.1.2.3 via web.'
+      WHEN 22 THEN 'Session resumed from user agent ' || chr(39) || 'Pulse (win 10) build77' || chr(39) || ' (session:sid' || eid_s || ').'
+      WHEN 23 THEN 'Closed connection to 10.5.5.5 after 3600 seconds, with 111222 bytes read and 333444 bytes written'
+      WHEN 24 THEN 'Logout from 10.1.2.3 (session:sid' || eid_s || ')'
+      WHEN 25 THEN 'NTP server 10.9.9.9 unreachable since boot'
+      WHEN 26 THEN 'Remote address for user changed by admin'
+      ELSE 'Transport keepalive tick ' || eid_s
+    END AS dsc
+  FROM jp_base
+),
+jp_turns AS (
+  SELECT 'jp_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>1 ' || iso1 || ' ' || hostv
+      || ' PulseSecure: 2022 12 06 11 01 10 ive web [' || sip || '] usr' || uid_s
+      || '(Users)[Role A] - ' || dsc AS text,
+    'juniper_pulse.ssl.vpn' AS tool, ts, event_id
+  FROM jp_body
+)"""
+
+  def jpInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $jpCte SELECT conv_id, turn_idx, role, text, tool, ts FROM jp_turns")
+  }
+
+  /** tanium.events — JSON alert/inventory datagrams for the four Intel-Type
+    * branches of syslog_security_tanium.conf, incl. a two-level process
+    * ancestry chain (ksel 2) and the Custom-Tags / not-parsed fallbacks.
+    * Backslashes inside JSON string values are composed via chr(92) so the
+    * corpus SQL stays portable between Spark and DuckDB escaping rules. */
+  val tnCte: String = s"""
+tn_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 50 AS STRING) AS uid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 22) AS INT) % 8 AS ksel,
+    ${isoClock("ts")} AS iso1,
+    ${isoClock("ts + INTERVAL 60 SECOND")} AS iso2,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 22) = 5
+),
+tn_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN '{"Intel Type":"tanium-signal","Alert Id":"al' || eid_s || '","Intel Id":"in' || eid_s
+        || '","Timestamp":"' || iso1 || '","Computer Name":"tn-host' || uid_s || '","Computer IP":"' || sip
+        || '","Intel Name":"sig rule ' || u5 || '","Intel Labels":"critical","MITRE Techniques":"[T1059.001,T1027]"'
+        || ',"Match Details":{"system_info":{"bits":"64","os":"windows server 2019","platform":"windows","patch_level":"17763"}'
+        || ',"match":{"properties":{"args":"cmd /c whoami","file":{"fullpath":"c:/windows/cmd.exe","md5":"ff' || eid_s
+        || '","sha1":"aa' || eid_s || '","sha256":"bb' || eid_s || '"}'
+        || ',"parent":{"args":"services.exe","user":"dom' || uid_s || '' || chr(92) || chr(92) || 'psvc' || uid_s
+        || '","file":{"fullpath":"c:/windows/services.exe","md5":"pm' || eid_s || '","sha1":"ps' || eid_s || '","sha256":"pq' || eid_s || '"}}}}}}'
+      WHEN 1 THEN '{"Intel Type":"reputation","Alert Id":"al' || eid_s || '","Intel Id":"in' || eid_s
+        || '","Timestamp":"' || iso1 || '","Computer Name":"tn-host' || uid_s || '","Computer IP":"' || sip
+        || '","Intel Name":"reputation watch ' || u5 || '","MITRE Techniques":"[T1204]"'
+        || ',"Match Details":{"match":{"properties":{"fullpath":"d:/apps/mal.exe","md5":"m' || eid_s
+        || '","sha1":"s' || eid_s || '","sha256":"q' || eid_s || '","size":"40960"}}}}'
+      WHEN 2 THEN '{"Intel Type":"tanium-signal","Intel Id":"in' || eid_s || '","Timestamp":"' || iso1
+        || '","Computer Name":"tn-host' || uid_s || '","Computer IP":"' || sip
+        || '","Intel Name":"sig chain ' || u5 || '","MITRE Techniques":"[T1055]"'
+        || ',"Match Details":{"match":{"properties":{"args":"payload.exe","file":{"fullpath":"c:/tmp/payload.exe","md5":"ff' || eid_s
+        || '","sha1":"aa' || eid_s || '","sha256":"bb' || eid_s || '"}'
+        || ',"parent":{"args":"cmd.exe","user":"dom' || uid_s || '' || chr(92) || chr(92) || 'pa' || uid_s
+        || '","file":{"fullpath":"c:/windows/cmd.exe","md5":"pm' || eid_s || '"}'
+        || ',"parent":{"args":"explorer.exe","user":"dom' || uid_s || '' || chr(92) || chr(92) || 'pb' || uid_s
+        || '","file":{"fullpath":"c:/windows/explorer.exe","sha1":"xs' || eid_s || '","sha256":"xq' || eid_s || '"}'
+        || ',"parent":{"file":{"md5":"deep' || eid_s || '"}}}}}}}}'
+      WHEN 3 THEN '{"Intel Type":"tanium-asset-info","Computer Name":"tn-host' || uid_s
+        || '","Computer IP":"10.0.0.9","Operating System":"windows 10","Operating System Install Date":"2020-01-01"'
+        || ',"Computer Serial Number":"sn' || eid_s || '","Domain Name":"corp' || u5
+        || '","MAC Address":"00-aa-bb-cc-dd-22","IPv4 Address":"10.4.4.4","Tanium Client IP Address":"' || sip
+        || '","Tanium Client NAT IP Address":"10.5.5.5","Tanium Server Name":"tnsrv' || u5
+        || '","Logged In Users":"2","Last Logged In User":"bob","Time Zone":"utc","Manufacturer":"dell","Model":"latitude 5400"}'
+      WHEN 4 THEN '{"Intel Type":"openioc","Timestamp":"' || iso1 || '","Computer Name":"tn-host' || uid_s
+        || '","Computer IP":"10.4.4.5","Intel Id":"io' || eid_s
+        || '","Intel Name":"detect CVE-2021-44228 log4shell","Intel Labels":"cve","MITRE Techniques":"[T1190]"'
+        || ',"Match Details":{"finding":{"system_info":{"bits":"64","os":"linux","platform":"debian","patch_level":"11"}}'
+        || ',"match":{"type":"file","properties":{"source":"yara","message":"ioc matched ' || eid_s
+        || '","write_time":"' || iso1 || '","gen_time":"' || iso2 || '"}}}}'
+      WHEN 5 THEN '{"Intel Type":"openioc","Timestamp":"' || iso1 || '","Computer Name":"tn-host' || uid_s
+        || '","Computer IP":"10.4.4.6","Intel Id":"io' || eid_s
+        || '","Intel Name":"Reputation Malicious Files on disk","MITRE Techniques":"[T1105]"'
+        || ',"Match Details":{"match":{"type":"process","properties":{"source":"reputation","fullpath":"e:/tmp/bad.exe"}}}}'
+      WHEN 6 THEN '{"Computer Name":"tn-host' || uid_s || '","Custom Tags":"tag' || u5
+        || '","Operating System":"win 10","Last Logged In User":"bob","Tanium Client IP Address":"' || sip
+        || '","Connection Name":"conn' || u5 || '","x64/x86?":"x64","Model":"optiplex","SEP":"sep client"'
+        || ',"SEP Version":"[no results]","MCP":"mcp client","MCP Version":"5.2"}'
+      ELSE 'dec 6 relay' || u5 || ' {fwd} plain heartbeat ' || eid_s
+    END AS line
+  FROM tn_base
+),
+tn_turns AS (
+  SELECT 'tn_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role, line AS text,
+    'tanium' AS tool, ts, event_id
+  FROM tn_body
+)"""
+
+  def tnInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $tnCte SELECT conv_id, turn_idx, role, text, tool, ts FROM tn_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -380,6 +380,17 @@ object Engine {
       server_ip = s("[server][ip]"),
       server_port = l("[server][port]"),
       source_nat_port = l("[source][nat][port]"),
-      host_serial = s("[host][serial]"))
+      host_serial = s("[host][serial]"),
+      server_user_id = s("[server][user][id]"),
+      tls_client_subject = s("[tls][client][subject]"),
+      source_user_roles = s("[source][user][roles]"),
+      user_domain = s("[user][domain]"),
+      host_mac = s("[host][mac]"),
+      observer_hostname = s("[observer][hostname]"),
+      observer_version = s("[observer][version]"),
+      host_os_family = s("[host][os][family]"),
+      host_model = s("[host][model]"),
+      host_manufacturer = s("[host][manufacturer]"),
+      process_executable = s("[process][executable]"))
   }
 }

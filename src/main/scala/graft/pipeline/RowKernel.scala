@@ -439,6 +439,17 @@ object RowKernel {
     l("[server][port]")
     l("[source][nat][port]")
     s("[host][serial]")
+    s("[server][user][id]")
+    s("[tls][client][subject]")
+    s("[source][user][roles]")
+    s("[user][domain]")
+    s("[host][mac]")
+    s("[observer][hostname]")
+    s("[observer][version]")
+    s("[host][os][family]")
+    s("[host][model]")
+    s("[host][manufacturer]")
+    s("[process][executable]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

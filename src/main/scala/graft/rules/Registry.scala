@@ -217,6 +217,10 @@ object Registry {
       "logs-azure.interactivesignin", Vector("elastic"), Set.empty, "high"),
     "citrix.netscaler" -> TechnologyConfig("citrix.netscaler",
       "logs-citrix.netscaler", Vector("elastic"), Set.empty, "high"),
+    "juniper_pulse.ssl.vpn" -> TechnologyConfig("juniper_pulse.ssl.vpn",
+      "logs-juniper_pulse.ssl.vpn", Vector("elastic"), Set.empty, "medium"),
+    "tanium" -> TechnologyConfig("tanium",
+      "logs-tanium", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -580,6 +584,8 @@ object Registry {
     "azure.anomalies" -> EventHubRules.ehAnomalies,
     "azure.interactivesignin" -> EventHubRules.ehInteractiveSignin,
     "citrix.netscaler" -> NetscalerRules.netscaler,
+    "juniper_pulse.ssl.vpn" -> PulseRules.pulseVpn,
+    "tanium" -> TaniumRules.tanium,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =
