@@ -537,6 +537,48 @@ px AS (
         col("event_created_ms"), col("event_start_ms"), col("event_end_ms"),
         col("event_ingested_ms"), col("route_index"))),
 
+    // guardium.db: quote-stripped alarm kv with ~20 ECS renames, STAP
+    // sub-rule, run-parts/pam lines, and the dead two-space RULE 5 gate
+    // (GuardiumSniffer rows surface 'not parsed' with parse_ok true)
+    "qgd01_guardium" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.gdmInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("rule_name"), col("rule_id"),
+        col("event_id_s"), col("event_severity_name"), col("source_ip"),
+        col("source_address"), col("source_port"), col("source_user_name"),
+        col("destination_ip"), col("destination_address"),
+        col("destination_port"), col("service_name"), col("service_type"),
+        col("network_protocol"), col("database_name"), col("process_name"),
+        col("process_pid"), col("event_start_ms"), col("event_end_ms"),
+        col("event_sequence"), col("user_domain"), col("user_name"),
+        col("file_path"), col("server_ip"), col("event_created_ms"),
+        col("log_syslog_facility_code"), col("log_syslog_severity_code"),
+        col("route_index"))),
+
+    // versa sdwan.app: lowercase-first, pri-presence rule split, per-dataset
+    // kv + kind translate, alarmlog/slam/eventlog/systemload rename blocks,
+    // sla alarmkey pipe-dissect, site/appliance gsub derivation; Rule-1
+    // eventlog rows carry the conf's own unresolved sprintf literals
+    "qsd01_sdwan" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.sdInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("event_provider"), col("event_kind"),
+        col("log_level"), col("host_hostname"), col("observer_hostname"),
+        col("organization_name"), col("error_type"), col("event_action"),
+        col("event_outcome"), col("event_id_s"), col("error_message"),
+        col("host_id"), col("rule_category"), col("event_type"),
+        col("event_code"), col("event_reason"), col("event_severity_name"),
+        col("event_start_ms"), col("event_created_ms"),
+        when(size(col("related_hosts")) > 0,
+          concat_ws(",", col("related_hosts"))).as("rhosts"),
+        col("observer_ingress_interface_name"), col("network_direction"),
+        col("rule_ruleset"), col("network_name"), col("service_type"),
+        col("log_syslog_facility_code"), col("log_syslog_facility_name"),
+        col("log_syslog_severity_code"), col("log_syslog_severity_name"),
+        col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -2181,6 +2223,119 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   CASE WHEN b.ksel IN (4,5) THEN epoch_ms(date_trunc('second', t.ts)) ELSE NULL END AS event_ingested_ms,
   'logs-tanium_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM tn_turns t JOIN tn_base b USING (event_id)""",
+
+    // ksel map mirrors gdm_body; ksel 1 proves the 1433→ms-sql-s port-dict
+    // backfill (no Net Protocol in that alarm); ksel 5 proves the dead
+    // RULE 5 gate; the error split leaves only file.path (ksel 0)
+    "qgd01_guardium" ->
+      s"""WITH ${Transcripts.gdmCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'guardium.db' AS technology,
+  CASE b.ksel WHEN 0 THEN 'rule 1,rule 1(b)' WHEN 1 THEN 'rule 1,rule 1(b)'
+    WHEN 2 THEN 'rule 1,rule 1(a),rule 2(b)' WHEN 3 THEN 'rule 3'
+    WHEN 4 THEN 'rule 4' ELSE 'not parsed' END AS parse_rule,
+  CASE b.ksel WHEN 0 THEN 'oracle' WHEN 1 THEN 'ms sql server'
+    ELSE 'guardium' END AS event_module,
+  'guardium.db' AS event_dataset,
+  CASE b.ksel WHEN 0 THEN 'failed login rule' WHEN 1 THEN 'policy breach rule'
+    WHEN 2 THEN 'stap no traffic' ELSE NULL END AS rule_name,
+  CASE b.ksel WHEN 0 THEN '20587' WHEN 1 THEN '20590' ELSE NULL END AS rule_id,
+  CASE WHEN b.ksel IN (0,1) THEN 'v' || b.eid_s ELSE NULL END AS event_id_s,
+  CASE b.ksel WHEN 0 THEN 'high' WHEN 1 THEN 'low' ELSE NULL END AS event_severity_name,
+  CASE WHEN b.ksel IN (0,1) THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel IN (0,1) THEN 'cli' || b.uid_s ELSE NULL END AS source_address,
+  CASE b.ksel WHEN 0 THEN CAST(50123 AS BIGINT) WHEN 1 THEN CAST(50124 AS BIGINT)
+    ELSE NULL END AS source_port,
+  CASE WHEN b.ksel IN (0,1) THEN 'osu' || b.uid_s ELSE NULL END AS source_user_name,
+  CASE WHEN b.ksel IN (0,1) THEN '10.9.8.7' ELSE NULL END AS destination_ip,
+  CASE WHEN b.ksel IN (0,1) THEN 'srv' || b.uid_s ELSE NULL END AS destination_address,
+  CASE b.ksel WHEN 0 THEN CAST(1521 AS BIGINT) WHEN 1 THEN CAST(1433 AS BIGINT)
+    ELSE NULL END AS destination_port,
+  CASE b.ksel WHEN 0 THEN 'login' WHEN 1 THEN 'query' ELSE NULL END AS service_name,
+  CASE b.ksel WHEN 0 THEN 'orasvc' WHEN 1 THEN 'mssvc' ELSE NULL END AS service_type,
+  CASE b.ksel WHEN 0 THEN 'tcp' WHEN 1 THEN 'ms-sql-s' ELSE NULL END AS network_protocol,
+  CASE WHEN b.ksel IN (0,1) THEN 'proddb' ELSE NULL END AS database_name,
+  CASE b.ksel WHEN 0 THEN 'sqlplus' WHEN 1 THEN 'ssms' WHEN 2 THEN 'guard_alert'
+    WHEN 3 THEN 'run-parts' WHEN 4 THEN 'gdm-session' ELSE NULL END AS process_name,
+  CASE b.ksel WHEN 0 THEN CAST(4242 AS BIGINT) WHEN 1 THEN CAST(4242 AS BIGINT)
+    WHEN 2 THEN CAST(777 AS BIGINT) WHEN 3 THEN CAST(452 AS BIGINT)
+    ELSE NULL END AS process_pid,
+  CASE WHEN b.ksel = 0 THEN CAST(1592064797000 AS BIGINT) ELSE NULL END AS event_start_ms,
+  CASE WHEN b.ksel = 2 THEN epoch_ms(date_trunc('second', t.ts + INTERVAL 60 SECOND)) ELSE NULL END AS event_end_ms,
+  CASE WHEN b.ksel = 2 THEN '77' ELSE NULL END AS event_sequence,
+  CASE WHEN b.ksel = 0 THEN 'gdom' ELSE NULL END AS user_domain,
+  CASE b.ksel WHEN 0 THEN 'dbu' || b.uid_s WHEN 1 THEN 'dbu' || b.uid_s
+    ELSE NULL END AS user_name,
+  CASE WHEN b.ksel = 0 THEN '/var/log/gd' || b.u5 ELSE NULL END AS file_path,
+  CASE WHEN b.ksel = 2 THEN '10.8.8.8' ELSE NULL END AS server_ip,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-guardium.db_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM gdm_turns t JOIN gdm_base b USING (event_id)""",
+
+    // ksel map mirrors sd_body; Rule 2 rows (2-5) default to pri 13
+    // (facility 1 'user-level', severity 5 'notice'); ksel 0's unresolved
+    // sprintf literals survive 94 verbatim; ksel 2's alarmkind lands in the
+    // top-level dotted 'event.reason' key, NOT [event][reason] (NULL here)
+    "qsd01_sdwan" ->
+      s"""WITH ${Transcripts.sdCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'sdwan.app' AS technology,
+  CASE WHEN b.ksel IN (0,1) THEN 'rule 1' ELSE 'rule 2' END AS parse_rule,
+  'versa' AS event_module, 'versa.sdwan_application' AS event_dataset,
+  CASE b.ksel WHEN 0 THEN 'versa.eventlog' WHEN 1 THEN 'versa.clilog'
+    WHEN 2 THEN 'versa.alarmlog' WHEN 3 THEN 'versa.sdwanb2bslamlog'
+    WHEN 4 THEN 'versa.eventlog' ELSE 'versa.systemloadlog' END AS event_provider,
+  CASE b.ksel WHEN 2 THEN 'alert' WHEN 3 THEN 'metric' WHEN 5 THEN 'metric'
+    ELSE 'event' END AS event_kind,
+  CASE b.ksel WHEN 0 THEN 'info' WHEN 1 THEN 'warn' ELSE NULL END AS log_level,
+  CASE WHEN b.ksel = 0 THEN 'dev' || b.u5
+    WHEN b.ksel IN (2,3,4) THEN 'sj' || b.u5 || '-edge' ELSE NULL END AS host_hostname,
+  CASE WHEN b.ksel = 2 THEN 'dev12-hub' ELSE NULL END AS observer_hostname,
+  CASE WHEN b.ksel IN (2,3,4) THEN 'acme' || b.u5 ELSE NULL END AS organization_name,
+  CASE b.ksel WHEN 0 THEN 'link-up' WHEN 2 THEN 'linkdown'
+    WHEN 4 THEN 'sdwan-datapath-sla-not-met' ELSE NULL END AS error_type,
+  CASE b.ksel WHEN 1 THEN 'show interfaces br' WHEN 2 THEN 'outofservice'
+    ELSE NULL END AS event_action,
+  CASE WHEN b.ksel = 2 THEN 'failure' ELSE NULL END AS event_outcome,
+  CASE WHEN b.ksel = 2 THEN 'q' || b.eid_s ELSE NULL END AS event_id_s,
+  CASE WHEN b.ksel = 2 THEN 'wan link down' ELSE NULL END AS error_message,
+  CASE WHEN b.ksel = 2 THEN 'vsn' || b.eid_s ELSE NULL END AS host_id,
+  CASE WHEN b.ksel = 2 THEN 'comm' ELSE NULL END AS rule_category,
+  CASE WHEN b.ksel = 2 THEN 'communication' ELSE NULL END AS event_type,
+  CASE WHEN b.ksel = 2 THEN 'key' || b.eid_s ELSE NULL END AS event_code,
+  CASE WHEN b.ksel = 0 THEN 'link up wan' || b.u5 ELSE NULL END AS event_reason,
+  CASE WHEN b.ksel = 0 THEN 'minor' ELSE NULL END AS event_severity_name,
+  CASE WHEN b.ksel IN (2,4) THEN CAST(1592064797000 AS BIGINT) ELSE NULL END AS event_start_ms,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  CASE WHEN b.ksel = 0 THEN '%' || chr(123) || '[[tmp][rest_msg][localsitename]]' || chr(125)
+      || ',%' || chr(123) || '[[tmp][rest_msg][remotesitename]]' || chr(125)
+    WHEN b.ksel = 3 THEN 'site-a,site-b'
+    WHEN b.ksel = 4 THEN 'sitey' ELSE NULL END AS rhosts,
+  CASE WHEN b.ksel = 0 THEN '%' || chr(123) || '[[tmp][rest_msg][remoteacccktname]]' || chr(125)
+    WHEN b.ksel = 3 THEN 'inet1' WHEN b.ksel = 4 THEN 'inet9'
+    ELSE NULL END AS observer_ingress_interface_name,
+  CASE WHEN b.ksel = 3 THEN 'outbound' ELSE NULL END AS network_direction,
+  CASE WHEN b.ksel = 0 THEN '%' || chr(123) || '[[tmp][rest_msg][fwdclass]]' || chr(125)
+    WHEN b.ksel = 3 THEN 'fc-ef' WHEN b.ksel = 4 THEN 'fc-af'
+    ELSE NULL END AS rule_ruleset,
+  CASE WHEN b.ksel = 0 THEN 'dev'
+    WHEN b.ksel IN (2,3,4) THEN 'sj' ELSE NULL END AS network_name,
+  CASE WHEN b.ksel = 0 THEN 'dev' || b.u5
+    WHEN b.ksel IN (2,3,4) THEN 'edge' ELSE NULL END AS service_type,
+  CASE WHEN b.ksel IN (0,1) THEN CAST(16 + (b.event_id % 8) AS BIGINT)
+    ELSE CAST(1 AS BIGINT) END AS log_syslog_facility_code,
+  CASE WHEN b.ksel IN (0,1) THEN 'local' || CAST(b.event_id % 8 AS STRING)
+    ELSE 'user-level' END AS log_syslog_facility_name,
+  CASE WHEN b.ksel IN (0,1) THEN CAST(b.event_id % 5 AS BIGINT)
+    ELSE CAST(5 AS BIGINT) END AS log_syslog_severity_code,
+  CASE WHEN b.ksel IN (0,1) THEN
+      CASE (b.event_id % 5) WHEN 0 THEN 'emergency' WHEN 1 THEN 'alert'
+        WHEN 2 THEN 'critical' WHEN 3 THEN 'error' ELSE 'warning' END
+    ELSE 'notice' END AS log_syslog_severity_name,
+  'logs-sdwan.app_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM sd_turns t JOIN sd_base b USING (event_id)""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

@@ -3258,6 +3258,134 @@ tn_turns AS (
     spark.sql(s"WITH $tnCte SELECT conv_id, turn_idx, role, text, tool, ts FROM tn_turns")
   }
 
+  /** Portable "yyyy-MM-dd HH:mm:ss" render of a timestamp expression. */
+  private def sqlClock(tsExpr: String): String =
+    s"CAST(EXTRACT(YEAR FROM $tsExpr) AS STRING) || '-'" +
+      s" || LPAD(CAST(EXTRACT(MONTH FROM $tsExpr) AS STRING), 2, '0') || '-'" +
+      s" || LPAD(CAST(EXTRACT(DAY FROM $tsExpr) AS STRING), 2, '0') || ' '" +
+      s" || LPAD(CAST(EXTRACT(HOUR FROM $tsExpr) AS STRING), 2, '0') || ':'" +
+      s" || LPAD(CAST(EXTRACT(MINUTE FROM $tsExpr) AS STRING), 2, '0') || ':'" +
+      s" || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM $tsExpr)) AS INT) AS STRING), 2, '0')"
+
+  /** guardium.db — syslog alarm-forwarder lines for
+    * syslog_security_guardium.db.conf: the RULE 1(b) kv alarm (with and
+    * without DOMAIN-backslash DB User), RULE 1(a)+2(b) STAP, RULE 3/4
+    * process lines, and a GuardiumSniffer line proving the dead two-space
+    * RULE 5 gate ('not parsed'). Quote-free payloads are the conf's own
+    * post-gsub state. */
+  val gdmCte: String = s"""
+gdm_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 50 AS STRING) AS uid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 28) AS INT) % 6 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS syslog_ts,
+    ${sqlClock("ts + INTERVAL 60 SECOND")} AS sql_end,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 28) = 3
+),
+gdm_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN 'guard_sender[4242]: {Alert based on rule ID:failed login rule,Rule #:20587,violationID:v' || eid_s
+        || ',Server Type:ORACLE,Severity:HIGH,Client IP:' || sip || ',Client:cli' || uid_s
+        || ',Client PORT:50123,OSUser:osu' || uid_s || ',Server IP:10.9.8.7,Server:srv' || uid_s
+        || ',Server Port:1521,Service Name:orasvc,Database Name:proddb,Net Protocol:tcp,DB User:GDOM'
+        || chr(92) || 'dbu' || uid_s || ',Application User Name:appu' || uid_s
+        || ',Source Program:sqlplus,Requestype:login,EPOC Event Occurred:1592064797000,error:cannot open:/var/log/gd' || u5 || '}'
+      WHEN 1 THEN 'guard_sender[4242]: {Alert based on rule ID:policy breach rule,Rule #:20590,violationID:v' || eid_s
+        || ',Server Type:MS SQL SERVER,Severity:LOW,Client IP:' || sip || ',Client:cli' || uid_s
+        || ',Client PORT:50124,OSUser:osu' || uid_s || ',Server IP:10.9.8.7,Server:srv' || uid_s
+        || ',Server Port:1433,Service Name:mssvc,Database Name:proddb,DB User:dbu' || uid_s
+        || ',Source Program:ssms,Requestype:query}'
+      WHEN 2 THEN 'guard_alert[777]: {Alert Name:STAP No Traffic Alert Description:stap down} #01210.8.8.8 '
+        || sql_end || ' 77'
+      WHEN 3 THEN 'run-parts[452] (/etc/cron.hourly)done'
+      WHEN 4 THEN 'gdm-session: pam_unix(gdm:session): session opened for user root'
+      ELSE 'GuardiumSniffer[999]:  subject alert ' || eid_s || ', blah Alert based on rule ID tail'
+    END AS rest
+  FROM gdm_base
+),
+gdm_turns AS (
+  SELECT 'gdm_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' gdhost' || u5 || ' ' || rest AS text,
+    'guardium.db' AS tool, ts, event_id
+  FROM gdm_body
+)"""
+
+  def gdmInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $gdmCte SELECT conv_id, turn_idx, role, text, tool, ts FROM gdm_turns")
+  }
+
+  /** versa sdwan.app — Rule 1 syslog event/cli lines and Rule 2 analytics
+    * exports ({name=}-prefixed and bare) across the alarmlog /
+    * sdwanb2bslamlog / eventlog(sla) / systemloadlog datasets
+    * (syslog_security_sdwan.app.conf). All-lowercase lines (the conf
+    * lowercases the message first thing). */
+  val sdCte: String = s"""
+sd_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 30) AS INT) % 6 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    LOWER($monCase) || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS syslog_ts,
+    CAST(EXTRACT(YEAR FROM ts) AS STRING) || '-'
+      || LPAD(CAST(EXTRACT(MONTH FROM ts) AS STRING), 2, '0') || '-'
+      || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || 't'
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS iso_t
+  FROM events WHERE (event_id % 30) = 13
+),
+sd_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' ve-host' || u5
+        || ' [x][info][y][z] eventlog device=dev' || u5 || ',type=link-up,severity=minor,alarm-text='
+        || chr(34) || 'link up wan' || u5 || chr(34) || ',seq=' || eid_s
+      WHEN 1 THEN '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' ve-host' || u5
+        || ' [x][warn][y][z] clilog cli ' || chr(39) || 'show interfaces br' || chr(39)
+      WHEN 2 THEN '{name=ve0} ' || iso_t || ' {name=dev12-hub} 2021-04-07 alarmlog, appliancename=sj' || u5
+        || '-edge, tenantname=acme' || u5 || ', alarmtype=linkdown, alarmcause=outofservice, alarmseqno=q' || eid_s
+        || ', alarmtext=wan link down, serialnum=vsn' || eid_s
+        || ', alarmclass=comm, alarmkind=fault, alarmeventtype=communication, alarmseverity=major, alarmkey=key' || eid_s
+        || ', generatetime=1592064797'
+      WHEN 3 THEN iso_t || ' sdwanb2bslamlog, appliancename=sj' || u5 || '-edge, tenantname=acme' || u5
+        || ', localsitename=site-a, remotesitename=site-b, localacccktname=mpls1, remoteacccktname=inet1, fwdclass=fc-ef'
+      WHEN 4 THEN iso_t || ' eventlog, appliancename=sj' || u5 || '-edge, tenantname=acme' || u5
+        || ', eventtype=sdwan-datapath-sla-not-met, rule=app' || u5
+        || ', localsitename=site-a, remotesitename=site-b, localacccktname=mpls1, remoteacccktname=inet1, fwdclass=fc-ef'
+        || ', alarmkey=slarule|sitex|ae1|sitey|inet9|fc-af, generatetime=1592064797'
+      ELSE iso_t || ' systemloadlog, appliancename=sj' || u5 || '-edge, cpuload=73.5, memload=41.2'
+    END AS line
+  FROM sd_base
+),
+sd_turns AS (
+  SELECT 'sd_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role, line AS text,
+    'sdwan.app' AS tool, ts, event_id
+  FROM sd_body
+)"""
+
+  def sdInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $sdCte SELECT conv_id, turn_idx, role, text, tool, ts FROM sd_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

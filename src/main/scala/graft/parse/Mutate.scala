@@ -21,7 +21,12 @@ object Mutate {
     var last = 0
     while (m.find()) {
       sb.append(template, last, m.start())
-      val ref = m.group(1)
+      // normalize the double-bracket form %{[[a][b]]} → [a][b] (same rule as
+      // the dissect compiler; ref: syslog_security_guardium.db.conf:222-223)
+      val raw = m.group(1)
+      val ref =
+        if (raw.startsWith("[[") && raw.endsWith("]]")) raw.substring(1, raw.length - 1)
+        else raw
       ev.getString(ref).orElse(ev.getString(s"[$ref]")) match {
         case Some(v) => sb.append(v)
         case None => sb.append(m.group(0))

@@ -391,6 +391,8 @@ object Engine {
       host_os_family = s("[host][os][family]"),
       host_model = s("[host][model]"),
       host_manufacturer = s("[host][manufacturer]"),
-      process_executable = s("[process][executable]"))
+      process_executable = s("[process][executable]"),
+      organization_name = s("[organization][name]"),
+      error_type = s("[error][type]"))
   }
 }

@@ -450,6 +450,8 @@ object RowKernel {
     s("[host][model]")
     s("[host][manufacturer]")
     s("[process][executable]")
+    s("[organization][name]")
+    s("[error][type]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -221,6 +221,10 @@ object Registry {
       "logs-juniper_pulse.ssl.vpn", Vector("elastic"), Set.empty, "medium"),
     "tanium" -> TechnologyConfig("tanium",
       "logs-tanium", Vector("elastic"), Set.empty, "medium"),
+    "guardium.db" -> TechnologyConfig("guardium.db",
+      "logs-guardium.db", Vector("elastic"), Set.empty, "medium"),
+    "sdwan.app" -> TechnologyConfig("sdwan.app",
+      "logs-sdwan.app", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -586,6 +590,8 @@ object Registry {
     "citrix.netscaler" -> NetscalerRules.netscaler,
     "juniper_pulse.ssl.vpn" -> PulseRules.pulseVpn,
     "tanium" -> TaniumRules.tanium,
+    "guardium.db" -> GuardiumRules.guardium,
+    "sdwan.app" -> SdwanRules.sdwanApp,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =
