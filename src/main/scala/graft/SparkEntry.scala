@@ -579,6 +579,63 @@ px AS (
         col("log_syslog_severity_code"), col("log_syslog_severity_name"),
         col("route_index"))),
 
+    // skyhigh.security.mgr: NSM forwarder dissect ladder with stacked
+    // categories and the rule-name paren re-append quirk
+    "qsh01_secmgr" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.shmInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("rule_category"), col("event_category"),
+        col("observer_hostname"), col("source_address"), col("rule_name"),
+        col("source_ip"), col("destination_ip"), col("source_port"),
+        col("destination_port"), col("network_protocol"), col("event_action"),
+        col("rule_description"), col("event_severity_name"),
+        col("log_source_hostname"), col("event_created_ms"),
+        col("log_syslog_facility_code"), col("log_syslog_severity_code"),
+        col("route_index"))),
+
+    // skyhigh.swg: double-space kv access lines, virus lines, cert-error
+    // grok; rule-id → description translate (40 entries) driving the
+    // allowed/denied action; ts=[...] bracket-gsub date
+    "qsw01_swg" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.swgInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("event_original"), col("user_name"),
+        col("source_ip"), col("destination_ip"), col("source_port"),
+        col("destination_port"), col("network_protocol"),
+        col("http_response_status_code"), col("http_request_bytes"),
+        col("http_response_bytes"), col("rule_category"), col("rule_id"),
+        col("rule_uuid"), col("rule_ruleset"), col("rule_name"),
+        col("rule_description"), col("event_action"), col("event_risk_score"),
+        col("event_severity_name"), col("observer_ip"), col("process_name"),
+        col("user_agent_original"), col("tls_next_protocol"),
+        col("http_request_method"), col("url_full"), col("error_id"),
+        col("error_code"), col("error_message"), col("event_severity"),
+        col("event_created_ms"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("route_index"))),
+
+    // skyhigh.scp: 49-column API CSV + the corpus's SECOND tld call site
+    // (url.registered_domain / url.top_level_domain from url.domain)
+    "qsc01_scp" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.scpInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("user_name"), col("user_domain"),
+        col("source_ip"), col("source_nat_ip"), col("source_nat_port"),
+        col("http_request_method"), col("destination_bytes"),
+        col("source_bytes"), col("url_domain"), col("url_path"),
+        col("url_scheme"), col("url_full"), col("url_registered_domain"),
+        col("url_tld"), col("event_action"), col("rule_name"),
+        col("rule_uuid"), col("rule_description"), col("rule_ruleset"),
+        col("event_severity_name"), col("http_response_status_code"),
+        col("user_agent_name"), col("process_name"), col("destination_ip"),
+        col("destination_port"), col("network_protocol"),
+        col("http_request_referrer"), col("source_address"), col("file_name"),
+        col("event_risk_score"), col("service_name"), col("service_state"),
+        col("cloud_provider"), col("log_source_hostname"),
+        col("event_created_ms"), col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -2336,6 +2393,152 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
     ELSE 'notice' END AS log_syslog_severity_name,
   'logs-sdwan.app_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM sd_turns t JOIN sd_base b USING (event_id)""",
+
+    "qsh01_secmgr" ->
+      s"""WITH ${Transcripts.shmCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'skyhigh.security.mgr' AS technology,
+  CASE b.ksel WHEN 0 THEN 'rule 2,rule 3' WHEN 1 THEN 'rule 2,rule 4'
+    WHEN 2 THEN 'rule 5,rule 6,rule 11' WHEN 3 THEN 'rule 5,rule 9,rule 10'
+    WHEN 4 THEN 'rule 12,rule 13' WHEN 5 THEN 'rule 17,rule 18,rule 19(a)'
+    WHEN 6 THEN 'rule 17,rule 19' ELSE 'rule 20' END AS parse_rule,
+  'skyhigh' AS event_module, 'skyhigh.sec_mgr' AS event_dataset,
+  CASE b.ksel WHEN 0 THEN 'ops/network allow' WHEN 1 THEN 'ops/information'
+    WHEN 4 THEN 'audit/authentication success'
+    WHEN 5 THEN 'security/attack' WHEN 6 THEN 'security/attack'
+    WHEN 7 THEN 'audit/other' ELSE NULL END AS rule_category,
+  CASE b.ksel WHEN 2 THEN 'ops/error' WHEN 3 THEN 'ops/information'
+    ELSE NULL END AS event_category,
+  CASE WHEN b.ksel = 4 THEN 'obs' || b.u5 ELSE NULL END AS observer_hostname,
+  CASE WHEN b.ksel IN (0,1) THEN 'fw' || b.u5 ELSE NULL END AS source_address,
+  CASE b.ksel WHEN 0 THEN '(inbound acl rule/#1)'
+    WHEN 1 THEN '(management ping rule'
+    WHEN 5 THEN 'policy violation detected'
+    WHEN 6 THEN 'scan sweep detected' ELSE NULL END AS rule_name,
+  CASE WHEN b.ksel IN (0,1,5,6) THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel IN (0,1,5,6) THEN '10.9.8.7' ELSE NULL END AS destination_ip,
+  CASE WHEN b.ksel = 5 THEN CAST(50123 AS BIGINT) ELSE NULL END AS source_port,
+  CASE b.ksel WHEN 0 THEN CAST(443 AS BIGINT) WHEN 1 THEN CAST(8080 AS BIGINT)
+    WHEN 5 THEN CAST(80 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE b.ksel WHEN 0 THEN 'https' WHEN 1 THEN 'http-alt' WHEN 5 THEN 'http'
+    ELSE NULL END AS network_protocol,
+  CASE b.ksel WHEN 0 THEN 'pass' WHEN 1 THEN 'drop' WHEN 5 THEN 'blocked'
+    WHEN 6 THEN 'alerted' ELSE NULL END AS event_action,
+  CASE b.ksel WHEN 5 THEN 'suspicious request'
+    WHEN 6 THEN 'port sweep detected' ELSE NULL END AS rule_description,
+  CASE WHEN b.ksel = 5 THEN '5' ELSE NULL END AS event_severity_name,
+  CASE WHEN b.ksel IN (5,6) THEN 'smgr' || b.u5 ELSE NULL END AS log_source_hostname,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-skyhigh.security.mgr_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM shm_turns t JOIN shm_base b USING (event_id)""",
+
+    // swg never sets a parse_rule (surfaces 'not parsed' with parse_ok 1);
+    // ksel 0/1 created is the fixed ts=[12/oct/2020...] epoch; the ver=h2
+    // next-protocol is overwritten by the uri grok's empty capture and
+    // scrubbed by 94 (NULL)
+    "qsw01_swg" ->
+      s"""WITH ${Transcripts.swgCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'skyhigh.swg' AS technology, 'not parsed' AS parse_rule,
+  'skyhigh' AS event_module, 'skyhigh.swg' AS event_dataset,
+  t.text AS event_original,
+  CASE WHEN b.ksel IN (0,1) THEN 'bob' || b.uid_s ELSE NULL END AS user_name,
+  CASE WHEN b.ksel IN (0,1) THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel = 0 THEN '10.9.8.7' ELSE NULL END AS destination_ip,
+  CASE WHEN b.ksel = 0 THEN CAST(50123 AS BIGINT) ELSE NULL END AS source_port,
+  CASE WHEN b.ksel = 0 THEN CAST(443 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE WHEN b.ksel = 0 THEN 'https' ELSE NULL END AS network_protocol,
+  CASE b.ksel WHEN 0 THEN CAST(200 AS BIGINT) WHEN 1 THEN CAST(403 AS BIGINT)
+    ELSE NULL END AS http_response_status_code,
+  CASE WHEN b.ksel = 0 THEN CAST(1400 AS BIGINT) ELSE NULL END AS http_request_bytes,
+  CASE WHEN b.ksel = 0 THEN CAST(5200 AS BIGINT) ELSE NULL END AS http_response_bytes,
+  CASE WHEN b.ksel = 0 THEN 'streaming' ELSE NULL END AS rule_category,
+  CASE b.ksel WHEN 0 THEN '10' WHEN 1 THEN '80' ELSE NULL END AS rule_id,
+  CASE WHEN b.ksel = 0 THEN 'ru-' || b.u5 ELSE NULL END AS rule_uuid,
+  CASE WHEN b.ksel = 0 THEN 'gateway antimalware' ELSE NULL END AS rule_ruleset,
+  CASE WHEN b.ksel = 1 THEN 'eicar-test' ELSE NULL END AS rule_name,
+  CASE b.ksel WHEN 0 THEN 'blocked due to an entry in the url database'
+    WHEN 1 THEN 'blocked due to a virus having been found'
+    ELSE NULL END AS rule_description,
+  CASE WHEN b.ksel IN (0,1) THEN 'denied' ELSE NULL END AS event_action,
+  CASE WHEN b.ksel = 0 THEN CAST(60 AS BIGINT) ELSE NULL END AS event_risk_score,
+  CASE WHEN b.ksel = 0 THEN '5' ELSE NULL END AS event_severity_name,
+  CASE WHEN b.ksel = 0 THEN '10.7.7.7' ELSE NULL END AS observer_ip,
+  CASE WHEN b.ksel = 0 THEN 'browser' ELSE NULL END AS process_name,
+  CASE WHEN b.ksel = 0 THEN 'curl/8.5' ELSE NULL END AS user_agent_original,
+  CAST(NULL AS STRING) AS tls_next_protocol,
+  CASE WHEN b.ksel IN (0,1) THEN 'get' ELSE NULL END AS http_request_method,
+  CASE b.ksel WHEN 0 THEN 'http://shop' || b.u5 || '.example.com/cart'
+    WHEN 1 THEN 'http://bad' || b.u5 || '.example.com/x' ELSE NULL END AS url_full,
+  CASE WHEN b.ksel = 2 THEN '1234' ELSE NULL END AS error_id,
+  CASE WHEN b.ksel = 2 THEN 'bad cert' ELSE NULL END AS error_code,
+  CASE WHEN b.ksel = 2 THEN 'trust failed' ELSE NULL END AS error_message,
+  CASE WHEN b.ksel = 2 THEN CAST(6 AS BIGINT) ELSE NULL END AS event_severity,
+  CASE WHEN b.ksel IN (0,1) THEN CAST(1602523441000 AS BIGINT)
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-skyhigh.swg_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM swg_turns t JOIN swg_base b USING (event_id)""",
+
+    // scp: no syslog header (api source); created from the epoch column
+    // (ksel 0) or the e03 default; service_state is scalar only when a
+    // single scanner flag is present (ksel 1's second flag → array → NULL);
+    // registered/top-level domains come from the tld filter
+    "qsc01_scp" ->
+      s"""WITH ${Transcripts.scpCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'skyhigh.scp' AS technology, 'not parsed' AS parse_rule,
+  'skyhigh' AS event_module, 'skyhigh.scp' AS event_dataset,
+  CASE b.ksel WHEN 0 THEN 'bob' || b.uid_s WHEN 1 THEN 'alice' || b.uid_s
+    ELSE NULL END AS user_name,
+  CASE WHEN b.ksel = 0 THEN 'scpdom' ELSE NULL END AS user_domain,
+  CASE WHEN b.ksel IN (0,1) THEN b.sip ELSE NULL END AS source_ip,
+  CASE b.ksel WHEN 0 THEN '10.5.5.5' WHEN 1 THEN '10.5.5.6' ELSE NULL END AS source_nat_ip,
+  CASE b.ksel WHEN 0 THEN CAST(40123 AS BIGINT) WHEN 1 THEN CAST(40124 AS BIGINT)
+    ELSE NULL END AS source_nat_port,
+  CASE b.ksel WHEN 0 THEN 'get' WHEN 1 THEN 'post' ELSE NULL END AS http_request_method,
+  CASE b.ksel WHEN 0 THEN CAST(5200 AS BIGINT) WHEN 1 THEN CAST(100 AS BIGINT)
+    ELSE NULL END AS destination_bytes,
+  CASE b.ksel WHEN 0 THEN CAST(1400 AS BIGINT) WHEN 1 THEN CAST(900 AS BIGINT)
+    ELSE NULL END AS source_bytes,
+  CASE b.ksel WHEN 0 THEN 'shop' || b.u5 || '.example.com'
+    WHEN 1 THEN 'intranet.corp' || b.u5 || '.net' ELSE NULL END AS url_domain,
+  CASE b.ksel WHEN 0 THEN '/cart' WHEN 1 THEN '/up' ELSE NULL END AS url_path,
+  CASE WHEN b.ksel IN (0,1) THEN 'https' ELSE NULL END AS url_scheme,
+  CASE b.ksel WHEN 0 THEN 'https://shop' || b.u5 || '.example.com/cart'
+    WHEN 1 THEN 'https://intranet.corp' || b.u5 || '.net/up' ELSE NULL END AS url_full,
+  CASE b.ksel WHEN 0 THEN 'example.com' WHEN 1 THEN 'corp' || b.u5 || '.net'
+    ELSE NULL END AS url_registered_domain,
+  CASE b.ksel WHEN 0 THEN 'com' WHEN 1 THEN 'net' ELSE NULL END AS url_tld,
+  CASE b.ksel WHEN 0 THEN 'allowed' WHEN 1 THEN 'denied' ELSE NULL END AS event_action,
+  CASE b.ksel WHEN 0 THEN 'web policy' WHEN 1 THEN 'dlp policy' ELSE NULL END AS rule_name,
+  CASE b.ksel WHEN 0 THEN 'ru-9' WHEN 1 THEN 'ru-8' ELSE NULL END AS rule_uuid,
+  CASE b.ksel WHEN 0 THEN 'dc east' WHEN 1 THEN 'dc west' ELSE NULL END AS rule_description,
+  CASE b.ksel WHEN 0 THEN 'gateway av' WHEN 1 THEN 'dlp block' ELSE NULL END AS rule_ruleset,
+  CASE b.ksel WHEN 0 THEN '5' WHEN 1 THEN '8' ELSE NULL END AS event_severity_name,
+  CASE b.ksel WHEN 0 THEN CAST(200 AS BIGINT) WHEN 1 THEN CAST(403 AS BIGINT)
+    ELSE NULL END AS http_response_status_code,
+  CASE WHEN b.ksel IN (0,1) THEN 'curl' ELSE NULL END AS user_agent_name,
+  CASE b.ksel WHEN 0 THEN 'browser' WHEN 1 THEN 'agentapp' ELSE NULL END AS process_name,
+  CASE b.ksel WHEN 0 THEN '10.9.8.7' WHEN 1 THEN '10.9.8.8' ELSE NULL END AS destination_ip,
+  CASE WHEN b.ksel IN (0,1) THEN CAST(443 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE WHEN b.ksel IN (0,1) THEN 'https' ELSE NULL END AS network_protocol,
+  CASE WHEN b.ksel = 0 THEN 'http://ref.example.com/' ELSE NULL END AS http_request_referrer,
+  CASE WHEN b.ksel IN (0,1) THEN 'cli' || b.u5 ELSE NULL END AS source_address,
+  CASE WHEN b.ksel = 1 THEN 'secret.xlsx' ELSE NULL END AS file_name,
+  CASE b.ksel WHEN 0 THEN CAST(72 AS BIGINT) WHEN 1 THEN CAST(88 AS BIGINT)
+    ELSE NULL END AS event_risk_score,
+  CASE WHEN b.ksel IN (0,1) THEN 'proxysvc' ELSE NULL END AS service_name,
+  CASE WHEN b.ksel = 0 THEN 'ssl_scanned: yes' ELSE NULL END AS service_state,
+  CASE WHEN b.ksel IN (0,1) THEN 'mcafee' ELSE NULL END AS cloud_provider,
+  CASE WHEN b.ksel IN (0,1) THEN 'api_mcp' ELSE NULL END AS log_source_hostname,
+  CASE WHEN b.ksel = 0 THEN CAST(1602523441000 AS BIGINT)
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  'logs-skyhigh.scp_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM scp_turns t JOIN scp_base b USING (event_id)""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

@@ -3386,6 +3386,146 @@ sd_turns AS (
     spark.sql(s"WITH $sdCte SELECT conv_id, turn_idx, role, text, tool, ts FROM sd_turns")
   }
 
+  /** skyhigh.security.mgr — NSM forwarder lines (ACL/Fault/Audit/Alert +
+    * the RULE 20 else) for syslog_security_skyhigh.security.mgr.conf. */
+  val shmCte: String = s"""
+shm_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 32) AS INT) % 8 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS syslog_ts,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 32) = 9
+),
+shm_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN 'SyslogACLLogForwarder: fw' || u5 || ' (Inbound ACL rule/#1) ' || sip
+        || ' -> 10.9.8.7:443 (result = pass)'
+      WHEN 1 THEN 'SyslogACLLogForwarder: fw' || u5 || ' (management ping rule) ' || sip
+        || ' -> 10.9.8.7:8080 (result = drop)'
+      WHEN 2 THEN 'SyslogFaultForwarder: fwd' || u5 || ' : INFO: ok:UpdateSensorScheduler:running'
+      WHEN 3 THEN 'SyslogFaultForwarder: fwd' || u5 || ' : Manager: DAT file ' || eid_s || ' downloaded by the Manager'
+      WHEN 4 THEN 'SyslogAuditLogForwarder: Login succeeded for user admin' || u5
+      WHEN 5 THEN 'SyslogAlertForwarder: smgr' || u5 || ' Policy Violation Detected HTTP: suspicious request (severity = 5). '
+        || sip || ':50123 -> 10.9.8.7:80 (result = blocked)'
+      WHEN 6 THEN 'SyslogAlertForwarder: smgr' || u5 || ' Scan Sweep Detected port sweep detected. '
+        || sip || ':N/A -> 10.9.8.7:N/A (result = alerted)'
+      ELSE 'manual config backup completed ' || eid_s
+    END AS rest
+  FROM shm_base
+),
+shm_turns AS (
+  SELECT 'shm_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE WHEN ksel = 4 THEN '{name=obs' || u5 || '.corp} ' ELSE '' END
+      || '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' ' || rest AS text,
+    'skyhigh.security.mgr' AS tool, ts, event_id
+  FROM shm_body
+)"""
+
+  def shmInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $shmCte SELECT conv_id, turn_idx, role, text, tool, ts FROM shm_turns")
+  }
+
+  /** skyhigh.swg — web-gateway access (double-space kv), virus, and cert-
+    * error lines for syslog_security_skyhigh.swg.conf. The ts=[...] value is
+    * a fixed epoch so the bracket-gsub + dd/MMM date path stays constant. */
+  val swgCte: String = s"""
+swg_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 50 AS STRING) AS uid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 36) AS INT) % 3 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS syslog_ts,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 36) = 17
+),
+swg_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN 'ts=[12/oct/2020:17:24:01 +0000],  usr=bob' || uid_s || ',  sip=' || sip
+        || ',  dip=10.9.8.7,  sprt=50123,  dprt=443,  stat=200,  rbytes=1400,  sbytes=5200'
+        || ',  cat=streaming,  blockid=10,  rule=ru-' || u5 || ',  block=gateway antimalware'
+        || ',  app=browser,  sev=5,  mprob=60,  agent=curl/8.5,  ver=h2,  url=10.7.7.7'
+        || ',  connection type=plain, ssl=no,  method=GET http://shop' || u5 || '.example.com/cart h1'
+      WHEN 1 THEN 'ts=[12/oct/2020:17:24:01 +0000],usr=bob' || uid_s || ',sip=' || sip
+        || ',virus=eicar-test,stat=403,blockid=80,method=GET http://bad' || u5 || '.example.com/x h1'
+      ELSE 'cert "probe" handler 1234 "bad cert" "trust failed" tail Severity: 6"'
+    END AS csvpart
+  FROM swg_base
+),
+swg_turns AS (
+  SELECT 'swg_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' mwghost' || u5 || ' mwg:  ' || csvpart AS text,
+    'skyhigh.swg' AS tool, ts, event_id
+  FROM swg_body
+)"""
+
+  def swgInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $swgCte SELECT conv_id, turn_idx, role, text, tool, ts FROM swg_turns")
+  }
+
+  /** skyhigh.scp — 49-column API CSV rows (domain-backslash and plain
+    * users) plus the pass-through "test message" row, exercising the second
+    * tld-filter call site (api_security_skyhigh.scp.conf:131-149). */
+  val scpCte: String = s"""
+scp_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 50 AS STRING) AS uid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 40) AS INT) % 3 AS ksel,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 40) = 21
+),
+scp_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN '1001,SCPDOM' || chr(92) || 'bob' || uid_s || ',10.5.5.5,GET,5200,1400,shop'
+        || u5 || '.example.com,/cart,Observed,web policy,1602523441,2020-10-12 17:24:01,https'
+        || ',Streaming Media,,proxysvc,5,ru-9,200,' || sip || ',dc east,gateway av,curl,8.5,curl/8.5'
+        || ',browser,10.9.8.7,443,us,http://ref.example.com/,yes,,,,,cli' || u5
+        || ',,10.3.3.1,10.3.3.2,40123,72,h1,3,1.3,,svc9,12,34,56,78'
+      WHEN 1 THEN '1002,alice' || uid_s || ',10.5.5.6,POST,100,900,intranet.corp' || u5
+        || '.net,/up,Denied,dlp policy,,2020-10-12 17:24:02,https,Data Loss Prevention,,proxysvc,8,ru-8,403,'
+        || sip || ',dc west,dlp block,curl,8.5,curl/8.5,agentapp,10.9.8.8,443,us,,yes,yes,,,,cli' || u5
+        || ',secret.xlsx,10.3.3.1,10.3.3.2,40124,88,h1,3,1.3,,svc9,12,34,56,78'
+      ELSE 'test message for scp connector ' || eid_s
+    END AS line
+  FROM scp_base
+),
+scp_turns AS (
+  SELECT 'scp_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role, line AS text,
+    'skyhigh.scp' AS tool, ts, event_id
+  FROM scp_body
+)"""
+
+  def scpInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $scpCte SELECT conv_id, turn_idx, role, text, tool, ts FROM scp_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

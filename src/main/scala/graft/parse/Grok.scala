@@ -101,7 +101,9 @@ object Grok {
 
   private val refRe = Pattern.compile("%\\{(\\w+)(?::([^}]+))?\\}")
   // Logstash dialect named group: (?<[a][b]>  or  (?<name>  — rewrite to safe java names
-  private val namedRe = Pattern.compile("\\(\\?<((?:\\[[^\\]]+\\])+|[A-Za-z_][\\w@.\\[\\]_-]*)>")
+  // dialect group names: [a][b], the double-bracket [[a][b]] form
+  // (ref: syslog_security_skyhigh.security.mgr.conf:34), or plain words
+  private val namedRe = Pattern.compile("\\(\\?<(\\[\\[[^>]+\\]\\]|(?:\\[[^\\]]+\\])+|[A-Za-z_][\\w@.\\[\\]_-]*)>")
 
   private val compileCache = new java.util.concurrent.ConcurrentHashMap[String, CompiledGrok]()
 

@@ -225,6 +225,12 @@ object Registry {
       "logs-guardium.db", Vector("elastic"), Set.empty, "medium"),
     "sdwan.app" -> TechnologyConfig("sdwan.app",
       "logs-sdwan.app", Vector("elastic"), Set.empty, "medium"),
+    "skyhigh.security.mgr" -> TechnologyConfig("skyhigh.security.mgr",
+      "logs-skyhigh.security.mgr", Vector("elastic"), Set.empty, "medium"),
+    "skyhigh.swg" -> TechnologyConfig("skyhigh.swg",
+      "logs-skyhigh.swg", Vector("elastic", "s3"), Set.empty, "high"),
+    "skyhigh.scp" -> TechnologyConfig("skyhigh.scp",
+      "logs-skyhigh.scp", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -592,6 +598,9 @@ object Registry {
     "tanium" -> TaniumRules.tanium,
     "guardium.db" -> GuardiumRules.guardium,
     "sdwan.app" -> SdwanRules.sdwanApp,
+    "skyhigh.security.mgr" -> SkyhighRules.secMgr,
+    "skyhigh.swg" -> SkyhighRules.swg,
+    "skyhigh.scp" -> SkyhighRules.scp,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =
