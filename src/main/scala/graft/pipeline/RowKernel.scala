@@ -67,7 +67,19 @@ object RowKernel {
     * input turn so a single pass can account for conservation metrics —
     * used by Sink; the query path filters at the source by not asking. */
   def process(it: Iterator[InternalRow], dicts: Dicts,
-              emitDropped: Boolean): Iterator[InternalRow] = {
+              emitDropped: Boolean): Iterator[InternalRow] =
+    processProjected(it, dicts, emitDropped, null)
+
+  /** Lazy flatten (ROADMAP lever): `mask(ordinal)` selects which ParsedTurn
+    * columns to materialize — unselected Event-derived fields stay null and
+    * skip their map walk + UTF8String conversion entirely, which is the
+    * wide path's DRAM traffic. The 13 context columns (conv/turn/.../route)
+    * are always populated (they cost nothing and the sinks key on them).
+    * Output schema is unchanged; callers project on top, so Catalyst
+    * immediately narrows the rows (see Pipeline.parseDfSelect). `null` mask
+    * = full flatten (identical to round-3 behavior). */
+  def processProjected(it: Iterator[InternalRow], dicts: Dicts,
+                       emitDropped: Boolean, mask: Array[Boolean]): Iterator[InternalRow] = {
     val techs = new java.util.HashMap[UTF8String, Tech]()
     it.flatMap { row =>
       val toolU8 = if (row.isNullAt(4)) UTF8String.EMPTY_UTF8 else row.getUTF8String(4)
@@ -94,11 +106,21 @@ object RowKernel {
           var i = -1
           results.map { case (ev, parseOk) =>
             i += 1
-            flatten(ev, parseOk, i, tech, convU8, turnIdx, roleU8, textU8, tsMicros, tsMillis)
+            flatten(ev, parseOk, i, tech, convU8, turnIdx, roleU8, textU8, tsMicros, tsMillis, mask)
           }
         }
       }
     }
+  }
+
+  /** Ordinal mask for a column subset (always includes the 13 context
+    * columns — they are populated unconditionally). */
+  def maskFor(cols: Seq[String]): Array[Boolean] = {
+    val m = new Array[Boolean](numFields)
+    var i = 0
+    while (i < 13) { m(i) = true; i += 1 }
+    cols.foreach(c => m(schema.fieldIndex(c)) = true)
+    m
   }
 
   /** Counts-only 5-column schema (see Engine.parseCardinality). */
@@ -160,21 +182,27 @@ object RowKernel {
     * order); RowParitySpec proves equality against the typed path. */
   private def flatten(ev: Event, parseOk: Boolean, subIdx: Int, tech: Tech,
                       convU8: UTF8String, turnIdx: Int, roleU8: UTF8String,
-                      textU8: UTF8String, tsMicros: Long, tsMillis: Long): InternalRow = {
+                      textU8: UTF8String, tsMicros: Long, tsMillis: Long,
+                      mask: Array[Boolean] = null): InternalRow = {
     val v = new Array[Any](numFields)
     var i = 0
     def put(x: Any): Unit = { v(i) = x; i += 1 }
+    // `on` gates every Event-derived column on the lazy-flatten mask: an
+    // unselected ordinal skips its map walk and UTF8String copy (null slot)
+    def on: Boolean = mask == null || mask(i)
     def s(p: String): Unit = {
-      val x = ev.stringOrNull(p)
-      put(if (x == null) null else UTF8String.fromString(x))
+      if (on) {
+        val x = ev.stringOrNull(p)
+        put(if (x == null) null else UTF8String.fromString(x))
+      } else put(null)
     }
-    def l(p: String): Unit = put(ev.valueOrNull(p) match {
+    def l(p: String): Unit = put(if (!on) null else ev.valueOrNull(p) match {
       case x: Long => x
       case x: String => x.toLongOption match { case Some(n) => n; case None => null }
       case x: Double => x.toLong
       case _ => null
     })
-    def arr(p: String): Unit = put(ev.valueOrNull(p) match {
+    def arr(p: String): Unit = put(if (!on) emptyArray else ev.valueOrNull(p) match {
       case a: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
         val b = Array.newBuilder[Any]
         b.sizeHint(a.length)
@@ -184,7 +212,8 @@ object RowKernel {
       case _ => emptyArray
     })
     def priv(tagTrue: String, tagFalse: String): Unit =
-      put(if (ev.hasTag(tagTrue)) true else if (ev.hasTag(tagFalse)) false else null)
+      put(if (!on) null
+      else if (ev.hasTag(tagTrue)) true else if (ev.hasTag(tagFalse)) false else null)
 
     put(convU8)                       // conv_id
     put(turnIdx)                      // turn_idx

@@ -68,7 +68,11 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("gheoci", Transcripts.goInput), ("rsagg", Transcripts.rgInput),
       ("mcas", Transcripts.mcInput), ("cpops", Transcripts.chInput),
       ("as400", Transcripts.a4Input), ("vcnaix", Transcripts.vxInput),
-      ("sap", Transcripts.spInput), ("mpki", Transcripts.mpInput))
+      ("sap", Transcripts.spInput), ("mpki", Transcripts.mpInput),
+      ("netscaler", Transcripts.ntInput), ("pulse", Transcripts.jpInput),
+      ("tanium", Transcripts.tnInput), ("guardium", Transcripts.gdmInput),
+      ("sdwan", Transcripts.sdInput), ("secmgr", Transcripts.shmInput),
+      ("swg", Transcripts.swgInput), ("scp", Transcripts.scpInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
