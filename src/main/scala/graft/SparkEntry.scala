@@ -16,19 +16,20 @@ object SparkEntry {
 
   // ---------- shared plumbing ----------
 
-  @volatile private var parsedCache: Map[String, DataFrame] = Map.empty
+  @volatile private var parsedCache: List[(SparkSession, String, DataFrame)] = Nil
 
-  /** Parsed+enriched turns for a sf dir, computed once per session and
+  /** Parsed+enriched turns for a sf dir, computed once per LIVE session and
     * persisted (the reference's "enrich once, write N sinks" no-clone
-    * strategy — ref: build_scripts/README.md:54-56). */
+    * strategy — ref: build_scripts/README.md:54-56). Entries for stopped
+    * sessions are pruned on access so the cache cannot pin dead sessions. */
   def parsed(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val key = s"${System.identityHashCode(spark)}|$dir"
-    parsedCache.get(key) match {
-      case Some(df) => df
+    parsedCache = parsedCache.filter(e => !e._1.sparkContext.isStopped)
+    parsedCache.find(e => (e._1 eq spark) && e._2 == dir) match {
+      case Some((_, _, df)) => df
       case None =>
         val df = Pipeline.parseDf(spark, Transcripts.input(spark, dir)).toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        parsedCache = parsedCache.updated(key, df)
+        parsedCache = (spark, dir, df) :: parsedCache
         df
     }
   }

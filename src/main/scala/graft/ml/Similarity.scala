@@ -106,16 +106,22 @@ object Similarity {
     * verdict: the kernel ran ~4× per bench). Persist level is
     * MEMORY_AND_DISK — the assignment is the size of the embeddings table
     * plus one long column. */
-  @volatile private var assignCache: Map[String, DataFrame] = Map.empty
+  // Entries for STOPPED sessions are pruned on every access (Bench creates
+  // and stops many sessions; round-3 advice: an identityHashCode-keyed map
+  // pinned their DataFrames and sessions forever). Staleness contract: the
+  // assignment is cached per (live session, dir) — if files under `dir`
+  // change within one session's lifetime, callers must use a new session
+  // (the engine's dirs are immutable test fixtures).
+  @volatile private var assignCache: List[(SparkSession, String, DataFrame)] = Nil
 
   def assignment(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val key = s"${System.identityHashCode(spark)}|$dir"
-    assignCache.get(key) match {
-      case Some(df) => df
+    assignCache = assignCache.filter(e => !e._1.sparkContext.isStopped)
+    assignCache.find(e => (e._1 eq spark) && e._2 == dir) match {
+      case Some((_, _, df)) => df
       case None =>
         val df = ivfAssignWithEmbedding(spark, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        assignCache = assignCache.updated(key, df)
+        assignCache = (spark, dir, df) :: assignCache
         df
     }
   }

@@ -29,9 +29,12 @@ object Dates {
     if (c != null) return c
     // Joda "ZZ" (colon-separated offset, e.g. "+00:00") = Java "XXX"
     // (ref: syslog_security_cisco.ise.conf:79 "yyyy-MM-dd HH:mm:ss.SSS ZZ");
-    // Joda "YYYY" is year-of-era, NOT Java's week-based-year
-    // (ref: syslog_audit_infoblox.conf:389 "dd-MMM-YYYY HH:mm:ss.SSS")
-    val javaPattern = pattern.replace("ZZ", "XXX").replace("YYYY", "yyyy")
+    // Joda "Y" runs are year-of-era, NOT Java's week-based-year — translate
+    // ANY run of Y to the same-length run of y (round-3 advice: the literal
+    // "YYYY" replace would silently give week-based years for "YY"/"Y";
+    // ref: syslog_audit_infoblox.conf:389 "dd-MMM-YYYY HH:mm:ss.SSS")
+    val javaPattern = "Y+".r.replaceAllIn(
+      pattern.replace("ZZ", "XXX"), m => "y" * m.matched.length)
     val b = new DateTimeFormatterBuilder().parseCaseInsensitive().appendPattern(javaPattern)
     // year-less syslog patterns (e.g. "MMM d HH:mm:ss") default to event year —
     // injected deterministically by the caller, never wall-clock.

@@ -61,11 +61,20 @@ object Pipeline {
 
   /** Row-level kernel with optional dropped-turn marker rows (Sink's
     * single-pass conservation accounting). */
+  /** Pre-kernel input prep shared by every row-kernel entry point: project
+    * to the 6 input_hint columns (drives parquet column pruning) and
+    * hash-repartition on conv_id to the executor parallelism. Exposed
+    * package-wide so PlanAuditSpec can assert the executed plan shape —
+    * the kernel's RDD bridge hides this stage from the outer plan. */
+  private[graft] def parseInput(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .repartition(p, col("conv_id"))
+  }
+
   def parseRows(spark: SparkSession, df: DataFrame, emitDropped: Boolean): DataFrame = {
     import org.apache.spark.sql.graft.InternalBridge
-    val p = spark.sparkContext.defaultParallelism
-    val in = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
-      .repartition(p, col("conv_id"))
+    val in = parseInput(spark, df)
     val bc = dictsBroadcast(spark)
     val rdd = InternalBridge.toRdd(in)
       .mapPartitions(it => RowKernel.process(it, bc.value, emitDropped))
@@ -84,9 +93,7 @@ object Pipeline {
     * (LazyFlattenSpec, full-mask and subset-mask). */
   def parseDfSelect(spark: SparkSession, df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graft.InternalBridge
-    val p = spark.sparkContext.defaultParallelism
-    val in = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
-      .repartition(p, col("conv_id"))
+    val in = parseInput(spark, df)
     val bc = dictsBroadcast(spark)
     val mask = RowKernel.maskFor(cols)
     val rdd = InternalBridge.toRdd(in)
@@ -110,9 +117,7 @@ object Pipeline {
     * proving equality with the full-width path. */
   def sinkCountsFromInput(spark: SparkSession, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.InternalBridge
-    val p = spark.sparkContext.defaultParallelism
-    val in = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
-      .repartition(p, col("conv_id"))
+    val in = parseInput(spark, df)
     val bc = dictsBroadcast(spark)
     val rdd = InternalBridge.toRdd(in)
       .mapPartitions(it => RowKernel.processCounts(it, bc.value))

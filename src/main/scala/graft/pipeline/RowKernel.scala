@@ -136,8 +136,15 @@ object RowKernel {
 
   /** Counts-only kernel: same parse dispatch, no enrichment chain, no wide
     * flatten — one reused 5-column row emitted `cardinality` times per
-    * input turn (the hash aggregate consumes each row before next()). */
-  def processCounts(it: Iterator[InternalRow], dicts: Dicts): Iterator[InternalRow] = {
+    * input turn.
+    *
+    * ROW-OBJECT CAVEAT (exception to this file's header contract): the
+    * emitted rows share ONE mutable GenericInternalRow. This is only safe
+    * because the sole consumer (Pipeline.sinkCountsFromInput) feeds a hash
+    * aggregate that consumes each row before next() — a cache/sort/collect
+    * over this iterator would silently see the last row N times. Kept
+    * package-private so no caller outside the pipeline can buffer it. */
+  private[pipeline] def processCounts(it: Iterator[InternalRow], dicts: Dicts): Iterator[InternalRow] = {
     val techs = new java.util.HashMap[UTF8String, Tech]()
     val out = new Array[Any](5)
     val row = new GenericInternalRow(out)

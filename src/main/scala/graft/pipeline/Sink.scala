@@ -185,4 +185,31 @@ object Sink {
     spark.read.option("basePath", s"$rootDir/snapshot=$snapshotId")
       .parquet(s"$rootDir/snapshot=$snapshotId/sink=$sink")
       .drop("sink", "chunk")
+
+  /** The s3 output's actual byte format (ref: config/outputs/s3_output.conf:
+    * 8-22): `codec => json_lines` + `encoding => gzip`, laid out under
+    * `prefix => "%{[@metadata][index]}/%{+xxxx/MM/dd}"`. Spark-first
+    * realization: gzip JSON-lines files partitioned by (index, y, m, d) —
+    * the index comes from route_index with its dated suffix stripped (the
+    * prefix template re-adds the date as folders), and the s3 plugin's
+    * size/time `rotation_strategy` maps to `maxRecordsPerFile` (each rolled
+    * file is an independently-readable .json.gz, exactly like a rotated
+    * upload part). Rows are the ones routed to the "s3" output. */
+  def writeS3JsonLines(spark: SparkSession, parsed: DataFrame, dir: String,
+                       maxRecordsPerFile: Int = 1000000): Unit =
+    parsed
+      .filter(array_contains(col("route_outputs"), "s3"))
+      .withColumn("index", regexp_replace(col("route_index"), "_\\d{4}\\.\\d{2}\\.\\d{2}$", ""))
+      .withColumn("y", year(col("ts")))
+      .withColumn("m", month(col("ts")))
+      .withColumn("d", dayofmonth(col("ts")))
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("index", "y", "m", "d")
+      .json(dir)
+
+  /** Read a json-lines gzip sink back (Spark auto-decompresses .gz). */
+  def readS3JsonLines(spark: SparkSession, dir: String): DataFrame =
+    spark.read.json(dir)
 }

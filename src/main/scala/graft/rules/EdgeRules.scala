@@ -132,12 +132,22 @@ object EdgeRules {
     * the input, the scalar `host` lands in [agent][name], and the per-tech
     * rules below parse the inner syslog line.
     *
-    * RULE 1 (persist-xff, ref :25-38), RULE 3 (bracket-prefixed proxy flow,
-    * ref :52-61), the a10/A10 `drop {}` (ref :22-24) and the
+    * RULE 1 (persist-xff, ref :25-38), RULE 2 (^cef: waf, ref :39-50),
+    * RULE 3 (bracket-prefixed proxy flow, ref :52-61), RULE 4 (axapi
+    * session audit, ref :61-68), the a10/A10 `drop {}` (ref :22-24) and the
     * "does not match rule" else-branch (ref :71-75 — note: NO failure tag,
-    * so parse_ok stays true; mirrored verbatim). RULE 2 (cef waf) and
-    * RULE 4 (axapi) are not generated by the corpus and take the else path
-    * shape-wise; their regexes are ported for completeness. */
+    * so parse_ok stays true; mirrored verbatim). */
+  private val a10Rule2Grok: String = // ref :43-45
+    ".*?\\|waf.*?\\|(?<[event][dataset]>.*?)\\|.*?rt=(?<[event][created]>.*?) " +
+      "src=(?<[source][ip]>.*?) spt=(?<[source][port]>\\d+) dst=(?<[destination][ip]>.*?) " +
+      "dpt=(?<[destination][port]>\\d+) dhost=(?<[url][domain]>.*?) cs1=(?<[rule][name]>.*?) " +
+      "cs2=(?<[event][id]>.*?) act=(?<[event][action]>.*?) cs3=(?<[rule][ruleset]>.*?) " +
+      "app=(?<[network][protocol]>.*?) requestMethod=(?<[http][request][method]>.*?) " +
+      "cn1=.*? request=(?<[http][request][body][content]>.*?) msg=(?<[event][reason]>.*?)$"
+  private val a10Rule4Grok: String = // ref :64-66
+    "(?<[event][created]>\\w+\\s+\\d+ \\d+:\\d+:\\d+) .*?\\> (?<[event][action]>.*?) " +
+      "\"(?<[user][name]>.*?)\" from (?<[source][ip]>\\d+\\.\\d+\\.\\d+\\.\\d+) " +
+      ".*? is (?<[service][id]>\\d+)\\."
   private val a10Rule1Grok: String =
     "^((?<[month]>.*?)(\\s)? (?<[date]>.*?) (?<[time]>.*?) (?<[host][hostname]>.*?) " +
       "(?<[process][name]>.*?)\\: \\[(?<[event][provider]>.*?)\\]\\<(?<[log][syslog][severity][code]>.*?)\\>)?" +
@@ -163,9 +173,17 @@ object EdgeRules {
       Grok(ev, "actual_msg", Seq(a10Rule1Grok), Seq("_parsefailure_body2"))
       if (ev.has("month") && ev.has("date") && ev.has("time"))
         Mutate.addField(ev, "[event][created]", "%{month} %{date} %{time}")
+    } else if (msg.startsWith("cef:")) { // ref :39 (`^cef:` — case-sensitive, as in the ref)
+      ev.set("[agent][parse_rule]", "RULE 2")
+      Grok(ev, "actual_msg", Seq(a10Rule2Grok), Seq("_parsefailure_body1"))
+      Mutate.addField(ev, "[url][full]",
+        "%{[network][protocol]}://%{[[url][domain]]}:%{[[destination][port]]}%{[[http][request][body][content]]}")
     } else if (msg.startsWith("[") && msg.matches("^\\[\\w+.*?\\].*")) { // ref :52-61
       ev.set("[agent][parse_rule]", "RULE 3")
       Grok(ev, "actual_msg", Seq(a10Rule3Grok), Seq("_parsefailure_body2"))
+    } else if (msg.contains("a axapi session for")) { // ref :61-68
+      ev.set("[agent][parse_rule]", "RULE 4")
+      Grok(ev, "actual_msg", Seq(a10Rule4Grok), Seq("_parsefailure_body3"))
     } else {
       ev.set("[agent][parse_rule]", "does not match rule") // ref :71-75
     }
