@@ -644,6 +644,52 @@ px AS (
         col("cloud_provider"), col("log_source_hostname"),
         col("event_created_ms"), col("route_index"))),
 
+    // forescout.counteract_nac: CounterAct threat-Log kv, application
+    // status, NAC-policy MAC dissects, RULE 8 (trailing-space parse_rule,
+    // ref :203) and the custom-action JSON inventory (RULE 11)
+    "qfs01_forescout" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.fsInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("rule_category"), col("rule_ruleset"),
+        col("service_type"), col("source_ip"), col("destination_ip"),
+        col("event_severity_name"), col("source_address"),
+        col("host_hostname"), col("host_name"), col("log_source_hostname"),
+        col("source_port"), col("process_pid"), col("service_state"),
+        col("event_action"), col("rule_name"), col("source_mac"),
+        col("event_start_ms"), col("event_original"), col("process_name"),
+        col("user_name"), col("host_domain"), col("host_serial"),
+        col("event_created_ms"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("route_index"))),
+
+    // cisco.dna: DNA-center webhook JSON with the conf's own self-defeating
+    // envelope sprintf (literal hostnames), dead category translate, and
+    // issue-name split; f5 gtm: 12-branch dissect ladder with the DBUG drop
+    // and a severity translate whose source never exists
+    "qdna01_dna" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.dnaInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("event_category"), col("event_kind"),
+        col("event_type"), col("event_provider"), col("event_id_s"),
+        col("event_url"), col("error_type"), col("error_message"),
+        col("event_severity"), col("event_action"), col("event_reason"),
+        col("host_hostname"), col("host_domain"), col("observer_hostname"),
+        col("network_name"), col("event_created_ms"),
+        col("log_syslog_facility_code"), col("log_syslog_severity_code"),
+        col("route_index"))),
+
+    "qfg01_f5gtm" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.fgInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("destination_address"),
+        col("source_address"), col("process_name"), col("process_pid"),
+        col("user_id"), col("user_name"), col("rule_description"),
+        col("source_ip"), col("url_path"), col("event_id_s"),
+        col("event_created_ms"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -2548,6 +2594,124 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
     ELSE epoch_ms(t.ts) END AS event_created_ms,
   'logs-skyhigh.scp_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM scp_turns t JOIN scp_base b USING (event_id)""",
+
+    // ksel map mirrors fs_body; 'rule 8 ' keeps the reference's trailing
+    // space; [event][duration] is parsed then deleted by the conf's own
+    // remove_field; severity translate only fires when a severity exists
+    "qfs01_forescout" ->
+      s"""WITH ${Transcripts.fsCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'forescout.counteract.nac' AS technology,
+  CASE b.ksel WHEN 0 THEN 'rule 1,rule 2' WHEN 1 THEN 'rule 1,rule 4,rule 4 (3)'
+    WHEN 2 THEN 'rule 1,rule 5,rule 5 (b),rule 6' WHEN 3 THEN 'rule 9'
+    WHEN 4 THEN 'rule 11' ELSE 'rule 1,rule 8 ' END AS parse_rule,
+  'forescout' AS event_module, 'forescout.counteract_nac' AS event_dataset,
+  CASE b.ksel WHEN 0 THEN 'security/other'
+    WHEN 3 THEN 'security/failed activity' ELSE NULL END AS rule_category,
+  CASE b.ksel WHEN 0 THEN 'quarantine' WHEN 3 THEN 'botnet' ELSE NULL END AS rule_ruleset,
+  CASE b.ksel WHEN 0 THEN 'block' WHEN 3 THEN 'alert' ELSE NULL END AS service_type,
+  CASE WHEN b.ksel IN (0,3) THEN b.sip
+    WHEN b.ksel = 4 THEN '10.1.2.9' ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel IN (0,3) THEN '10.9.8.7' ELSE NULL END AS destination_ip,
+  CASE b.ksel WHEN 0 THEN 'warn' WHEN 3 THEN 'errr' ELSE NULL END AS event_severity_name,
+  CASE WHEN b.ksel = 1 THEN '10.1.1.1' ELSE 'fs-mgr' END AS source_address,
+  CASE WHEN b.ksel = 4 THEN NULL ELSE 'nacapp' || b.u5 END AS host_hostname,
+  CASE WHEN b.ksel = 4 THEN NULL ELSE 'nacapp' || b.u5 END AS host_name,
+  CASE WHEN b.ksel = 4 THEN NULL ELSE 'nacapp' || b.u5 END AS log_source_hostname,
+  CASE b.ksel WHEN 0 THEN CAST(514 AS BIGINT) WHEN 2 THEN CAST(514 AS BIGINT)
+    WHEN 3 THEN CAST(515 AS BIGINT) WHEN 4 THEN CAST(900 AS BIGINT)
+    WHEN 5 THEN CAST(600 AS BIGINT) ELSE NULL END AS source_port,
+  CASE WHEN b.ksel = 1 THEN CAST(771 AS BIGINT) ELSE NULL END AS process_pid,
+  CASE WHEN b.ksel = 1 THEN 'running' ELSE NULL END AS service_state,
+  CASE b.ksel WHEN 1 THEN 'connected' WHEN 4 THEN 'alert' ELSE NULL END AS event_action,
+  CASE b.ksel WHEN 1 THEN 'engine ok'
+    WHEN 4 THEN 'forescout - non corp device detected' ELSE NULL END AS rule_name,
+  CASE b.ksel WHEN 2 THEN '0011.22aa.bb' || b.u5
+    WHEN 4 THEN '00:11:22:33:44:5' || b.u5 ELSE NULL END AS source_mac,
+  epoch_ms(date_trunc('second', t.ts)) AS event_start_ms,
+  CASE WHEN b.ksel = 5 THEN 'Application status changed to idle' ELSE NULL END AS event_original,
+  CASE WHEN b.ksel = 4 THEN 'fsproc' ELSE NULL END AS process_name,
+  CASE WHEN b.ksel = 4 THEN 'bob' || b.u5 ELSE NULL END AS user_name,
+  CASE WHEN b.ksel = 4 THEN 'corp.local' ELSE NULL END AS host_domain,
+  CASE WHEN b.ksel = 4 THEN 'sn' || b.eid_s ELSE NULL END AS host_serial,
+  epoch_ms(t.ts) AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-forescout.counteract.nac_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM fs_turns t JOIN fs_base b USING (event_id)""",
+
+    // the sprintf literals for host.domain / observer.hostname (and
+    // host.hostname / network.name on the non-assurance row) are the conf's
+    // own unresolved envelope references — 94 keeps bracketed literals
+    "qdna01_dna" ->
+      s"""WITH ${Transcripts.dnaCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'cisco.dna' AS technology, 'not parsed' AS parse_rule,
+  'cisco' AS event_module, 'cisco.dna' AS event_dataset,
+  CASE b.ksel WHEN 1 THEN 'audit' ELSE 'issue' END AS event_category,
+  CASE WHEN b.ksel IN (0,2) THEN 'event' ELSE NULL END AS event_kind,
+  CASE b.ksel WHEN 0 THEN 'info' ELSE 'error' END AS event_type,
+  CASE b.ksel WHEN 1 THEN 'system' ELSE 'assurance' END AS event_provider,
+  'ev' || b.eid_s AS event_id_s,
+  CASE WHEN b.ksel = 0 THEN 'http://dna/x' || b.u5 ELSE NULL END AS event_url,
+  CASE WHEN b.ksel = 0 THEN 'availability' ELSE NULL END AS error_type,
+  CASE WHEN b.ksel = 0 THEN 'interface down on ssid corp-wifi ' ELSE NULL END AS error_message,
+  CASE b.ksel WHEN 0 THEN CAST(2 AS BIGINT) WHEN 1 THEN CAST(3 AS BIGINT)
+    ELSE CAST(1 AS BIGINT) END AS event_severity,
+  CASE b.ksel WHEN 0 THEN 'high utilization' WHEN 1 THEN 'backup failed'
+    ELSE 'utilization increase detected on wlan' || b.u5 || ' in building7.' END AS event_action,
+  CASE b.ksel WHEN 0 THEN 'port above threshold' WHEN 1 THEN 'backup failed'
+    ELSE 'utilization increase detected on wlan' || b.u5 || ' in building7.' END AS event_reason,
+  CASE WHEN b.ksel IN (0,2) THEN 'sw' || b.u5
+    ELSE '%' || chr(123) || '[[log][source][hostname]]' || chr(125) END AS host_hostname,
+  '%' || chr(123) || '[[log][source][hostname]]' || chr(125) AS host_domain,
+  '%' || chr(123) || '[[log][source][hostname]]' || chr(125) AS observer_hostname,
+  CASE b.ksel WHEN 0 THEN 'corp-wifi' WHEN 2 THEN 'wlan' || b.u5
+    ELSE '%' || chr(123) || '[[[host][hostname]]]' || chr(125) END AS network_name,
+  CASE WHEN b.ksel IN (0,2) THEN CAST(1602523441000 AS BIGINT)
+    ELSE CAST(1602523441000 AS BIGINT) END AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-cisco.dna_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM dna_turns t JOIN dna_base b USING (event_id)""",
+
+    // ksel 0 is the RULE 1 DBUG drop (absent); severity translate source
+    // never exists, so rule.category never surfaces
+    "qfg01_f5gtm" ->
+      s"""WITH ${Transcripts.fgCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'f5.big.ip.gtm.dns' AS technology,
+  CASE b.ksel WHEN 1 THEN 'rule 2' WHEN 2 THEN 'rule 6' WHEN 3 THEN 'rule 8'
+    WHEN 4 THEN 'rule 10' WHEN 5 THEN 'rule 11' WHEN 6 THEN 'rule 12a'
+    ELSE 'rule 7' END AS parse_rule,
+  'f5' AS event_module, 'f5.loadbalancer' AS event_dataset,
+  CASE WHEN b.ksel = 5 THEN NULL
+    ELSE 'gtm-dst' || b.u5 END AS destination_address,
+  CASE WHEN b.ksel = 5 THEN 'gtm-src' || b.u5 ELSE NULL END AS source_address,
+  CASE b.ksel WHEN 1 THEN 'httpd' WHEN 2 THEN 'httpd' WHEN 3 THEN 'tmm'
+    WHEN 4 THEN 'parts(/etc/cron.hourly)' WHEN 5 THEN 'logger'
+    WHEN 6 THEN 'sshd' ELSE 'mcpd' END AS process_name,
+  CASE b.ksel WHEN 1 THEN CAST(123 AS BIGINT) WHEN 2 THEN CAST(124 AS BIGINT)
+    WHEN 3 THEN CAST(125 AS BIGINT) WHEN 4 THEN CAST(300 AS BIGINT)
+    WHEN 6 THEN CAST(400 AS BIGINT) WHEN 7 THEN CAST(500 AS BIGINT)
+    ELSE NULL END AS process_pid,
+  CASE WHEN b.ksel IN (2,7) THEN 'admin' || b.u5 ELSE NULL END AS user_id,
+  CASE WHEN b.ksel = 6 THEN 'root' ELSE NULL END AS user_name,
+  CASE b.ksel WHEN 1 THEN 'token granted for admin' || b.u5
+    WHEN 2 THEN 'login ok'
+    WHEN 3 THEN 'monitor status down for pool member p' || b.u5
+    WHEN 4 THEN 'starting 0anacron'
+    WHEN 6 THEN 'authentication failure'
+    WHEN 7 THEN 'modified cli config' ELSE NULL END AS rule_description,
+  CASE WHEN b.ksel IN (1,5,6) THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel = 5 THEN '/health.html' ELSE NULL END AS url_path,
+  CASE WHEN b.ksel = 5 THEN '200' ELSE NULL END AS event_id_s,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-f5.big.ip.gtm.dns_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM fg_turns t JOIN fg_base b USING (event_id)
+WHERE b.ksel <> 0""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

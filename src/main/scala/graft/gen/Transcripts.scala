@@ -3526,6 +3526,149 @@ scp_turns AS (
     spark.sql(s"WITH $scpCte SELECT conv_id, turn_idx, role, text, tool, ts FROM scp_turns")
   }
 
+  /** forescout.counteract_nac — CounterAct threat-Log kv, application
+    * status, NAC-policy MAC lines, the RULE 8 else (trailing-space
+    * parse_rule) and the RULE 11 custom-action JSON
+    * (syslog_security_forescout.counteract.nac.conf). */
+  val fsCte: String = s"""
+fs_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 44) AS INT) % 6 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS syslog_ts,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 44) = 19
+),
+fs_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN syslog_ts || ' fs-mgr CounterAct - nacapp' || u5
+        || '[514]: Log: Application status. Log: Rule: quarantine rule_x Source: ' || sip
+        || ', Target: 10.9.8.7, Type: block, Vendor: dell, Severity: WARN'
+      WHEN 1 THEN syslog_ts || ' 10.2.2.2 nacapp' || u5
+        || '[771]: Application status: running;Connected clients: 10.1.1.1;EM connection status: connected;Assigned hosts: 250;Engine status: engine ok;Installed Plugins: dns hpi'
+      WHEN 2 THEN syslog_ts || ' fs-mgr nacapp' || u5
+        || '[514]: NAC Policy Log: Source: MAC Address-0011.22aa.bb' || u5
+        || ', Rule: comply check , Match: yes, Category: seg, host offline Duration: 3600'
+      WHEN 3 THEN syslog_ts || ' fs-mgr CounterAct - nacapp' || u5
+        || '[515]: Block. Log: Rule: botnet rule_y Source: ' || sip
+        || ', Target: 10.9.8.7, Type: alert, Vendor: hp, Severity: ERRR'
+      WHEN 4 THEN syslog_ts || ' fs-mgr fsproc[900]: {"rule_name":"Forescout - Non Corp Device Detected","action":"Alert","ip":"10.1.2.9","user_name":"bob' || u5
+        || '","mac":"00:11:22:33:44:5' || u5 || '","dns_hostname":"corp.local","os":"win 10","serial_number":"sn' || eid_s || '"}'
+      ELSE syslog_ts || ' fs-mgr CounterAct - nacapp' || u5
+        || '[600]: Application status changed to idle'
+    END AS line
+  FROM fs_base
+),
+fs_turns AS (
+  SELECT 'fs_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || line AS text,
+    'forescout.counteract.nac' AS tool, ts, event_id
+  FROM fs_body
+)"""
+
+  def fsInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $fsCte SELECT conv_id, turn_idx, role, text, tool, ts FROM fs_turns")
+  }
+
+  /** cisco.dna — lowercased DNA-center webhook syslog (assurance issue,
+    * audit " - - " shape, increase/decrease reason) for
+    * syslog_audit_cisco.dna.conf. The fixed epoch keeps the UNIX/UNIX_MS
+    * date path constant across engines. */
+  val dnaCte: String = s"""
+dna_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 46) AS INT) % 3 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri
+  FROM events WHERE (event_id % 46) = 7
+),
+dna_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN 'dnac assurance dnac_event - {"timestamp":1602523441000,"type":"issue","eventid":"ev' || eid_s
+        || '","domain":"assurance","subdomain":"wireless","severity":2,"category":"warn","note":"http://dna/x' || u5
+        || '","ciscodnaeventlink":"http://dna/link","details":{"assurance issue category":"availability","device":"sw' || u5
+        || '","assurance issue details":"interface down on ssid corp-wifi ","assurance issue name":"high utilization - port above threshold","assurance issue status":"active"}}'
+      WHEN 1 THEN 'dna audit log - - {"timestamp":1602523441,"type":"audit","eventid":"ev' || eid_s
+        || '","domain":"system","severity":3,"category":"task_failure","details":{"assurance issue name":"backup failed"}}'
+      ELSE 'dnac assurance dnac_event - {"timestamp":1602523441000,"type":"issue","eventid":"ev' || eid_s
+        || '","domain":"assurance","severity":1,"category":"error","details":{"device":"sw' || u5
+        || '","assurance issue name":"utilization increase detected on wlan' || u5
+        || ' in building7.","assurance issue status":"resolved"}}'
+    END AS line
+  FROM dna_base
+),
+dna_turns AS (
+  SELECT 'dna_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || line AS text,
+    'cisco.dna' AS tool, ts, event_id
+  FROM dna_body
+)"""
+
+  def dnaInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $dnaCte SELECT conv_id, turn_idx, role, text, tool, ts FROM dna_turns")
+  }
+
+  /** f5 gtm.dns — the 12-branch dissect ladder of
+    * syslog_audit_f5.big.ip.gtm.dns.conf (DBUG drop, httpd token/AUDIT,
+    * mcpd AUDIT, tmm monitor, run-parts, info logger, pam auth failure). */
+  val fgCte: String = s"""
+fg_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 48) AS INT) % 8 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS syslog_ts,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 48) = 29
+),
+fg_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN 'DBUG debug tick ' || eid_s
+      WHEN 1 THEN 'gtm-dst' || u5 || ' notice httpd[123]: auth token request [client ' || sip || '] token granted for admin' || u5
+      WHEN 2 THEN 'gtm-dst' || u5 || ' notice httpd[124]: AUDIT - user admin' || u5 || ' login ok'
+      WHEN 3 THEN 'gtm-dst' || u5 || ' notice tmm[125]: 01010028: monitor status down for pool member p' || u5
+      WHEN 4 THEN 'gtm-dst' || u5 || ' notice run-parts(/etc/cron.hourly)[300]: starting 0anacron'
+      WHEN 5 THEN 'gtm-src' || u5 || ' info logger: [ssl_req] ' || sip || ' tlsv1.2 aes128 /health.html 200'
+      WHEN 6 THEN 'gtm-dst' || u5 || ' err sshd[400]: pam_unix(sshd:auth): authentication failure; logname= uid=0 ruser=root rhost=' || sip
+      ELSE 'gtm-dst' || u5 || ' notice mcpd[500]: AUDIT, user admin' || u5 || ' modified cli config'
+    END AS rest
+  FROM fg_base
+),
+fg_turns AS (
+  SELECT 'fg_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' ' || rest AS text,
+    'f5.big.ip.gtm.dns' AS tool, ts, event_id
+  FROM fg_body
+)"""
+
+  def fgInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $fgCte SELECT conv_id, turn_idx, role, text, tool, ts FROM fg_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

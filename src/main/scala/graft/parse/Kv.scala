@@ -65,10 +65,14 @@ object Kv {
   /** `field_split_pattern` form: pairs split by a REGEX (multi-char), value
     * split at the FIRST `valueSplit`, `remove_char_key` is a character class
     * stripped from keys (ref: syslog_security_cisco.ise.conf:69-76
-    * `field_split_pattern => ", "  remove_char_key => "\\s"`). */
+    * `field_split_pattern => ", "  remove_char_key => "\\s"`). `trimValue`
+    * strips the given chars + spaces from value ends — the analogue of the
+    * plugin scanner's `\s*` tolerance around the value split, needed for
+    * `Key: value` shapes (ref: syslog_security_forescout.counteract.nac
+    * .conf:57-62 `field_split => " ,"`). */
   def withPattern(ev: Event, sourceField: String, fieldSplitPattern: String,
                   valueSplit: Char, target: String = "",
-                  removeCharKey: String = ""): Boolean = {
+                  removeCharKey: String = "", trimValue: String = null): Boolean = {
     val in = ev.getString(sourceField)
     if (in.isEmpty) return false
     val targetParts = if (target.isEmpty) Vector.empty[String] else Event.parsePath(target)
@@ -81,7 +85,8 @@ object Kv {
       if (vs > 0) {
         var key = pair.substring(0, vs)
         if (keyClean != null) key = keyClean.matcher(key).replaceAll("")
-        val value = pair.substring(vs + 1)
+        val value0 = pair.substring(vs + 1)
+        val value = if (trimValue == null) value0 else trim(value0, trimValue)
         if (key.nonEmpty) {
           val path = targetParts :+ key
           ev.getParts(path) match {

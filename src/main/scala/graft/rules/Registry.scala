@@ -231,6 +231,12 @@ object Registry {
       "logs-skyhigh.swg", Vector("elastic", "s3"), Set.empty, "high"),
     "skyhigh.scp" -> TechnologyConfig("skyhigh.scp",
       "logs-skyhigh.scp", Vector("elastic"), Set.empty, "medium"),
+    "forescout.counteract.nac" -> TechnologyConfig("forescout.counteract.nac",
+      "logs-forescout.counteract.nac", Vector("elastic"), Set.empty, "medium"),
+    "cisco.dna" -> TechnologyConfig("cisco.dna",
+      "logs-cisco.dna", Vector("elastic"), Set.empty, "medium"),
+    "f5.big.ip.gtm.dns" -> TechnologyConfig("f5.big.ip.gtm.dns",
+      "logs-f5.big.ip.gtm.dns", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -601,6 +607,9 @@ object Registry {
     "skyhigh.security.mgr" -> SkyhighRules.secMgr,
     "skyhigh.swg" -> SkyhighRules.swg,
     "skyhigh.scp" -> SkyhighRules.scp,
+    "forescout.counteract.nac" -> ForescoutRules.counteract,
+    "cisco.dna" -> DnaF5Rules.ciscoDna,
+    "f5.big.ip.gtm.dns" -> DnaF5Rules.f5Gtm,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

@@ -72,7 +72,9 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("netscaler", Transcripts.ntInput), ("pulse", Transcripts.jpInput),
       ("tanium", Transcripts.tnInput), ("guardium", Transcripts.gdmInput),
       ("sdwan", Transcripts.sdInput), ("secmgr", Transcripts.shmInput),
-      ("swg", Transcripts.swgInput), ("scp", Transcripts.scpInput))
+      ("swg", Transcripts.swgInput), ("scp", Transcripts.scpInput),
+      ("forescout", Transcripts.fsInput), ("dna", Transcripts.dnaInput),
+      ("f5gtm", Transcripts.fgInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
