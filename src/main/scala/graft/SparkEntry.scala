@@ -690,6 +690,38 @@ px AS (
         col("event_created_ms"), col("log_syslog_facility_code"),
         col("log_syslog_severity_code"), col("route_index"))),
 
+    // lieberman erpm: XML-attribute event dissect (four shape variants),
+    // map-context key extractors, swapped yyyy-dd-MM dtPostTime, and the
+    // Description add_field that hides user.name behind array promotion
+    "qlb02_lieberman" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.lbInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("service_type"), col("rule_id"),
+        col("event_id_s"), col("event_action"), col("source_address"),
+        col("source_user_name"), col("rule_description"),
+        col("event_start_ms"), col("event_created_ms"), col("rule_category"),
+        col("rule_ruleset"), col("process_name"), col("group_name"),
+        col("user_name"), col("source_ip"), col("destination_address"),
+        col("log_syslog_facility_code"), col("log_syslog_severity_code"),
+        col("route_index"))),
+
+    // snmp_forescout varbind kv (trailing-space keys, leading-space trap id)
+    // + tenable nessus scanner (stack-dump drop, bracket-blob kv, 10e9
+    // duration, the greedy-grok hostname bug) + security center pipe grok
+    "qtb01_tenable" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.tbInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("event_kind"), col("host_hostname"),
+        col("rule_description"), col("event_action"), col("event_start_ms"),
+        col("event_created_ms"), col("destination_address"),
+        col("destination_port"), col("process_pid"), col("event_id_s"),
+        col("event_duration"), col("source_ip"), col("observer_product"),
+        col("error_id"), col("error_code"), col("error_type"),
+        col("event_outcome"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -2712,6 +2744,91 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-f5.big.ip.gtm.dns_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM fg_turns t JOIN fg_base b USING (event_id)
 WHERE b.ksel <> 0""",
+
+    "qlb02_lieberman" ->
+      s"""WITH ${Transcripts.lbCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'lieberman.random.pass.mgr' AS technology,
+  CASE b.ksel WHEN 0 THEN 'rule 2,rule 3,rule 11,rule 17,rule 25'
+    WHEN 1 THEN 'rule 2,rule 4' WHEN 2 THEN 'rule 2,rule 5,rule 14'
+    ELSE 'rule 2,rule 6' END AS parse_rule,
+  'lieberman' AS event_module, 'lieberman.pass_manager' AS event_dataset,
+  CASE b.ksel WHEN 2 THEN 'delegation' WHEN 3 THEN 'retrieval'
+    ELSE 'opresult' END AS service_type,
+  CASE b.ksel WHEN 0 THEN '12' WHEN 1 THEN '14' WHEN 2 THEN '20'
+    ELSE '22' END AS rule_id,
+  CAST(b.event_id % 400 AS STRING) AS event_id_s,
+  CASE b.ksel WHEN 0 THEN 'passwordchange' WHEN 1 THEN 'passwordverify'
+    WHEN 2 THEN 'grantaccess' ELSE 'passwordretrieve' END AS event_action,
+  'lieb-app' || b.u5 AS source_address,
+  'svc' || b.u5 AS source_user_name,
+  CASE b.ksel WHEN 0 THEN 'op completed ok' WHEN 1 THEN 'scheduled op done'
+    WHEN 2 THEN 'delegation granted'
+    ELSE 'stored password retrieved by ' || chr(39) || 'websvc' || chr(39) || ' (description: prod db)'
+    END AS rule_description,
+  CAST(1602523441000 AS BIGINT) AS event_start_ms,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  'audit/information' AS rule_category,
+  CASE WHEN b.ksel = 0 THEN 'rotate prod' ELSE NULL END AS rule_ruleset,
+  CASE WHEN b.ksel = 0 THEN 'administrator' ELSE NULL END AS process_name,
+  CASE WHEN b.ksel = 0 THEN 'prod-list' ELSE NULL END AS group_name,
+  CASE WHEN b.ksel = 2 THEN 'bob' || b.u5 ELSE NULL END AS user_name,
+  CASE WHEN b.ksel IN (2,3) THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel = 2 THEN 'dc' || b.u5 ELSE NULL END AS destination_address,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-lieberman.random.pass.mgr_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM lb_turns t JOIN lb_base b USING (event_id)""",
+
+    // ksel 5 is the stack-dump drop (absent); the snmp trap id keeps its
+    // leading space; security-center os lines miss the pipe grok
+    "qtb01_tenable" ->
+      s"""WITH ${Transcripts.tbCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.ksel = 7 THEN 0 ELSE 1 END AS parse_ok_i,
+  CASE WHEN b.ksel = 0 THEN 'snmp.forescout'
+    WHEN b.ksel <= 5 THEN 'tenable.nessus_scanner'
+    ELSE 'tenable.security_center' END AS technology,
+  'not parsed' AS parse_rule,
+  CASE WHEN b.ksel = 0 THEN NULL ELSE 'tenable_nessus' END AS event_module,
+  CASE WHEN b.ksel = 0 THEN NULL
+    WHEN b.ksel <= 5 THEN 'tenable_nessus.scanner'
+    ELSE 'tenable_nessus.security_center' END AS event_dataset,
+  CASE WHEN b.ksel = 6 THEN 'tenable_nessus.security_center.app'
+    WHEN b.ksel = 7 THEN 'tenable_nessus.security_center.os_logs'
+    ELSE NULL END AS event_kind,
+  CASE WHEN b.ksel IN (1,2,3) THEN 'nessus' || b.u5
+    WHEN b.ksel = 6 THEN 'schost' || b.u5 ELSE NULL END AS host_hostname,
+  CASE WHEN b.ksel = 1 THEN 'nessus is ready'
+    WHEN b.ksel = 2 THEN 'finished scan 10 hosts up'
+    WHEN b.ksel = 3 THEN 'nessus scan starting with targets: 10.1.2.0,10.1.2.255'
+    ELSE NULL END AS rule_description,
+  CASE WHEN b.ksel = 1 THEN 'nessus service started back up and running'
+    WHEN b.ksel = 2 THEN 'finished scanning a scan chunk'
+    WHEN b.ksel = 3 THEN 'scan started'
+    WHEN b.ksel = 6 THEN 'nightlycleanup' ELSE NULL END AS event_action,
+  CASE WHEN b.ksel IN (1,2,3) THEN epoch_ms(date_trunc('second', t.ts)) ELSE NULL END AS event_start_ms,
+  CASE WHEN b.ksel = 6 THEN CAST(1602523441000 AS BIGINT)
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CASE WHEN b.ksel = 2 THEN '10.9.8.7' ELSE NULL END AS destination_address,
+  CASE WHEN b.ksel = 2 THEN CAST(443 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE WHEN b.ksel = 2 THEN CAST(900 AS BIGINT) ELSE NULL END AS process_pid,
+  CASE WHEN b.ksel IN (2,3) THEN 'sc' || b.eid_s
+    WHEN b.ksel = 0 THEN ' ' || b.eid_s ELSE NULL END AS event_id_s,
+  CASE WHEN b.ksel = 2 THEN '35000000000' ELSE NULL END AS event_duration,
+  CASE WHEN b.ksel = 0 THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel = 6 THEN 'securitycenter' ELSE NULL END AS observer_product,
+  CASE WHEN b.ksel = 6 THEN 'message' ELSE NULL END AS error_id,
+  CASE WHEN b.ksel = 6 THEN 'critical' ELSE NULL END AS error_code,
+  CASE WHEN b.ksel = 6 THEN '0' ELSE NULL END AS error_type,
+  CASE WHEN b.ksel = 6 THEN 'cleanup done ok' ELSE NULL END AS event_outcome,
+  CASE WHEN b.ksel = 0 THEN NULL ELSE CAST(16 + (b.event_id % 8) AS BIGINT) END AS log_syslog_facility_code,
+  CASE WHEN b.ksel = 0 THEN NULL ELSE CAST(b.event_id % 5 AS BIGINT) END AS log_syslog_severity_code,
+  CASE WHEN b.ksel = 0 THEN 'logs-snmp.forescout_' || strftime(t.ts, '%Y.%m.%d')
+    WHEN b.ksel <= 5 THEN 'logs-tenable.nessus_scanner_' || strftime(t.ts, '%Y.%m.%d')
+    ELSE 'logs-tenable.security_center_' || strftime(t.ts, '%Y.%m.%d') END AS route_index
+FROM tb_turns t JOIN tb_base b USING (event_id)
+WHERE b.ksel <> 5""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

@@ -3669,6 +3669,139 @@ fg_turns AS (
     spark.sql(s"WITH $fgCte SELECT conv_id, turn_idx, role, text, tool, ts FROM fg_turns")
   }
 
+  /** lieberman.pass_manager — XML-attribute erpm events in the four shape
+    * variants (OpResult/other × self-closing/map-context) plus the
+    * Description user extraction (syslog_audit_lieberman.random.pass.mgr
+    * .conf). dtPostTime '2020-12-10T17:24:01' hits the conf's swapped
+    * yyyy-dd-MM pattern and lands on the same fixed epoch as ts=[12/oct]. */
+  val lbCte: String = s"""
+lb_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 50) AS INT) % 4 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS syslog_ts,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 50) = 31
+),
+lb_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN '<Event CompactMode=' || chr(39) || '0' || chr(39) || ' sEventType=' || chr(39) || 'OpResult' || chr(39)
+        || ' dwBasicEventType=' || chr(39) || '12' || chr(39) || ' dwAppSpecificEventID=' || chr(39) || CAST(event_id % 400 AS STRING) || chr(39)
+        || ' sEventID=' || chr(39) || 'PasswordChange' || chr(39) || ' sOriginatingApplicationName=' || chr(39) || 'erpm' || chr(39)
+        || ' sOriginatingApplicationComponent=' || chr(39) || 'web' || chr(39) || ' sOriginatingApplicationVersion=' || chr(39) || '5.5' || chr(39)
+        || ' sOriginatingSystem=' || chr(39) || 'lieb-app' || u5 || chr(39) || ' sOriginatingAccount=' || chr(39) || 'svc' || u5 || chr(39)
+        || ' dtPostTime=' || chr(39) || '2020-12-10T17:24:01' || chr(39) || ' sMessage=' || chr(39) || 'op completed ok' || chr(39)
+        || '><map> key=' || chr(39) || 'JobComment' || chr(39) || ' value=' || chr(39) || 'rotate prod' || chr(39)
+        || ' key=' || chr(39) || 'AccountTargetName' || chr(39) || ' value=' || chr(39) || 'administrator' || chr(39)
+        || ' key=' || chr(39) || 'SharedCredentialListName' || chr(39) || ' value=' || chr(39) || 'prod-list' || chr(39) || ' </map></Event>'
+      WHEN 1 THEN '<Event CompactMode=' || chr(39) || '0' || chr(39) || ' sEventType=' || chr(39) || 'OpResult' || chr(39)
+        || ' dwBasicEventType=' || chr(39) || '14' || chr(39) || ' dwAppSpecificEventID=' || chr(39) || CAST(event_id % 400 AS STRING) || chr(39)
+        || ' sEventID=' || chr(39) || 'PasswordVerify' || chr(39) || ' sOriginatingApplicationName=' || chr(39) || 'erpm' || chr(39)
+        || ' sOriginatingApplicationComponent=' || chr(39) || 'sched' || chr(39) || ' sOriginatingApplicationVersion=' || chr(39) || '5.5' || chr(39)
+        || ' sOriginatingSystem=' || chr(39) || 'lieb-app' || u5 || chr(39) || ' sOriginatingAccount=' || chr(39) || 'svc' || u5 || chr(39)
+        || ' dtPostTime=' || chr(39) || '2020-12-10T17:24:01' || chr(39) || ' sMessage=' || chr(39) || 'scheduled op done' || chr(39) || '/>'
+      WHEN 2 THEN '<Event CompactMode=' || chr(39) || '0' || chr(39) || ' sEventType=' || chr(39) || 'Delegation' || chr(39)
+        || ' dwBasicEventType=' || chr(39) || '20' || chr(39) || ' dwAppSpecificEventID=' || chr(39) || CAST(event_id % 400 AS STRING) || chr(39)
+        || ' sEventID=' || chr(39) || 'GrantAccess' || chr(39) || ' sOriginatingApplicationName=' || chr(39) || 'erpm' || chr(39)
+        || ' sOriginatingApplicationComponent=' || chr(39) || 'web' || chr(39) || ' sOriginatingApplicationVersion=' || chr(39) || '5.5' || chr(39)
+        || ' sOriginatingSystem=' || chr(39) || 'lieb-app' || u5 || chr(39) || ' sOriginatingAccount=' || chr(39) || 'svc' || u5 || chr(39)
+        || ' dtPostTime=' || chr(39) || '2020-12-10T17:24:01' || chr(39) || ' sMessage=' || chr(39) || 'delegation granted' || chr(39)
+        || ' sIpAddress=' || chr(39) || sip || chr(39) || ' sLoginName=' || chr(39) || 'bob' || u5 || chr(39)
+        || ' sManagerName=' || chr(39) || 'mgr' || chr(39)
+        || '><map> key=' || chr(39) || 'AccountStoreTarget' || chr(39) || ' value=' || chr(39) || 'dc' || u5 || chr(39) || ' </map></Event>'
+      ELSE '<Event CompactMode=' || chr(39) || '0' || chr(39) || ' sEventType=' || chr(39) || 'Retrieval' || chr(39)
+        || ' dwBasicEventType=' || chr(39) || '22' || chr(39) || ' dwAppSpecificEventID=' || chr(39) || CAST(event_id % 400 AS STRING) || chr(39)
+        || ' sEventID=' || chr(39) || 'PasswordRetrieve' || chr(39) || ' sOriginatingApplicationName=' || chr(39) || 'erpm' || chr(39)
+        || ' sOriginatingApplicationComponent=' || chr(39) || 'web' || chr(39) || ' sOriginatingApplicationVersion=' || chr(39) || '5.5' || chr(39)
+        || ' sOriginatingSystem=' || chr(39) || 'lieb-app' || u5 || chr(39) || ' sOriginatingAccount=' || chr(39) || 'svc' || u5 || chr(39)
+        || ' dtPostTime=' || chr(39) || '2020-12-10T17:24:01' || chr(39)
+        || ' sMessage=' || chr(39) || 'Stored password retrieved by ' || chr(39) || 'websvc' || chr(39) || ' (Description: prod db)' || chr(39)
+        || ' sIpAddress=' || chr(39) || sip || chr(39) || ' sLoginName=' || chr(39) || 'ops' || u5 || chr(39)
+        || ' sManagerName=' || chr(39) || 'mgr' || chr(39) || '/>'
+    END AS ev_xml
+  FROM lb_base
+),
+lb_turns AS (
+  SELECT 'lb_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' lieb' || u5 || ' ' || ev_xml AS text,
+    'lieberman.random.pass.mgr' AS tool, ts, event_id
+  FROM lb_body
+)"""
+
+  def lbInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $lbCte SELECT conv_id, turn_idx, role, text, tool, ts FROM lb_turns")
+  }
+
+  /** snmp_forescout + tenable nessus/security-center — one shared base,
+    * three tools (snmp trap varbinds; nessus dissect/grok/kv + drop +
+    * unparsed; security-center pipe grok + the os_logs grok miss). */
+  val tbCte: String = s"""
+tb_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 52) AS INT) % 8 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS syslog_ts,
+    CAST(EXTRACT(YEAR FROM ts) AS STRING) AS yr,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 52) = 23
+),
+tb_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN 'snmp packet from 10.0.0.1 MESSAGE FORESCOUT-MIB::fsTrapSeverity.0 = 6, FORESCOUT-MIB::ctDeviceIpAddress.0 = '
+        || sip || ', FORESCOUT-MIB::fsTrapId.0 = ' || eid_s
+        || ', FORESCOUT-MIB::ctDeviceIpAddressType.0 = ipv4, FORESCOUT-MIB::ctDeviceId.0 = em-app1'
+      WHEN 1 THEN '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' nessus' || u5
+        || ' t.nessuscore [p ' || syslog_ts || ' ' || yr || '][info] Nessus is ready'
+      WHEN 2 THEN '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' nessus' || u5
+        || ' t.nessuscore [p ' || syslog_ts || ' ' || yr || '][5.4][scan=sc' || eid_s
+        || '][target=10.9.8.7][port=443][pid=900][duration=3.5s][name=rep' || u5
+        || '/Chunk 12.] : Finished scan 10 hosts up'
+      WHEN 3 THEN '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' nessus' || u5
+        || ' t.nessuscore [p ' || syslog_ts || ' ' || yr || '][5.4][scan=sc' || eid_s
+        || '] : Nessus scan starting with targets: 10.1.2.0,10.1.2.255'
+      WHEN 4 THEN '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' nessus' || u5
+        || ' nessusd[1]: some os message ' || eid_s
+      WHEN 5 THEN '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' nessus' || u5
+        || ' nessusd: call stack trace follows'
+      WHEN 6 THEN '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' schost' || u5
+        || ' SecurityCenter: job [SecurityCenter]: Mon, 12 Oct 2020 17:24:01 -0|NightlyCleanup|message|critical|0|cleanup done ok'
+      ELSE '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' schost' || u5
+        || ' kernel: os boot message ' || eid_s
+    END AS line,
+    CASE WHEN ksel = 0 THEN 'snmp.forescout'
+      WHEN ksel <= 5 THEN 'tenable.nessus_scanner'
+      ELSE 'tenable.security_center' END AS tooln
+  FROM tb_base
+),
+tb_turns AS (
+  SELECT 'tb_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role, line AS text, tooln AS tool, ts, event_id
+  FROM tb_body
+)"""
+
+  def tbInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $tbCte SELECT conv_id, turn_idx, role, text, tool, ts FROM tb_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -72,7 +72,8 @@ object Kv {
     * .conf:57-62 `field_split => " ,"`). */
   def withPattern(ev: Event, sourceField: String, fieldSplitPattern: String,
                   valueSplit: Char, target: String = "",
-                  removeCharKey: String = "", trimValue: String = null): Boolean = {
+                  removeCharKey: String = "", trimValue: String = null,
+                  transformKeyLowercase: Boolean = false): Boolean = {
     val in = ev.getString(sourceField)
     if (in.isEmpty) return false
     val targetParts = if (target.isEmpty) Vector.empty[String] else Event.parsePath(target)
@@ -85,6 +86,7 @@ object Kv {
       if (vs > 0) {
         var key = pair.substring(0, vs)
         if (keyClean != null) key = keyClean.matcher(key).replaceAll("")
+        if (transformKeyLowercase) key = key.toLowerCase
         val value0 = pair.substring(vs + 1)
         val value = if (trimValue == null) value0 else trim(value0, trimValue)
         if (key.nonEmpty) {

@@ -237,6 +237,14 @@ object Registry {
       "logs-cisco.dna", Vector("elastic"), Set.empty, "medium"),
     "f5.big.ip.gtm.dns" -> TechnologyConfig("f5.big.ip.gtm.dns",
       "logs-f5.big.ip.gtm.dns", Vector("elastic"), Set.empty, "medium"),
+    "lieberman.random.pass.mgr" -> TechnologyConfig("lieberman.random.pass.mgr",
+      "logs-lieberman.random.pass.mgr", Vector("elastic"), Set.empty, "low"),
+    "snmp.forescout" -> TechnologyConfig("snmp.forescout",
+      "logs-snmp.forescout", Vector("elastic"), Set.empty, "low"),
+    "tenable.nessus_scanner" -> TechnologyConfig("tenable.nessus_scanner",
+      "logs-tenable.nessus_scanner", Vector("elastic"), Set.empty, "low"),
+    "tenable.security_center" -> TechnologyConfig("tenable.security_center",
+      "logs-tenable.security_center", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -610,6 +618,10 @@ object Registry {
     "forescout.counteract.nac" -> ForescoutRules.counteract,
     "cisco.dna" -> DnaF5Rules.ciscoDna,
     "f5.big.ip.gtm.dns" -> DnaF5Rules.f5Gtm,
+    "lieberman.random.pass.mgr" -> LiebermanRules.passManager,
+    "snmp.forescout" -> TenableRules.snmpForescout,
+    "tenable.nessus_scanner" -> TenableRules.nessusScanner,
+    "tenable.security_center" -> TenableRules.securityCenter,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

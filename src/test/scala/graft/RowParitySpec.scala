@@ -74,7 +74,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("sdwan", Transcripts.sdInput), ("secmgr", Transcripts.shmInput),
       ("swg", Transcripts.swgInput), ("scp", Transcripts.scpInput),
       ("forescout", Transcripts.fsInput), ("dna", Transcripts.dnaInput),
-      ("f5gtm", Transcripts.fgInput))
+      ("f5gtm", Transcripts.fgInput), ("lieberman", Transcripts.lbInput),
+      ("tenable", Transcripts.tbInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
