@@ -722,6 +722,28 @@ px AS (
         col("event_outcome"), col("log_syslog_facility_code"),
         col("log_syslog_severity_code"), col("route_index"))),
 
+    // tenable sc/asm APIs: JSON findings, vprContext sub-JSON mapper, the
+    // CVE split{} fan-out (sub_idx 0/1 per finding), netbios/dns host
+    // splits, UNIX date family, transport+port protocol backfill
+    "qtv01_tenable_vuln" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.tvInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("event_module"), col("event_dataset"),
+        col("event_severity"), col("event_severity_name"), col("host_ip"),
+        col("event_id_s"), col("destination_port"), col("network_transport"),
+        col("network_protocol"), col("event_start_ms"), col("event_end_ms"),
+        col("host_mac"), col("service_name"), col("service_version"),
+        col("rule_description"), col("vulnerability_score_base"),
+        col("event_risk_score"), col("event_risk_score_norm"),
+        col("event_recommendation"), col("threat_framework"),
+        col("threat_list_attribute_tag"), col("threat_list_severity_name"),
+        col("threat_list_comment"), col("host_hostname"), col("host_domain"),
+        col("host_name"), col("cloud_account_id"),
+        col("destination_user_email"), col("destination_user_name"),
+        col("observer_name"), col("event_action"), col("cloud_provider"),
+        col("cloud_region"), col("rule_name"), col("log_source_hostname"),
+        col("event_created_ms"), col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -2829,6 +2851,63 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
     ELSE 'logs-tenable.security_center_' || strftime(t.ts, '%Y.%m.%d') END AS route_index
 FROM tb_turns t JOIN tb_base b USING (event_id)
 WHERE b.ksel <> 5""",
+
+    // ksel 0/2 fan out to two CVE events (sub_idx 0/1); asm's array-valued
+    // rule.name / ports / scores flatten to NULL (scalar columns); sc's
+    // transport+port backfills https via the 443/tcp protocol dict
+    "qtv01_tenable_vuln" ->
+      s"""WITH ${Transcripts.tvCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, s.sub_idx AS sub_idx,
+  1 AS parse_ok_i,
+  CASE WHEN b.ksel <= 1 THEN 'tenable.sc_api' ELSE 'tenable.asm_api' END AS technology,
+  'tenable' AS event_module,
+  CASE WHEN b.ksel <= 1 THEN 'tenable.sc_api' ELSE 'tenable.asm_api' END AS event_dataset,
+  CASE b.ksel WHEN 0 THEN CAST(3 AS BIGINT) WHEN 1 THEN CAST(1 AS BIGINT)
+    ELSE NULL END AS event_severity,
+  CASE b.ksel WHEN 0 THEN 'high' WHEN 1 THEN 'low' ELSE NULL END AS event_severity_name,
+  CASE b.ksel WHEN 0 THEN '10.4.4.9' WHEN 1 THEN '10.4.4.8'
+    WHEN 2 THEN '10.6.6.9' ELSE NULL END AS host_ip,
+  CASE WHEN b.ksel <= 1 THEN 'u' || b.eid_s ELSE 'a' || b.eid_s END AS event_id_s,
+  CASE WHEN b.ksel = 0 THEN CAST(443 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE WHEN b.ksel = 0 THEN 'tcp' ELSE NULL END AS network_transport,
+  CASE WHEN b.ksel = 0 THEN 'https' ELSE NULL END AS network_protocol,
+  CASE WHEN b.ksel = 0 THEN CAST(1602523441000 AS BIGINT) ELSE NULL END AS event_start_ms,
+  CASE WHEN b.ksel = 0 THEN CAST(1602523501000 AS BIGINT) ELSE NULL END AS event_end_ms,
+  CASE WHEN b.ksel = 0 THEN '00:aa:bb:cc:dd:33' ELSE NULL END AS host_mac,
+  CASE b.ksel WHEN 0 THEN 'ssl check' WHEN 1 THEN 'banner check'
+    WHEN 2 THEN 'as-bigcloud' ELSE NULL END AS service_name,
+  CASE WHEN b.ksel = 0 THEN '1.2' ELSE NULL END AS service_version,
+  CASE WHEN b.ksel = 0 THEN 'weak tls config' ELSE NULL END AS rule_description,
+  CASE WHEN b.ksel = 0 THEN CAST(9 AS BIGINT) ELSE NULL END AS vulnerability_score_base,
+  CASE WHEN b.ksel = 0 THEN CAST(9 AS BIGINT) ELSE NULL END AS event_risk_score,
+  CASE WHEN b.ksel = 0 THEN CAST(8 AS BIGINT) ELSE NULL END AS event_risk_score_norm,
+  CASE WHEN b.ksel = 0 THEN 'upgrade tls' ELSE NULL END AS event_recommendation,
+  CASE WHEN b.ksel = 0 THEN 'metasploit' ELSE NULL END AS threat_framework,
+  CASE WHEN b.ksel = 0 THEN 'exploits are available' ELSE NULL END AS threat_list_attribute_tag,
+  CASE WHEN b.ksel = 0 THEN 'very low' ELSE NULL END AS threat_list_severity_name,
+  CASE WHEN b.ksel = 0 THEN 'high' ELSE NULL END AS threat_list_comment,
+  CASE b.ksel WHEN 0 THEN 'host' || b.u5 WHEN 1 THEN 'web' || b.u5
+    ELSE 'asset' || b.u5 END AS host_hostname,
+  CASE b.ksel WHEN 0 THEN 'corp' WHEN 1 THEN 'corp.example.com'
+    ELSE 'corp.net' END AS host_domain,
+  CASE WHEN b.ksel >= 2 THEN 'asset' || b.u5 || '.corp.net' ELSE NULL END AS host_name,
+  CASE WHEN b.ksel = 2 THEN '2020-05-01' ELSE NULL END AS cloud_account_id,
+  CASE WHEN b.ksel = 2 THEN 'admin@corp.net' ELSE NULL END AS destination_user_email,
+  CASE WHEN b.ksel = 2 THEN 'jane doe' ELSE NULL END AS destination_user_name,
+  CASE WHEN b.ksel = 2 THEN 'registrar inc' ELSE NULL END AS observer_name,
+  CASE b.ksel WHEN 2 THEN 'active' WHEN 3 THEN 'expired' ELSE NULL END AS event_action,
+  CASE b.ksel WHEN 2 THEN 'aws' WHEN 3 THEN 'gcp' ELSE NULL END AS cloud_provider,
+  CASE WHEN b.ksel = 2 THEN 'utc' ELSE NULL END AS cloud_region,
+  CAST(NULL AS STRING) AS rule_name,
+  CASE WHEN b.ksel <= 1 THEN 'tenable_sc_api'
+    ELSE 'asset' || b.u5 || '.corp.net' END AS log_source_hostname,
+  epoch_ms(t.ts) AS event_created_ms,
+  CASE WHEN b.ksel <= 1 THEN 'logs-tenable.sc_api_' || strftime(t.ts, '%Y.%m.%d')
+    ELSE 'logs-tenable.asm_api_' || strftime(t.ts, '%Y.%m.%d') END AS route_index
+FROM tv_turns t
+JOIN tv_base b USING (event_id)
+JOIN (SELECT 0 AS sub_idx UNION ALL SELECT 1) s
+  ON (b.ksel IN (0,2)) OR s.sub_idx = 0""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

@@ -3802,6 +3802,61 @@ tb_turns AS (
     spark.sql(s"WITH $tbCte SELECT conv_id, turn_idx, role, text, tool, ts FROM tb_turns")
   }
 
+  /** vuln tenable sc/asm APIs — JSON findings with the CVE `split {}`
+    * fan-out (2 CVEs → 2 events) and no-CVE singles. The vprContext
+    * JSON-in-string is composed via chr(92)||chr(34) so the corpus SQL
+    * stays escape-portable. */
+  val tvCte: String = s"""
+tv_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 54) AS INT) % 4 AS ksel,
+    chr(92) || chr(34) AS eq
+  FROM events WHERE (event_id % 54) = 25
+),
+tv_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN '{"severity":{"id":3,"name":"High"},"ip":"10.4.4.9","uuid":"u' || eid_s
+        || '","port":"443","protocol":"TCP","firstSeen":"1602523441","lastSeen":"1602523501"'
+        || ',"cve":"CVE-2021-1,CVE-2021-2","macAddress":"00:aa:bb:cc:dd:33","pluginName":"ssl check"'
+        || ',"version":"1.2","synopsis":"weak tls config","cvssV3BaseScore":"9.8","baseScore":"9"'
+        || ',"temporalScore":"8","pluginID":"4021","solution":"upgrade tls"'
+        || ',"pluginPubDate":"1602000000","pluginModDate":"1602100000","exploitFrameworks":"metasploit"'
+        || ',"exploitEase":"exploits are available","hasBeenMitigated":"0","exploitAvailable":"yes"'
+        || ',"netbiosName":"CORP()HOST' || u5 || '"'
+        || ',"vprContext":"[{' || eq || 'id' || eq || ':' || eq || 'threat_intensity_last_28' || eq
+        || ',' || eq || 'value' || eq || ':' || eq || 'very low' || eq || '},{' || eq || 'id' || eq
+        || ':' || eq || 'exploit_code_maturity' || eq || ',' || eq || 'value' || eq || ':' || eq
+        || 'high' || eq || '}]"}'
+      WHEN 1 THEN '{"severity":{"id":1,"name":"Low"},"ip":"10.4.4.8","uuid":"u' || eid_s
+        || '","dnsName":"web' || u5 || '.corp.example.com","pluginName":"banner check"}'
+      WHEN 2 THEN '{"id":"a' || eid_s || '","bd.addedtoportfolio":"2020-05-01","bd.hostname":"asset'
+        || u5 || '.corp.net","bd.ip_address":"10.6.6.9","bd.original_hostname":"asset' || u5
+        || '","bd.record_type":"a","bd.domain":"corp.net","domaininfo.administrativecontact_email":"admin@corp.net"'
+        || ',"domaininfo.administrativecontact_name":"jane doe","domaininfo.registrarname":"registrar inc"'
+        || ',"domaininfo.status":"active","ipgeo.cloud":"aws","ipgeo.asn":"as-bigcloud","ipgeo.time_zone":"utc"'
+        || ',"ports.ports":["443","8443"],"ports.services":["https","https-alt"],"ports.cves":["cve-2020-1","cve-2020-2"]'
+        || ',"ports.cvss3_scores":["9.1","7.2"],"bd.subdomain":true,"ipgeo.cloudhosted":true}'
+      ELSE '{"id":"a' || eid_s || '","bd.hostname":"asset' || u5 || '.corp.net","bd.original_hostname":"asset'
+        || u5 || '","bd.domain":"corp.net","ipgeo.cloud":"gcp","domaininfo.status":"expired"}'
+    END AS line,
+    CASE WHEN ksel <= 1 THEN 'tenable.sc_api' ELSE 'tenable.asm_api' END AS tooln
+  FROM tv_base
+),
+tv_turns AS (
+  SELECT 'tv_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role, line AS text, tooln AS tool, ts, event_id
+  FROM tv_body
+)"""
+
+  def tvInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $tvCte SELECT conv_id, turn_idx, role, text, tool, ts FROM tv_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -32,6 +32,16 @@ final class Event {
   def removeTag(t: String): Unit = tags -= t
   def hasTag(t: String): Boolean = tags.contains(t)
 
+  /** Full deep clone (fields + tags) — the `split {}` FILTER semantics,
+    * where every fan-out event is an independent copy of the parent
+    * (ref: vuln_tenable_sc.conf:139-141 `split { field => ... }`). */
+  def cloneEvent(): Event = {
+    val e = new Event
+    root.forEach((k, v) => e.root.put(k, Event.deepCopy(v)))
+    tags.foreach(e.tags += _)
+    e
+  }
+
   /** "[a][b][c]" or bare "a" → Seq("a","b","c"). Cached per-JVM upstream. */
   def get(path: String): Option[Any] = getParts(Event.parsePath(path))
 

@@ -393,6 +393,7 @@ object Engine {
       host_manufacturer = s("[host][manufacturer]"),
       process_executable = s("[process][executable]"),
       organization_name = s("[organization][name]"),
-      error_type = s("[error][type]"))
+      error_type = s("[error][type]"),
+      destination_user_name = s("[destination][user][name]"))
   }
 }

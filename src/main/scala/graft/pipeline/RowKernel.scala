@@ -488,6 +488,7 @@ object RowKernel {
     s("[process][executable]")
     s("[organization][name]")
     s("[error][type]")
+    s("[destination][user][name]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -245,6 +245,10 @@ object Registry {
       "logs-tenable.nessus_scanner", Vector("elastic"), Set.empty, "low"),
     "tenable.security_center" -> TechnologyConfig("tenable.security_center",
       "logs-tenable.security_center", Vector("elastic"), Set.empty, "low"),
+    "tenable.sc_api" -> TechnologyConfig("tenable.sc_api",
+      "logs-tenable.sc_api", Vector("elastic"), Set.empty, "low"),
+    "tenable.asm_api" -> TechnologyConfig("tenable.asm_api",
+      "logs-tenable.asm_api", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -622,6 +626,8 @@ object Registry {
     "snmp.forescout" -> TenableRules.snmpForescout,
     "tenable.nessus_scanner" -> TenableRules.nessusScanner,
     "tenable.security_center" -> TenableRules.securityCenter,
+    "tenable.sc_api" -> TenableRules.vulnSc,
+    "tenable.asm_api" -> TenableRules.vulnAsm,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

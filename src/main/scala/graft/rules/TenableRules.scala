@@ -163,4 +163,180 @@ object TenableRules {
       .foreach(ev.remove) // ref :59-61
     Parsed(Seq(ev))
   }
+
+  // ---------------- vuln tenable sc / asm (api) ----------------
+
+  /** The `split { field => [vulnerability][id] }` tail shared by both vuln
+    * APIs: an array fans out to one deep-cloned event per id; a scalar
+    * passes through; a missing field tags `_split_type_failure`
+    * (Logstash split semantics — the tag does not affect parse_ok). */
+  private def splitVulnIds(ev: Event): ParseOutcome = {
+    ev.valueOrNull("[vulnerability][id]") match {
+      case a: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
+        Parsed(a.toVector.map { v =>
+          val e = ev.cloneEvent()
+          e.set("[vulnerability][id]", Event.deepCopy(v))
+          e
+        })
+      case null =>
+        ev.addTag("_split_type_failure"); Parsed(Seq(ev))
+      case _ => Parsed(Seq(ev))
+    }
+  }
+
+  /** vuln_tenable_sc.conf (143 lines): SecurityCenter API JSON → ~30 ECS
+    * renames, the vprContext sub-JSON ruby mapper, four UNIX dates, the
+    * netbios `DOMAIN()HOST` / dns-name host split, and the CVE split
+    * fan-out. */
+  def vulnSc(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    ev.remove("host"); ev.remove("event") // ref :9-11
+    graft.parse.JsonOps.parse(ev, "message", "tmp") // ref :12-15
+    Mutate.splitField(ev, "[tmp][cve]", ",") // ref :16-18
+    ev.set("[log][source][hostname]", "tenable_sc_api") // ref :19-21
+    ev.set("[event][module]", "tenable") // ref :22-27
+    ev.set("[event][dataset]", "tenable.sc_api")
+    Seq( // ref :28-58
+      "[tmp][severity][id]" -> "[event][severity]",
+      "[tmp][severity][name]" -> "[event][severity_name]",
+      "[tmp][ip]" -> "[host][ip]", "[tmp][uuid]" -> "[event][id]",
+      "[tmp][port]" -> "[destination][port]",
+      "[tmp][protocol]" -> "[network][transport]",
+      "[tmp][firstSeen]" -> "[event][start]", "[tmp][lastSeen]" -> "[event][end]",
+      "[tmp][cve]" -> "[vulnerability][id]", "[tmp][macAddress]" -> "[host][mac]",
+      "[tmp][operatingSystem]" -> "[host][os][full]",
+      "[tmp][repository][dataFormat]" -> "[network][type]",
+      "[tmp][seeAlso]" -> "[vulnerability][reference]",
+      "[tmp][pluginInfo]" -> "[vulnerability][description]",
+      "[tmp][pluginName]" -> "[service][name]",
+      "[tmp][version]" -> "[service][version]",
+      "[tmp][synopsis]" -> "[rule][description]",
+      "[tmp][cvssV3BaseScore]" -> "[vulnerability][score][base]",
+      "[tmp][cvssV3TemporalScore]" -> "[vulnerability][score][temporal]",
+      "[tmp][vprScore]" -> "[vulnerability][score][environmental]",
+      "[tmp][repository][name]" -> "[repository][name]",
+      "[tmp][xref]" -> "[rule][reference]",
+      "[tmp][baseScore]" -> "[event][risk_score]",
+      "[tmp][cvssVector]" -> "[vulnerability][classification]",
+      "[tmp][temporalScore]" -> "[event][risk_score_norm]",
+      "[tmp][pluginID]" -> "[service][id]",
+      "[tmp][solution]" -> "[event][recommendation]",
+      "[tmp][pluginPubDate]" -> "[file][created]",
+      "[tmp][pluginModDate]" -> "[file][mtime]",
+      "[tmp][exploitFrameworks]" -> "[threat][framework]",
+      "[tmp][exploitEase]" -> "[threat][list][attribute_tag]")
+      .foreach { case (f, t) => ev.rename(f, t) }
+    graft.parse.JsonOps.parse(ev, "[tmp][vprContext]", "[tmp][vprContext]") // ref :59-62
+    ev.valueOrNull("[tmp][vprContext]") match { // ref :63-81 ruby mapper
+      case a: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
+        a.foreach {
+          case m: Event.FMap =>
+            (m.get("id"), m.get("value")) match {
+              case ("threat_intensity_last_28", v) if v != null =>
+                ev.set("[threat][list][severity_name]", v)
+              case ("threat_sources_last_28", v) if v != null =>
+                ev.set("[threat][list][event_info]", v)
+              case ("exploit_code_maturity", v) if v != null =>
+                ev.set("[threat][list][comment]", v)
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    // ref :82-110 — UNIX date family (failed strings fall to 02's scrub)
+    if (Dates(ev, "[event][start]", Seq("UNIX"), "[event][start_ms]",
+      timezone = "GMT", locale = "en", tagOnFailure = Seq("_dateparsefailure_es")))
+      ev.remove("[event][start]")
+    if (Dates(ev, "[event][end]", Seq("UNIX"), "[event][end_ms]",
+      timezone = "GMT", locale = "en", tagOnFailure = Seq("_dateparsefailure_ee")))
+      ev.remove("[event][end]")
+    if (Dates(ev, "[file][created]", Seq("UNIX"), "[file][created_ms]",
+      timezone = "GMT", locale = "en", tagOnFailure = Seq("_dateparsefailure_ee")))
+      ev.remove("[file][created]")
+    if (Dates(ev, "[file][mtime]", Seq("UNIX"), "[file][mtime_ms]",
+      timezone = "GMT", locale = "en", tagOnFailure = Seq("_dateparsefailure_ee")))
+      ev.remove("[file][mtime]")
+    if (ev.getString("[tmp][hasBeenMitigated]").contains("1")) ev.addTag("mitigated") // ref :111-120
+    if (ev.getString("[tmp][exploitAvailable]").contains("yes")) ev.addTag("exploit_available")
+    val nb = ev.getString("[tmp][netbiosName]").getOrElse("")
+    if (nb.matches("^.*?\\(\\)?.*?$")) { // ref :122-128 — the '()' separator form
+      Grok(ev, "[tmp][netbiosName]",
+        Seq("^(?<[host][domain]>.*?)\\(\\)?(?<[host][hostname]>.*?)$"),
+        Seq("_parsefailure_value_hostname"))
+    } else if (ev.getString("[tmp][dnsName]").exists(_.matches("^(.*?)\\.((.*?\\.)+\\w+)$")) &&
+      !ev.has("[host][hostname]")) { // ref :129-135
+      Grok(ev, "[tmp][dnsName]",
+        Seq("^(?<[host][hostname]>.*?)\\.(?<[host][domain]>(.*?\\.)+\\w+)$"),
+        Seq("_parsefailure_value_hostname"))
+    }
+    ev.remove("tmp") // ref :136-138
+    splitVulnIds(ev) // ref :139-141
+  }
+
+  /** vuln_tenable_asm.conf (179 lines): lowercased ASM API JSON → dotted-key
+    * renames with nil-guarded contact fallbacks, the ports.* parallel-array
+    * ruby collector, the rbls ISO date, flag tags, and the CVE split. */
+  def vulnAsm(ev: Event, ctx: ParseCtx): ParseOutcome = {
+    Mutate.lowercase(ev, "message") // ref :9-11
+    graft.parse.JsonOps.parse(ev, "message", "tmp") // ref :12-15
+    Mutate.addField(ev, "[log][source][hostname]", "%{[tmp][bd.hostname]}") // ref :16-18
+    ev.set("[event][module]", "tenable") // ref :19-24
+    ev.set("[event][dataset]", "tenable.asm_api")
+    Seq( // ref :25-49
+      "[tmp][id]" -> "[event][id]",
+      "[tmp][bd.addedtoportfolio]" -> "[cloud][account][id]",
+      "[tmp][bd.hostname]" -> "[host][name]",
+      "[tmp][bd.ip_address]" -> "[host][ip]",
+      "[tmp][bd.original_hostname]" -> "[host][hostname]",
+      "[tmp][bd.record_type]" -> "[dns][answers][class]",
+      "[tmp][bd.domain]" -> "[host][domain]",
+      "[tmp][domaininfo.administrativecontact_email]" -> "[destination][user][email]",
+      "[tmp][domaininfo.administrativecontact_name]" -> "[destination][user][name]",
+      "[tmp][domaininfo.administrativecontact_organization]" -> "[destination][as][organization][name]",
+      "[tmp][domaininfo.administrativecontact_telephone]" -> "[destination][as][number]",
+      "[tmp][domaininfo.registrant_country]" -> "[destination][geo][country_name]",
+      "[tmp][domaininfo.registrant_name]" -> "[destination][user][business][unit]",
+      "[tmp][domaininfo.registrarname]" -> "[observer][name]",
+      "[tmp][domaininfo.status]" -> "[event][action]",
+      "[tmp][domaininfo.fdns_nameservers]" -> "[group][domain]",
+      "[tmp][app_updates][rbls]" -> "[threat][list][created]",
+      "[tmp][ipgeo.cloud]" -> "[cloud][provider]",
+      "[tmp][ipgeo.asn_number]" -> "[service][id]",
+      "[tmp][ipgeo.asn]" -> "[service][name]",
+      "[tmp][ipgeo.time_zone]" -> "[cloud][region]",
+      "[tmp][ipgeo.registered_country]" -> "[destination][geo][country_name]")
+      .foreach { case (f, t) => ev.rename(f, t) }
+    // ref :50-64 — nil-guarded fallbacks read fields the rename above
+    // already consumed: each gate is always false (dead, mirrored)
+    if (ev.getString("[tmp][domaininfo.administrativecontact_email]").exists(_ != "nil"))
+      ev.rename("[tmp][domaininfo.contactemail]", "[destination][user][email]")
+    if (ev.getString("[tmp][domaininfo.administrativecontact_organization]").exists(_ != "nil"))
+      ev.rename("[tmp][domaininfo.registrant_organization]", "[destination][as][organization][name]")
+    if (ev.getString("[tmp][domaininfo.administrativecontact_name]").exists(_ != "nil"))
+      ev.rename("[tmp][domaininfo.registrant_name]", "[destination][user][name]")
+    // ref :65-147 ruby — compact the ports.* parallel arrays (drop empties)
+    def compacted(path: String): Option[scala.collection.mutable.ArrayBuffer[Any]] =
+      ev.valueOrNull(path) match {
+        case a: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
+          val out = a.filter { case "" => false; case _ => true }
+          if (out.isEmpty) None else Some(scala.collection.mutable.ArrayBuffer(out.toSeq: _*))
+        case _ => None
+      }
+    compacted("[tmp][ports.cvss3_vectors]").foreach(ev.set("[vulnerability][classification]", _))
+    compacted("[tmp][ports.cvss3_scores]").foreach(ev.set("[vulnerability][score][base]", _))
+    compacted("[tmp][ports.cves]").foreach(ev.set("[vulnerability][id]", _))
+    compacted("[tmp][ports.services]").foreach(ev.set("[rule][name]", _))
+    compacted("[tmp][ports.banners]").foreach(ev.set("[rule][description]", _))
+    compacted("[tmp][ports.ports]").foreach(ev.set("[destination][port]", _))
+    compacted("[tmp][rbls.rbls]").foreach(ev.set("[vulnerability][reference]", _))
+    if (ev.has("[threat][list][created]")) // ref :148-156
+      if (Dates(ev, "[threat][list][created]", Seq("ISO8601"), "[threat][list][created_ms]",
+        timezone = "GMT", locale = "en", tagOnFailure = Seq("_dateparsefailure_tcnf")))
+        ev.remove("[threat][list][created]")
+    if (ev.has("[tmp][bd.subdomain]")) ev.addTag("subdomain") // ref :157-171
+    if (ev.has("[tmp][ipgeo.insideeu]")) ev.addTag("inside_EU")
+    if (ev.has("[tmp][ipgeo.cloudhosted]")) ev.addTag("cloud_hosted")
+    ev.remove("tmp") // ref :172-174
+    splitVulnIds(ev) // ref :175-177
+  }
 }

@@ -75,7 +75,7 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("swg", Transcripts.swgInput), ("scp", Transcripts.scpInput),
       ("forescout", Transcripts.fsInput), ("dna", Transcripts.dnaInput),
       ("f5gtm", Transcripts.fgInput), ("lieberman", Transcripts.lbInput),
-      ("tenable", Transcripts.tbInput))
+      ("tenable", Transcripts.tbInput), ("tenablevuln", Transcripts.tvInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
