@@ -744,6 +744,34 @@ px AS (
         col("cloud_region"), col("rule_name"), col("log_source_hostname"),
         col("event_created_ms"), col("route_index"))),
 
+    // layer7 securespan: pri-substring gate, the RULE 1 headers+XML giant
+    // dissect, ', , 200' drop, and the rest_msg branches that can only fail
+    "ql701_layer7" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.l7Input(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("event_severity_name"), col("rule_category"),
+        col("rule_description"), col("rule_ruleset"), col("file_size"),
+        col("file_extension"), col("event_action"), col("process_name"),
+        col("network_protocol"), col("source_address"), col("source_port"),
+        col("event_start_ms"), col("event_created_ms"),
+        col("log_syslog_facility_code"), col("log_syslog_severity_code"),
+        col("route_index"))),
+
+    // microsoft ata: CEF pipe dissect (both conditional branches identical),
+    // root-level kv, msg= description dissect, 26-entry alert translate
+    "qma01_ata" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mataInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("rule_name"), col("rule_description"),
+        col("rule_ruleset"), col("rule_category"), col("event_id_s"),
+        col("event_action"), col("source_address"), col("source_user_id"),
+        col("host_hostname"), col("host_domain"), col("host_name"),
+        col("process_pid"), col("event_start_ms"), col("event_created_ms"),
+        col("log_syslog_facility_code"), col("log_syslog_severity_code"),
+        col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -2908,6 +2936,78 @@ FROM tv_turns t
 JOIN tv_base b USING (event_id)
 JOIN (SELECT 0 AS sub_idx UNION ALL SELECT 1) s
   ON (b.ksel IN (0,2)) OR s.sub_idx = 0""",
+
+    // ksel 1 is the ', , 200' drop (absent); ksel 5/6 are the rest_msg
+    // branches (always _dissectfailure → parse_ok 0, no fields); RULE 1's
+    // Date: header never parses (created falls to the e03 default)
+    "ql701_layer7" ->
+      s"""WITH ${Transcripts.l7Cte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.ksel IN (5,6) THEN 0 ELSE 1 END AS parse_ok_i,
+  'layer7.securespan.soa.gw' AS technology,
+  CASE b.ksel WHEN 0 THEN 'rule 1' WHEN 2 THEN 'rule 3' WHEN 3 THEN 'rule 4'
+    WHEN 4 THEN 'rule 6' WHEN 5 THEN 'rule 7,rule 7 (b)'
+    ELSE 'rule 12,rule 13' END AS parse_rule,
+  'layer7_soa_gw' AS event_module, 'layer7_soa_gw.traffic' AS event_dataset,
+  CASE b.ksel WHEN 0 THEN 'info' WHEN 2 THEN 'info' WHEN 3 THEN 'info'
+    WHEN 4 THEN 'warning' ELSE NULL END AS event_severity_name,
+  CASE b.ksel WHEN 0 THEN 'ops information' WHEN 2 THEN 'ops information'
+    WHEN 3 THEN 'ops information' WHEN 4 THEN 'ops warning'
+    ELSE NULL END AS rule_category,
+  CASE b.ksel WHEN 0 THEN 'audit: detail: rec' || b.eid_s
+    WHEN 2 THEN 'message processed successfully'
+    WHEN 3 THEN '#####client ssl protocol - tlsv1.2' ELSE NULL END AS rule_description,
+  CASE WHEN b.ksel = 0 THEN 'keep-alive' ELSE NULL END AS rule_ruleset,
+  CASE WHEN b.ksel = 0 THEN CAST(5120 AS BIGINT) ELSE NULL END AS file_size,
+  CASE WHEN b.ksel = 0 THEN 'application/xml' ELSE NULL END AS file_extension,
+  CASE b.ksel WHEN 0 THEN 'ok' WHEN 4 THEN 'blocked' ELSE NULL END AS event_action,
+  CASE WHEN b.ksel = 0 THEN 'servlet v3' ELSE NULL END AS process_name,
+  CASE WHEN b.ksel = 3 THEN 'tls' ELSE NULL END AS network_protocol,
+  CASE WHEN b.ksel = 4 THEN b.sip
+    WHEN b.ksel IN (5,6) THEN NULL ELSE 'ssg-gw' || b.u5 END AS source_address,
+  CASE WHEN b.ksel = 4 THEN CAST(50123 AS BIGINT) ELSE NULL END AS source_port,
+  CASE WHEN b.ksel IN (0,2,3,4) THEN epoch_ms(date_trunc('second', t.ts)) ELSE NULL END AS event_start_ms,
+  epoch_ms(t.ts) AS event_created_ms,
+  CAST(1 AS BIGINT) AS log_syslog_facility_code,
+  CASE WHEN b.ksel = 6 THEN CAST(4 AS BIGINT) ELSE CAST(6 AS BIGINT) END AS log_syslog_severity_code,
+  'logs-layer7.securespan.soa.gw_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM l7_turns t JOIN l7_base b USING (event_id)
+WHERE b.ksel <> 1""",
+
+    // dataset keeps the reference's space ('microsoft ata'); ksel 2 is the
+    // no-pipes failure path; host.name copies BEFORE the host split, so it
+    // keeps the FQDN while hostname/domain split
+    "qma01_ata" ->
+      s"""WITH ${Transcripts.mataCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.ksel = 2 THEN 0 ELSE 1 END AS parse_ok_i,
+  'microsoft.ata' AS technology, 'no rules' AS parse_rule,
+  'microsoft' AS event_module, 'microsoft ata' AS event_dataset,
+  CASE b.ksel WHEN 0 THEN 'suspicious service creation'
+    WHEN 1 THEN 'identity theft using pass-the-hash attack' ELSE NULL END AS rule_name,
+  CASE b.ksel WHEN 0 THEN 'suspicious service creation detected'
+    WHEN 1 THEN 'pass-the-hash detected on host' ELSE NULL END AS rule_description,
+  CASE b.ksel WHEN 0 THEN 'kerberos' WHEN 1 THEN 'ntlm' ELSE NULL END AS rule_ruleset,
+  CASE b.ksel WHEN 0 THEN 'security/suspicious'
+    WHEN 1 THEN 'security/attack' ELSE NULL END AS rule_category,
+  CASE b.ksel WHEN 0 THEN '2026' WHEN 1 THEN '2017' ELSE NULL END AS event_id_s,
+  CASE b.ksel WHEN 0 THEN 'success' WHEN 1 THEN 'failure' ELSE NULL END AS event_action,
+  CASE b.ksel WHEN 0 THEN 'dc' || b.u5 WHEN 1 THEN 'ws' || b.u5
+    ELSE NULL END AS source_address,
+  CASE b.ksel WHEN 0 THEN 'bob' || b.u5 WHEN 1 THEN 'carol' || b.u5
+    ELSE NULL END AS source_user_id,
+  CASE WHEN b.ksel = 0 THEN 'dc' || b.u5 ELSE NULL END AS host_hostname,
+  CASE WHEN b.ksel = 0 THEN 'corp.net' ELSE NULL END AS host_domain,
+  CASE WHEN b.ksel = 0 THEN 'dc' || b.u5 || '.corp.net' ELSE NULL END AS host_name,
+  CASE b.ksel WHEN 0 THEN CAST(900 AS BIGINT) WHEN 1 THEN CAST(901 AS BIGINT)
+    ELSE NULL END AS process_pid,
+  CASE WHEN b.ksel IN (0,1) THEN CAST(1602523441000 AS BIGINT) ELSE NULL END AS event_start_ms,
+  CASE WHEN b.ksel IN (0,1) THEN CAST(1602523441000 AS BIGINT)
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-microsoft.ata_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM mata_turns t JOIN mata_base b USING (event_id)""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

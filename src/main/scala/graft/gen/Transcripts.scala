@@ -3857,6 +3857,98 @@ tv_turns AS (
     spark.sql(s"WITH $tvCte SELECT conv_id, turn_idx, role, text, tool, ts FROM tv_turns")
   }
 
+  /** layer7 securespan — ssg gateway lines for the pri-substring ladder of
+    * syslog_security_layer7.securespan.soa.gw.conf: the RULE 1 headers+XML
+    * giant, the ", , 200" drop, RULE 3/4/6 dissects, and the rest_msg
+    * branches that can only fail (RULE 7 / RULE 12+13). */
+  val l7Cte: String = s"""
+l7_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 56) AS INT) % 7 AS ksel,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS syslog_ts,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 56) = 27
+),
+l7_body AS (
+  SELECT *,
+    CASE WHEN ksel = 6 THEN 12 ELSE 14 END AS pri,
+    CASE ksel
+      WHEN 0 THEN syslog_ts || ' ssg-gw' || u5 || ' ssg: INFO 7100: audit: detail: rec' || eid_s
+        || ': Connection:keep-alive, Content-Length:5120, Content-Type:application/xml; charset=utf-8'
+        || ', Date:Tue, 13 Oct 2020 17:24:01 GMT, Server:apache, X-Powered-By:servlet v3'
+        || '  REQUEST BODY: body <applicationId>app' || u5 || '</applicationId> <status>OK</status>'
+        || ' <serviceId>svc' || u5 || '</serviceId> <issuerId>iss</issuerId> <issueDate>2020-10-12</issueDate>'
+        || ' <rcvDate>2020-10-13</rcvDate> tail'
+      WHEN 1 THEN syslog_ts || ' ssg-gw' || u5 || ' ssg: INFO 7105: , , 200 request served'
+      WHEN 2 THEN syslog_ts || ' ssg-gw' || u5 || ' ssg: INFO 7101: Message processed successfully'
+      WHEN 3 THEN syslog_ts || ' ssg-gw' || u5
+        || ' ssg: INFO 7102: #####Client SSL Protocol - TLSv1.2 - TLS_ECDHE_RSA_WITH_AES_256_GCM_SHA384'
+      WHEN 4 THEN syslog_ts || ' ssg-gw' || u5 || ' ssg: WARNING 7103: 50123: Requestor address ' || sip || ' blocked'
+      WHEN 5 THEN syslog_ts || ' ssg-gw' || u5 || ' ssg: INFO 7104: x IntegrationId: 900 req URL: /api/x'
+        || ' y (Verb): GET z authorization:bearer q host:api' || u5 || ':443, extra'
+      ELSE syslog_ts || ' ssg-gw' || u5 || ' ssg: WARN 7106: Error in processing request ' || eid_s
+    END AS rest
+  FROM l7_base
+),
+l7_turns AS (
+  SELECT 'l7_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || rest AS text,
+    'layer7.securespan.soa.gw' AS tool, ts, event_id
+  FROM l7_body
+)"""
+
+  def l7Input(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $l7Cte SELECT conv_id, turn_idx, role, text, tool, ts FROM l7_turns")
+  }
+
+  /** microsoft ata — CEF alert lines (suspicious service creation /
+    * pass-the-hash) plus a malformed line for the no-pipes failure path
+    * (syslog_security_microsoft.ata.conf). */
+  val mataCte: String = s"""
+mata_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 58) AS INT) % 3 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri
+  FROM events WHERE (event_id % 58) = 11
+),
+mata_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN '100 2020-10-12T17:24:01Z atactr' || u5 || ' ata-fwd 900 x CEF:0|Microsoft|ATA|1.9|alert|Suspicious service creation|5|externalId=2026 start=2020-10-12T17:24:01Z shost=dc' || u5
+        || ' suser=bob' || u5 || ' outcome=Success app=Kerberos request=dc' || u5
+        || '.corp.net cs1Label=url cs1=https://ata/alert' || eid_s
+        || ' cnt=3 msg=Suspicious service creation detected. more'
+      WHEN 1 THEN '101 2020-10-12T17:24:01Z atactr' || u5 || ' ata-fwd 901 x CEF:0|Microsoft|ATA|1.9|alert|Identity theft using Pass-the-Hash attack|9|externalId=2017 start=2020-10-12T17:24:01Z shost=ws' || u5
+        || ' suser=carol' || u5 || ' outcome=Failure app=Ntlm msg=Pass-the-Hash detected on host. tail'
+      ELSE 'ata heartbeat tick ' || eid_s
+    END AS line
+  FROM mata_base
+),
+mata_turns AS (
+  SELECT 'mata_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || line AS text,
+    'microsoft.ata' AS tool, ts, event_id
+  FROM mata_body
+)"""
+
+  def mataInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $mataCte SELECT conv_id, turn_idx, role, text, tool, ts FROM mata_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

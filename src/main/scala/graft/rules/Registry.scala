@@ -249,6 +249,10 @@ object Registry {
       "logs-tenable.sc_api", Vector("elastic"), Set.empty, "low"),
     "tenable.asm_api" -> TechnologyConfig("tenable.asm_api",
       "logs-tenable.asm_api", Vector("elastic"), Set.empty, "low"),
+    "layer7.securespan.soa.gw" -> TechnologyConfig("layer7.securespan.soa.gw",
+      "logs-layer7.securespan.soa.gw", Vector("elastic"), Set.empty, "medium"),
+    "microsoft.ata" -> TechnologyConfig("microsoft.ata",
+      "logs-microsoft.ata", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -628,6 +632,8 @@ object Registry {
     "tenable.security_center" -> TenableRules.securityCenter,
     "tenable.sc_api" -> TenableRules.vulnSc,
     "tenable.asm_api" -> TenableRules.vulnAsm,
+    "layer7.securespan.soa.gw" -> Layer7Rules.layer7,
+    "microsoft.ata" -> AtaRules.ata,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

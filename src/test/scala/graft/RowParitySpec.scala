@@ -75,7 +75,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("swg", Transcripts.swgInput), ("scp", Transcripts.scpInput),
       ("forescout", Transcripts.fsInput), ("dna", Transcripts.dnaInput),
       ("f5gtm", Transcripts.fgInput), ("lieberman", Transcripts.lbInput),
-      ("tenable", Transcripts.tbInput), ("tenablevuln", Transcripts.tvInput))
+      ("tenable", Transcripts.tbInput), ("tenablevuln", Transcripts.tvInput),
+      ("layer7", Transcripts.l7Input), ("ata", Transcripts.mataInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
