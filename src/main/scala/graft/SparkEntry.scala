@@ -772,6 +772,33 @@ px AS (
         col("log_syslog_facility_code"), col("log_syslog_severity_code"),
         col("route_index"))),
 
+    // spectracom ntp: 12-branch process-line ladder with dead
+    // severity_name gates (the field is never set) and the XO1 day-of-year
+    // clock ('yyyy D HH:mm:ss SSS')
+    "qnp01_spectracom" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ntpInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("process_name"), col("process_pid"),
+        col("user_id"), col("group_name"), col("user_name"),
+        col("rule_description"), col("source_ip"), col("source_port"),
+        col("source_address"), col("event_type"), col("event_id_s"),
+        col("event_created_ms"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("route_index"))),
+
+    // versa sdwan.os_ubuntu: tailf alarmman kv with the vdirector swap and
+    // payload-severity override, the ']}'-tailed connection-closed dissect,
+    // and the generic catch-all whose captures are all removed
+    "qvo01_sdwanos" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.vosInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("event_provider"), col("observer_hostname"),
+        col("host_hostname"), col("error_message"), col("error_type"),
+        col("event_action"), col("source_ip"), col("event_created_ms"),
+        col("log_syslog_facility_code"), col("log_syslog_severity_code"),
+        col("log_syslog_severity_name"), col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -3008,6 +3035,72 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
   CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
   'logs-microsoft.ata_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM mata_turns t JOIN mata_base b USING (event_id)""",
+
+    // ksel 4's created is the fixed day-286 clock (1602523441123); the
+    // auth-failure rows route via RULE 12/RULE 4 because the severity_name
+    // gates are dead in the reference
+    "qnp01_spectracom" ->
+      s"""WITH ${Transcripts.ntpCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'spectracom.ntp' AS technology,
+  CASE b.ksel WHEN 0 THEN 'rule 1' WHEN 1 THEN 'rule 2' WHEN 2 THEN 'rule 12'
+    WHEN 3 THEN 'rule 4' WHEN 4 THEN 'rule 5' WHEN 5 THEN 'rule 10'
+    WHEN 6 THEN 'rule 11' ELSE 'rule 12' END AS parse_rule,
+  'spectracom' AS event_module, 'spectracom.ntp' AS event_dataset,
+  CASE b.ksel WHEN 0 THEN 'useradd' WHEN 1 THEN 'userdel' WHEN 2 THEN 'sshd'
+    WHEN 3 THEN 'sshd' WHEN 5 THEN 'sshd' WHEN 7 THEN 'ntpd'
+    ELSE NULL END AS process_name,
+  CASE b.ksel WHEN 0 THEN CAST(900 AS BIGINT) WHEN 1 THEN CAST(905 AS BIGINT)
+    WHEN 2 THEN CAST(901 AS BIGINT) WHEN 3 THEN CAST(902 AS BIGINT)
+    WHEN 5 THEN CAST(903 AS BIGINT) WHEN 7 THEN CAST(904 AS BIGINT)
+    ELSE NULL END AS process_pid,
+  CASE b.ksel WHEN 0 THEN 'svc' || b.u5 WHEN 1 THEN 'old' || b.u5
+    ELSE NULL END AS user_id,
+  CASE WHEN b.ksel IN (0,1) THEN 'ntpgrp' ELSE NULL END AS group_name,
+  CASE b.ksel WHEN 2 THEN 'bob' || b.u5 WHEN 3 THEN 'carol' || b.u5
+    ELSE NULL END AS user_name,
+  CASE b.ksel WHEN 2 THEN 'authentication failure'
+    WHEN 3 THEN 'authentication failure'
+    WHEN 4 THEN 'oscillator disciplined state ' || b.eid_s
+    WHEN 5 THEN 'did not receive identification string'
+    WHEN 6 THEN 'gps 0 antenna fault ' || b.eid_s
+    WHEN 7 THEN 'clock step 0.031s seq ' || b.eid_s ELSE NULL END AS rule_description,
+  CASE WHEN b.ksel IN (2,3,5) THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel = 5 THEN CAST(50200 AS BIGINT) ELSE NULL END AS source_port,
+  CASE WHEN b.ksel IN (4,6) THEN 'tfs-ntp' || b.u5 ELSE NULL END AS source_address,
+  CASE WHEN b.ksel = 2 THEN 'sshd:auth' ELSE NULL END AS event_type,
+  CASE WHEN b.ksel = 2 THEN '0' ELSE NULL END AS event_id_s,
+  CASE WHEN b.ksel = 4 THEN CAST(1602523441123 AS BIGINT)
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-spectracom.ntp_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM ntp_turns t JOIN ntp_base b USING (event_id)""",
+
+    // ksel 0's severity is the payload override (major → error/3); other
+    // rows keep the pri-derived severity
+    "qvo01_sdwanos" ->
+      s"""WITH ${Transcripts.vosCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'sdwan.os_ubuntu' AS technology, 'not parsed' AS parse_rule,
+  'versa' AS event_module, 'versa_sdwan.os_ubuntu' AS event_dataset,
+  CASE WHEN b.ksel = 0 THEN 'versa.alarmman' ELSE NULL END AS event_provider,
+  CASE WHEN b.ksel IN (0,1) THEN 'vos-host' || b.u5 ELSE NULL END AS observer_hostname,
+  CASE WHEN b.ksel = 0 THEN 'vos-host' || b.u5 ELSE NULL END AS host_hostname,
+  CASE WHEN b.ksel = 0 THEN 'device unreachable ' || b.eid_s ELSE NULL END AS error_message,
+  CASE WHEN b.ksel = 0 THEN 'connection-failure' ELSE NULL END AS error_type,
+  CASE WHEN b.ksel = 1 THEN 'connection closed' ELSE NULL END AS event_action,
+  CASE WHEN b.ksel = 1 THEN b.sip ELSE NULL END AS source_ip,
+  epoch_ms(t.ts) AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CASE WHEN b.ksel = 0 THEN CAST(3 AS BIGINT)
+    ELSE CAST(b.event_id % 5 AS BIGINT) END AS log_syslog_severity_code,
+  CASE WHEN b.ksel = 0 THEN 'error'
+    ELSE CASE (b.event_id % 5) WHEN 0 THEN 'emergency' WHEN 1 THEN 'alert'
+      WHEN 2 THEN 'critical' WHEN 3 THEN 'error' ELSE 'warning' END
+    END AS log_syslog_severity_name,
+  'logs-sdwan.os_ubuntu_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM vos_turns t JOIN vos_base b USING (event_id)""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

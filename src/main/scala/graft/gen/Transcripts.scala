@@ -3949,6 +3949,91 @@ mata_turns AS (
     spark.sql(s"WITH $mataCte SELECT conv_id, turn_idx, role, text, tool, ts FROM mata_turns")
   }
 
+  /** spectracom.ntp — appliance sshd/useradd/oscillator lines for the
+    * 12-branch ladder of syslog_audit_spectracom.ntp.conf (the XO1 line
+    * carries the fixed day-of-year clock '2020 286 17:24:01 123'). */
+  val ntpCte: String = s"""
+ntp_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 60) AS INT) % 8 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 60) = 37
+),
+ntp_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN 'useradd[900]: new user ' || chr(39) || 'svc' || u5 || chr(39)
+        || ' uid: 1001 group ' || chr(39) || 'ntpgrp' || chr(39)
+      WHEN 1 THEN 'userdel[905]: delete user ' || chr(39) || 'old' || u5 || chr(39)
+        || ' from group ' || chr(39) || 'ntpgrp' || chr(39)
+      WHEN 2 THEN 'sshd[901]: pam_unix(sshd:auth): authentication failure; logname= uid=0 euid=0 tty=ssh ruser= rhost='
+        || sip || ' user=bob' || u5
+      WHEN 3 THEN 'sshd[902]: error: authentication failure for carol' || u5 || ' from ' || sip
+      WHEN 4 THEN 'tfs-ntp' || u5 || ': [system] 2020 286 17:24:01 123 XO1: oscillator disciplined state ' || eid_s
+      WHEN 5 THEN 'sshd[903]: Did not receive identification string from ' || sip || ' port 50200'
+      WHEN 6 THEN 'tfs-ntp' || u5 || ' alarm GPS 0 antenna fault ' || eid_s
+      ELSE 'ntpd[904]: clock step 0.031s seq ' || eid_s
+    END AS rest
+  FROM ntp_base
+),
+ntp_turns AS (
+  SELECT 'ntp_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || rest AS text,
+    'spectracom.ntp' AS tool, ts, event_id
+  FROM ntp_body
+)"""
+
+  def ntpInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ntpCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ntp_turns")
+  }
+
+  /** versa sdwan.os_ubuntu — tailf alarmman event, sshd connection-closed
+    * (the `]}`-terminated tail) and the generic catch-all
+    * (syslog_security_sdwan.os_ubuntu.conf). All-lowercase lines. */
+  val vosCte: String = s"""
+vos_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 64) AS INT) % 3 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 64) = 41
+),
+vos_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN 'apr 07 11:01:10 vos-host' || u5
+        || ' java{1} event notification com.tailf.ncs.alarmman.common.alarm[device=vdirector, type=alarm:connection-failure, alarm-text=device unreachable ' || eid_s
+        || ', severity=major'
+      WHEN 1 THEN 'apr 07 11:01:10 vos-host' || u5 || ' sshd[950]: connection closed by '
+        || sip || ' port 50200 [preauth]}'
+      ELSE 'apr 07 11:01:10 vos-host' || u5 || ' kernel: link up eth0 seq ' || eid_s
+    END AS rest
+  FROM vos_base
+),
+vos_turns AS (
+  SELECT 'vos_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || rest AS text,
+    'sdwan.os_ubuntu' AS tool, ts, event_id
+  FROM vos_body
+)"""
+
+  def vosInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $vosCte SELECT conv_id, turn_idx, role, text, tool, ts FROM vos_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

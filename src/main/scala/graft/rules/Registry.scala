@@ -253,6 +253,10 @@ object Registry {
       "logs-layer7.securespan.soa.gw", Vector("elastic"), Set.empty, "medium"),
     "microsoft.ata" -> TechnologyConfig("microsoft.ata",
       "logs-microsoft.ata", Vector("elastic"), Set.empty, "low"),
+    "spectracom.ntp" -> TechnologyConfig("spectracom.ntp",
+      "logs-spectracom.ntp", Vector("elastic"), Set.empty, "low"),
+    "sdwan.os_ubuntu" -> TechnologyConfig("sdwan.os_ubuntu",
+      "logs-sdwan.os_ubuntu", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -634,6 +638,8 @@ object Registry {
     "tenable.asm_api" -> TenableRules.vulnAsm,
     "layer7.securespan.soa.gw" -> Layer7Rules.layer7,
     "microsoft.ata" -> AtaRules.ata,
+    "spectracom.ntp" -> SpectracomRules.ntp,
+    "sdwan.os_ubuntu" -> SdwanOsRules.osUbuntu,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =
