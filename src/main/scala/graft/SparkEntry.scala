@@ -799,6 +799,23 @@ px AS (
         col("log_syslog_facility_code"), col("log_syslog_severity_code"),
         col("log_syslog_severity_name"), col("route_index"))),
 
+    // a10.waf: CEF WAF grok, resets-connection dissect (success-only
+    // parse_rule), persist-xff pair, literal '^A10' non-drop
+    "qaw01_a10waf" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.awInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("process_name"), col("event_severity"),
+        col("event_created_ms"), col("source_ip"), col("source_port"),
+        col("destination_ip"), col("destination_port"), col("host_ip"),
+        col("rule_name"), col("event_id_s"), col("event_action"),
+        col("rule_ruleset"), col("network_protocol"),
+        col("network_transport"), col("http_request_method"),
+        col("url_path"), col("rule_description"), col("event_type"),
+        col("user_agent_original"), col("client_ip"),
+        col("log_syslog_facility_code"), col("log_syslog_severity_code"),
+        col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -3101,6 +3118,47 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
     END AS log_syslog_severity_name,
   'logs-sdwan.os_ubuntu_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM vos_turns t JOIN vos_base b USING (event_id)""",
+
+    // ksel 0 is the literal 'a10' health-check drop (absent); ksel 1's
+    // created is the fixed CEF rt epoch; ksel 2 proves the 443 protocol
+    // backfill on the resets path
+    "qaw01_a10waf" ->
+      s"""WITH ${Transcripts.awCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'a10.waf' AS technology,
+  CASE b.ksel WHEN 1 THEN 'rule 1' WHEN 2 THEN 'rule 2' WHEN 3 THEN 'rule 3(a)'
+    WHEN 4 THEN 'rule 3(b)' ELSE 'no rule match' END AS parse_rule,
+  'a10' AS event_module, 'a10.waf' AS event_dataset,
+  CASE WHEN b.ksel = 1 THEN 'cef' ELSE NULL END AS process_name,
+  CASE WHEN b.ksel = 1 THEN CAST(5 AS BIGINT) ELSE NULL END AS event_severity,
+  CASE WHEN b.ksel = 1 THEN CAST(1609946093000 AS BIGINT)
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CASE WHEN b.ksel IN (1,2) THEN b.sip
+    WHEN b.ksel = 4 THEN '10.6.1.' || b.u5 ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel = 1 THEN CAST(50123 AS BIGINT) ELSE NULL END AS source_port,
+  CASE WHEN b.ksel IN (1,2) THEN '10.9.8.7' ELSE NULL END AS destination_ip,
+  CASE WHEN b.ksel IN (1,2) THEN CAST(443 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE WHEN b.ksel = 1 THEN 'web' || b.u5 ELSE NULL END AS host_ip,
+  CASE WHEN b.ksel = 1 THEN 'sqli rule' ELSE NULL END AS rule_name,
+  CASE WHEN b.ksel = 1 THEN 'ev' || b.eid_s ELSE NULL END AS event_id_s,
+  CASE b.ksel WHEN 1 THEN 'deny' WHEN 2 THEN 'resets connection'
+    ELSE NULL END AS event_action,
+  CASE WHEN b.ksel = 1 THEN 'waf set' ELSE NULL END AS rule_ruleset,
+  CASE WHEN b.ksel IN (1,2) THEN 'https' ELSE NULL END AS network_protocol,
+  CASE WHEN b.ksel = 2 THEN 'tcp' ELSE NULL END AS network_transport,
+  CASE WHEN b.ksel = 1 THEN 'get' ELSE NULL END AS http_request_method,
+  CASE b.ksel WHEN 1 THEN '/login'
+    WHEN 4 THEN '/groupexpansion/service.svc' ELSE NULL END AS url_path,
+  CASE WHEN b.ksel = 1 THEN 'blocked sql injection' ELSE NULL END AS rule_description,
+  CASE WHEN b.ksel IN (3,4) THEN 'persist-xff' ELSE NULL END AS event_type,
+  CASE b.ksel WHEN 3 THEN 'uri=/'
+    WHEN 4 THEN 'oc/16.0 (skype for business)' ELSE NULL END AS user_agent_original,
+  CASE WHEN b.ksel = 3 THEN '10.4.1.' || b.u5 ELSE NULL END AS client_ip,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-a10.waf_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM aw_turns t JOIN aw_base b USING (event_id)
+WHERE b.ksel <> 0""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

@@ -4034,6 +4034,48 @@ vos_turns AS (
     spark.sql(s"WITH $vosCte SELECT conv_id, turn_idx, role, text, tool, ts FROM vos_turns")
   }
 
+  /** a10.waf — CEF WAF alert, TCP resets-connection, persist-xff pair, the
+    * no-rule fallback and the literal health-check drop
+    * (syslog_security_a10.waf.conf). */
+  val awCte: String = s"""
+aw_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 66) AS INT) % 6 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 66) = 43
+),
+aw_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN 'a10'
+      WHEN 1 THEN 'CEF:0|A10|cFW|4.2|WAF-block|policy|5|rt=jan 06 2021 15:14:53 src=' || sip
+        || ' spt=50123 dst=10.9.8.7 dpt=443 dhost=web' || u5 || ':8080 cs1=sqli rule cs2=ev' || eid_s
+        || ' act=deny cs3=waf set app=https requestMethod=GET cn1=9 request=/login msg=blocked sql injection'
+      WHEN 2 THEN '[ssl] tcp ' || sip || ' > 10.9.8.7:443 rst Resets connection'
+      WHEN 3 THEN 'persist-xff:uri=/; client_ip=10.4.1.' || u5 || '; user_agent=0;'
+      WHEN 4 THEN 'persist-xff:oc/16.0 (skype for business), /groupexpansion/service.svc] 10.6.1.' || u5
+      ELSE 'session table sync tick ' || eid_s
+    END AS rest
+  FROM aw_base
+),
+aw_turns AS (
+  SELECT 'aw_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || rest AS text,
+    'a10.waf' AS tool, ts, event_id
+  FROM aw_body
+)"""
+
+  def awInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $awCte SELECT conv_id, turn_idx, role, text, tool, ts FROM aw_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -257,6 +257,8 @@ object Registry {
       "logs-spectracom.ntp", Vector("elastic"), Set.empty, "low"),
     "sdwan.os_ubuntu" -> TechnologyConfig("sdwan.os_ubuntu",
       "logs-sdwan.os_ubuntu", Vector("elastic"), Set.empty, "low"),
+    "a10.waf" -> TechnologyConfig("a10.waf",
+      "logs-a10.waf", Vector("elastic", "s3"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -640,6 +642,7 @@ object Registry {
     "microsoft.ata" -> AtaRules.ata,
     "spectracom.ntp" -> SpectracomRules.ntp,
     "sdwan.os_ubuntu" -> SdwanOsRules.osUbuntu,
+    "a10.waf" -> A10WafRules.waf,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

@@ -77,7 +77,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("f5gtm", Transcripts.fgInput), ("lieberman", Transcripts.lbInput),
       ("tenable", Transcripts.tbInput), ("tenablevuln", Transcripts.tvInput),
       ("layer7", Transcripts.l7Input), ("ata", Transcripts.mataInput),
-      ("spectracom", Transcripts.ntpInput), ("sdwanos", Transcripts.vosInput))
+      ("spectracom", Transcripts.ntpInput), ("sdwanos", Transcripts.vosInput),
+      ("a10waf", Transcripts.awInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
