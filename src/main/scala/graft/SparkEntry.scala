@@ -816,6 +816,22 @@ px AS (
         col("log_syslog_facility_code"), col("log_syslog_severity_code"),
         col("route_index"))),
 
+    // cisco.router: nine-pattern IOS grok ladder; the final remove_field
+    // deletes the whole pri decode (facility/severity NULL) and all
+    // observer captures; lowercased-mnemonic translate always falls back
+    "qcr01_ciscorouter" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.crInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("event_id_s"), col("event_severity"),
+        col("event_category"), col("rule_name"), col("event_action"),
+        col("network_transport"), col("network_protocol"), col("source_ip"),
+        col("source_port"), col("destination_ip"), col("destination_port"),
+        col("network_packets"), col("error_message"), col("event_created_ms"),
+        col("event_ingested_ms"), col("rule_description"),
+        col("event_recommendation"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -3159,6 +3175,39 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-a10.waf_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM aw_turns t JOIN aw_base b USING (event_id)
 WHERE b.ksel <> 0""",
+
+    // facility/severity codes are NULL on every row (the conf removes the
+    // nested pri decode); rule_description/recommendation are NULL (the
+    // lowercased mnemonic always misses the upper-case dictionary)
+    "qcr01_ciscorouter" ->
+      s"""WITH ${Transcripts.crCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'cisco.router' AS technology, 'not parsed' AS parse_rule,
+  'cisco' AS event_module, 'cisco.router' AS event_dataset,
+  b.seq_s AS event_id_s,
+  CASE b.ksel WHEN 0 THEN CAST(6 AS BIGINT) WHEN 1 THEN CAST(4 AS BIGINT)
+    ELSE CAST(5 AS BIGINT) END AS event_severity,
+  CASE b.ksel WHEN 0 THEN 'ip security' WHEN 1 THEN 'not_found_facility'
+    ELSE 'operating system' END AS event_category,
+  CASE WHEN b.ksel = 0 THEN 'acl_in' || b.u5 ELSE NULL END AS rule_name,
+  CASE WHEN b.ksel = 0 THEN 'permit' ELSE NULL END AS event_action,
+  CASE WHEN b.ksel = 0 THEN 'tcp' ELSE NULL END AS network_transport,
+  CASE WHEN b.ksel = 0 THEN 'https' ELSE NULL END AS network_protocol,
+  CASE WHEN b.ksel IN (0,1) THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel = 0 THEN CAST(50123 AS BIGINT) ELSE NULL END AS source_port,
+  CASE WHEN b.ksel = 0 THEN '10.9.8.7' ELSE NULL END AS destination_ip,
+  CASE WHEN b.ksel = 0 THEN CAST(443 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE WHEN b.ksel = 0 THEN CAST(5 AS BIGINT) ELSE NULL END AS network_packets,
+  CASE b.ksel WHEN 1 THEN 'mac flap for host'
+    WHEN 2 THEN 'reload requested by console ' || b.eid_s ELSE NULL END AS error_message,
+  epoch_ms(date_trunc('second', t.ts)) + 123 AS event_created_ms,
+  epoch_ms(date_trunc('second', t.ts)) AS event_ingested_ms,
+  CAST(NULL AS STRING) AS rule_description,
+  CAST(NULL AS STRING) AS event_recommendation,
+  CAST(NULL AS BIGINT) AS log_syslog_facility_code,
+  CAST(NULL AS BIGINT) AS log_syslog_severity_code,
+  'logs-cisco.router_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM cr_turns t JOIN cr_base b USING (event_id)""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

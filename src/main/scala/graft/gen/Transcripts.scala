@@ -4076,6 +4076,52 @@ aw_turns AS (
     spark.sql(s"WITH $awCte SELECT conv_id, turn_idx, role, text, tool, ts FROM aw_turns")
   }
 
+  /** cisco.router — {name=}-shipped IOS lines: the named-ACL hit (pattern
+    * 1), the mac-flap/vlan form (pattern 8) and the catch-all (pattern 9),
+    * with the 'MMM dd HH:mm:ss.SSS zzz' created clock and an ISO ingested
+    * stamp (syslog_audit_cisco.router.conf). */
+  val crCte: String = s"""
+cr_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 70) AS INT) % 3 AS ksel,
+    CAST(event_id % 1000 AS STRING) AS seq_s,
+    ${isoClock("ts")} AS iso1,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0')
+      || '.123 gmt' AS created_ts,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 70) = 47
+),
+cr_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN '%SEC-6-IPACCESSLOGP: list acl_in' || u5 || ' permit tcp ' || sip
+        || '(50123) -> 10.9.8.7(443), 5 packet'
+      WHEN 1 THEN '%SW_MATM-4-MACFLAP_NOTIF: mac flap for host ' || sip
+        || ' on vlan' || u5 || ', sourced by gi1/0/5'
+      ELSE '%SYS-5-RELOAD: reload requested by console ' || eid_s
+    END AS body
+  FROM cr_base
+),
+cr_turns AS (
+  SELECT 'cr_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    iso1 || ' {name=rtr' || u5 || '} <189>' || seq_s || ': *123: ' || created_ts || ': ' || body AS text,
+    'cisco.router' AS tool, ts, event_id
+  FROM cr_body
+)"""
+
+  def crInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $crCte SELECT conv_id, turn_idx, role, text, tool, ts FROM cr_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -259,6 +259,8 @@ object Registry {
       "logs-sdwan.os_ubuntu", Vector("elastic"), Set.empty, "low"),
     "a10.waf" -> TechnologyConfig("a10.waf",
       "logs-a10.waf", Vector("elastic", "s3"), Set.empty, "medium"),
+    "cisco.router" -> TechnologyConfig("cisco.router",
+      "logs-cisco.router", Vector("elastic"), Set.empty, "high"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -643,6 +645,7 @@ object Registry {
     "spectracom.ntp" -> SpectracomRules.ntp,
     "sdwan.os_ubuntu" -> SdwanOsRules.osUbuntu,
     "a10.waf" -> A10WafRules.waf,
+    "cisco.router" -> CiscoRouterRules.router,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

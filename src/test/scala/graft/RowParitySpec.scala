@@ -78,7 +78,7 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("tenable", Transcripts.tbInput), ("tenablevuln", Transcripts.tvInput),
       ("layer7", Transcripts.l7Input), ("ata", Transcripts.mataInput),
       ("spectracom", Transcripts.ntpInput), ("sdwanos", Transcripts.vosInput),
-      ("a10waf", Transcripts.awInput))
+      ("a10waf", Transcripts.awInput), ("ciscorouter", Transcripts.crInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
