@@ -832,6 +832,18 @@ px AS (
         col("event_recommendation"), col("log_syslog_facility_code"),
         col("log_syslog_severity_code"), col("route_index"))),
 
+    // cisco.apic: pam auth failure, packet-flags, aaa subj-[...] user split
+    "qca01_ciscoapic" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.caInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("service_type"), col("event_action"),
+        col("user_name"), col("user_id"), col("source_ip"),
+        col("source_port"), col("destination_ip"), col("destination_port"),
+        col("network_protocol"), col("rule_description"), col("event_id_s"),
+        col("event_created_ms"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -3208,6 +3220,33 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   CAST(NULL AS BIGINT) AS log_syslog_severity_code,
   'logs-cisco.router_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM cr_turns t JOIN cr_base b USING (event_id)""",
+
+    "qca01_ciscoapic" ->
+      s"""WITH ${Transcripts.caCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'cisco.apic' AS technology,
+  CASE b.ksel WHEN 0 THEN 'syslog header,rule 1' WHEN 1 THEN 'syslog header,rule 2'
+    WHEN 2 THEN 'syslog header,rule 3' ELSE 'syslog header,other' END AS parse_rule,
+  'cisco' AS event_module, 'cisco.apic' AS event_dataset,
+  CASE WHEN b.ksel = 0 THEN 'sshd(pam_unix)' ELSE NULL END AS service_type,
+  CASE WHEN b.ksel = 0 THEN 'authentication failure' ELSE NULL END AS event_action,
+  CASE b.ksel WHEN 0 THEN 'admin' || b.u5 WHEN 2 THEN 'admin' || b.u5
+    ELSE NULL END AS user_name,
+  CASE WHEN b.ksel = 0 THEN '0' ELSE NULL END AS user_id,
+  b.sip AS source_ip,
+  CASE WHEN b.ksel IN (1,3) THEN CAST(50123 AS BIGINT) ELSE NULL END AS source_port,
+  CASE WHEN b.ksel IN (1,3) THEN '10.9.8.7' ELSE NULL END AS destination_ip,
+  CASE WHEN b.ksel IN (1,3) THEN CAST(443 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE WHEN b.ksel IN (1,3) THEN 'https' ELSE NULL END AS network_protocol,
+  CASE b.ksel WHEN 1 THEN 'tcp packet flags are incorrect seq ' || b.eid_s
+    WHEN 2 THEN 'client-type-ssh-failure-bad-password'
+    WHEN 3 THEN 'keepalive state ok ' || b.eid_s ELSE NULL END AS rule_description,
+  CASE WHEN b.ksel = 2 THEN 'sess' || b.eid_s ELSE NULL END AS event_id_s,
+  epoch_ms(t.ts) AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-cisco.apic_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM ca_turns t JOIN ca_base b USING (event_id)""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

@@ -4122,6 +4122,49 @@ cr_turns AS (
     spark.sql(s"WITH $crCte SELECT conv_id, turn_idx, role, text, tool, ts FROM cr_turns")
   }
 
+  /** cisco.apic — pam auth failure, incorrect packet flags, aaa ssh-failure
+    * subject, and the other fallback (syslog_security_cisco.apic.conf). */
+  val caCte: String = s"""
+ca_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 72) AS INT) % 4 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS syslog_ts,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 72) = 53
+),
+ca_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN 'sshd(pam_unix): authentication failure; logname=admin' || u5
+        || ' uid=0 euid=0 rhost=' || sip
+      WHEN 1 THEN sip || ':50123 - 10.9.8.7:443 - tcp packet flags are incorrect seq ' || eid_s
+      WHEN 2 THEN 'aaa fault subj-[uni/userext/user-admin' || u5 || ']/sess' || eid_s
+        || '] From-' || sip || '-client-type-ssh-Failure-bad-password'
+      ELSE sip || ':50123 - 10.9.8.7:443 - keepalive state ok ' || eid_s
+    END AS body
+  FROM ca_base
+),
+ca_turns AS (
+  SELECT 'ca_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' apic' || u5 || ' ' || body AS text,
+    'cisco.apic' AS tool, ts, event_id
+  FROM ca_body
+)"""
+
+  def caInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $caCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ca_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

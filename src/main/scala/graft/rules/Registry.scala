@@ -261,6 +261,8 @@ object Registry {
       "logs-a10.waf", Vector("elastic", "s3"), Set.empty, "medium"),
     "cisco.router" -> TechnologyConfig("cisco.router",
       "logs-cisco.router", Vector("elastic"), Set.empty, "high"),
+    "cisco.apic" -> TechnologyConfig("cisco.apic",
+      "logs-cisco.apic", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -646,6 +648,7 @@ object Registry {
     "sdwan.os_ubuntu" -> SdwanOsRules.osUbuntu,
     "a10.waf" -> A10WafRules.waf,
     "cisco.router" -> CiscoRouterRules.router,
+    "cisco.apic" -> CiscoApicRules.apic,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

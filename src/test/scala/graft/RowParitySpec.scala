@@ -78,7 +78,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("tenable", Transcripts.tbInput), ("tenablevuln", Transcripts.tvInput),
       ("layer7", Transcripts.l7Input), ("ata", Transcripts.mataInput),
       ("spectracom", Transcripts.ntpInput), ("sdwanos", Transcripts.vosInput),
-      ("a10waf", Transcripts.awInput), ("ciscorouter", Transcripts.crInput))
+      ("a10waf", Transcripts.awInput), ("ciscorouter", Transcripts.crInput),
+      ("ciscoapic", Transcripts.caInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
