@@ -844,6 +844,22 @@ px AS (
         col("event_created_ms"), col("log_syslog_facility_code"),
         col("log_syslog_severity_code"), col("route_index"))),
 
+    // cisco.stealthwatch: CSV flow / pipe-named rule / pipe-kv alarm (the
+    // `=~ "|"` empty-alternation gates are vacuous — mirrored)
+    "qsw02_stealthwatch" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.swtInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("source_address"), col("process_name"),
+        col("process_pid"), col("source_port"), col("event_start_ms"),
+        col("user_name"), col("destination_ip"), col("destination_address"),
+        col("event_action"), col("rule_name"), col("source_ip"),
+        col("event_duration"), col("rule_description"),
+        col("destination_port"), col("network_protocol"), col("event_id_s"),
+        col("event_severity_name"), col("rule_category"),
+        col("event_created_ms"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -3247,6 +3263,41 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
   'logs-cisco.apic_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM ca_turns t JOIN ca_base b USING (event_id)""",
+
+    "qsw02_stealthwatch" ->
+      s"""WITH ${Transcripts.swtCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'cisco.stealthwatch' AS technology,
+  CASE b.ksel WHEN 0 THEN 'rule 1' WHEN 1 THEN 'rule 2' WHEN 2 THEN 'rule 3'
+    ELSE 'rule 1' END AS parse_rule,
+  'cisco' AS event_module, 'cisco.stealthwatch' AS event_dataset,
+  CASE WHEN b.ksel = 2 THEN 'probe' || b.u5 ELSE 'sw-mgr' || b.u5 END AS source_address,
+  'swd' AS process_name, CAST(700 AS BIGINT) AS process_pid,
+  CASE b.ksel WHEN 0 THEN CAST(50123 AS BIGINT) WHEN 1 THEN CAST(50124 AS BIGINT)
+    WHEN 3 THEN CAST(50125 AS BIGINT) ELSE NULL END AS source_port,
+  CASE WHEN b.ksel IN (0,1,3) THEN CAST(1602523441000 AS BIGINT) ELSE NULL END AS event_start_ms,
+  CASE b.ksel WHEN 0 THEN 'bob' || b.u5 WHEN 3 THEN 'carol' || b.u5
+    ELSE NULL END AS user_name,
+  CASE WHEN b.ksel IN (1,2,3) THEN '10.9.8.7' ELSE NULL END AS destination_ip,
+  CASE b.ksel WHEN 0 THEN 'localhost' WHEN 2 THEN 'dsthost' || b.u5
+    ELSE NULL END AS destination_address,
+  CASE b.ksel WHEN 0 THEN 'permitted' WHEN 1 THEN 'denied'
+    WHEN 3 THEN 'permitted' ELSE NULL END AS event_action,
+  CASE b.ksel WHEN 1 THEN 'block policy' || b.u5
+    WHEN 2 THEN 'high traffic' ELSE NULL END AS rule_name,
+  CASE WHEN b.ksel = 2 THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel = 2 THEN '3600' ELSE NULL END AS event_duration,
+  CASE WHEN b.ksel = 2 THEN 'active flow anomaly' ELSE NULL END AS rule_description,
+  CASE WHEN b.ksel = 2 THEN CAST(443 AS BIGINT) ELSE NULL END AS destination_port,
+  CASE WHEN b.ksel = 2 THEN 'https' ELSE NULL END AS network_protocol,
+  CASE WHEN b.ksel = 2 THEN 'al' || b.eid_s ELSE NULL END AS event_id_s,
+  CASE WHEN b.ksel = 2 THEN 'major' ELSE NULL END AS event_severity_name,
+  CASE WHEN b.ksel = 2 THEN 'audit/information' ELSE NULL END AS rule_category,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-cisco.stealthwatch_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM swt_turns t JOIN swt_base b USING (event_id)""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

@@ -4165,6 +4165,49 @@ ca_turns AS (
     spark.sql(s"WITH $caCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ca_turns")
   }
 
+  /** cisco.stealthwatch — CSV flow (localhost + real-ip), pipe-named rule
+    * and pipe-kv alarm shapes (syslog_security_cisco.stealthwatch.conf). */
+  val swtCte: String = s"""
+swt_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 74) AS INT) % 4 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase || ' ' || LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') || ' '
+      || LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS syslog_ts,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 74) = 59
+),
+swt_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN 'flow,50123,2020-10-12T17:24:01+00:00,bob' || u5 || ',localhost,x,permitted'
+      WHEN 1 THEN 'flow,50124,2020-10-12T17:24:01+00:00,block policy' || u5 || '|9,10.9.8.7,x,denied'
+      WHEN 2 THEN 'SourceHostname=probe' || u5 || '|SourceIP=' || sip
+        || '|Port=443|AlarmID=al' || eid_s || '|AlarmName=High Traffic|AlarmSeverity=Major'
+        || '|event.status=active flow anomaly|Duration=3600|TargetHostname=dsthost' || u5 || '|Target=10.9.8.7'
+      ELSE 'flow,50125,2020-10-12T17:24:01+00:00,carol' || u5 || ',10.9.8.7,x,permitted'
+    END AS rest
+  FROM swt_base
+),
+swt_turns AS (
+  SELECT 'swt_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || syslog_ts || ' sw-mgr' || u5 || ' swd[700]: ' || rest AS text,
+    'cisco.stealthwatch' AS tool, ts, event_id
+  FROM swt_body
+)"""
+
+  def swtInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $swtCte SELECT conv_id, turn_idx, role, text, tool, ts FROM swt_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -263,6 +263,8 @@ object Registry {
       "logs-cisco.router", Vector("elastic"), Set.empty, "high"),
     "cisco.apic" -> TechnologyConfig("cisco.apic",
       "logs-cisco.apic", Vector("elastic"), Set.empty, "medium"),
+    "cisco.stealthwatch" -> TechnologyConfig("cisco.stealthwatch",
+      "logs-cisco.stealthwatch", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -649,6 +651,7 @@ object Registry {
     "a10.waf" -> A10WafRules.waf,
     "cisco.router" -> CiscoRouterRules.router,
     "cisco.apic" -> CiscoApicRules.apic,
+    "cisco.stealthwatch" -> StealthwatchRules.stealthwatch,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =
