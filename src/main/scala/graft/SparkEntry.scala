@@ -860,6 +860,20 @@ px AS (
         col("event_created_ms"), col("log_syslog_facility_code"),
         col("log_syslog_severity_code"), col("route_index"))),
 
+    // accellion.sft: httpd sessions, Download audit, sendmail family
+    // (angle-bracket strip, STARTTLS cipher → tls hash quirk), message drop
+    "qac01_accellion" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.acInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("process_name"), col("source_port"),
+        col("source_ip"), col("source_user_email"), col("event_action"),
+        col("destination_user_email"), col("observer_hostname"),
+        col("observer_ip"), col("event_id_s"), col("rule_description"),
+        col("source_bytes"), col("destination_bytes"), col("source_name"),
+        col("event_created_ms"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -3298,6 +3312,39 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
   'logs-cisco.stealthwatch_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM swt_turns t JOIN swt_base b USING (event_id)""",
+
+    // ksel 0 is the repeated-message drop (absent); RULE 6's stat= value
+    // overwrites the sendmail action; and the conf's own `remove_field
+    // ["source"]` (aimed at the %{source} scalar capture) deletes the
+    // ENTIRE [source] tree — every source.* capture is NULL on every row,
+    // the selected source_* columns prove the erasure
+    "qac01_accellion" ->
+      s"""WITH ${Transcripts.acCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'accellion.sft' AS technology,
+  CASE b.ksel WHEN 1 THEN 'rule 1' WHEN 2 THEN 'rule 3' WHEN 3 THEN 'rule 6'
+    WHEN 4 THEN 'rule 8' ELSE 'rule 7' END AS parse_rule,
+  'accellion' AS event_module, 'accellion.sft' AS event_dataset,
+  CASE WHEN b.ksel = 1 THEN 'httpd' ELSE NULL END AS process_name,
+  CAST(NULL AS BIGINT) AS source_port,
+  CAST(NULL AS STRING) AS source_ip,
+  CAST(NULL AS STRING) AS source_user_email,
+  CASE b.ksel WHEN 1 THEN 'login success' WHEN 2 THEN 'download'
+    WHEN 3 THEN 'sent' ELSE 'sendmail' END AS event_action,
+  CASE WHEN b.ksel = 3 THEN 'dave' || b.u5 || '@ext.com' ELSE NULL END AS destination_user_email,
+  CASE WHEN b.ksel IN (3,5) THEN 'mx.ext.com' ELSE NULL END AS observer_hostname,
+  CASE WHEN b.ksel = 4 THEN '[10.7.7.7]' ELSE NULL END AS observer_ip,
+  CASE WHEN b.ksel = 3 THEN '77' || b.eid_s ELSE NULL END AS event_id_s,
+  CASE WHEN b.ksel = 3 THEN ' message accepted' ELSE NULL END AS rule_description,
+  CAST(NULL AS BIGINT) AS source_bytes,
+  CASE WHEN b.ksel = 5 THEN CAST(256 AS BIGINT) ELSE NULL END AS destination_bytes,
+  CAST(NULL AS STRING) AS source_name,
+  epoch_ms(t.ts) AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-accellion.sft_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM ac_turns t JOIN ac_base b USING (event_id)
+WHERE b.ksel <> 0""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

@@ -4208,6 +4208,50 @@ swt_turns AS (
     spark.sql(s"WITH $swtCte SELECT conv_id, turn_idx, role, text, tool, ts FROM swt_turns")
   }
 
+  /** accellion.sft — httpd session, Download audit, sendmail to=/STARTTLS/
+    * from= variants and the repeated-message drop
+    * (syslog_audit_accellion.sft.conf). */
+  val acCte: String = s"""
+ac_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 76) AS INT) % 6 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 76) = 61
+),
+ac_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN 'last message repeated 4 times'
+      WHEN 1 THEN 'httpd: [50123]: (' || sip || ') (User:bob' || u5 || '@corp.net) login success'
+      WHEN 2 THEN 'Download: [50124]: (' || sip || ') file' || eid_s || '.pdf downloaded by carol' || u5
+        || '@corp.net (5120 bytes, 2s) (Type: file, Location: /data'
+      WHEN 3 THEN 'sendmail[900]: x' || eid_s || ': to=<dave' || u5
+        || '@ext.com>, delay=00:00:01, xdelay=00:00:01, mailer=esmtp, pri=120000, relay=mx.ext.com ['
+        || '10.8.8.8], dsn=2.0.0, stat=Sent (<q> [InternalId=77' || eid_s || '] message accepted)'
+      WHEN 4 THEN 'sendmail[901]: x' || eid_s || ': from=<erin' || u5
+        || '@corp.net>, size=2048, class=0, nrcpts=1, msgid=<m' || eid_s || '@corp.net>, relay=[10.7.7.7]'
+      ELSE 'sendmail[902]: STARTTLS=client, relay=mx.ext.com, version=TLSv1.2, verify=OK, cipher=ecdhe-rsa-aes256, bits=256/256'
+    END AS rest
+  FROM ac_base
+),
+ac_turns AS (
+  SELECT 'ac_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || rest AS text,
+    'accellion.sft' AS tool, ts, event_id
+  FROM ac_body
+)"""
+
+  def acInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $acCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ac_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

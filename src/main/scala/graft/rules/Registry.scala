@@ -265,6 +265,8 @@ object Registry {
       "logs-cisco.apic", Vector("elastic"), Set.empty, "medium"),
     "cisco.stealthwatch" -> TechnologyConfig("cisco.stealthwatch",
       "logs-cisco.stealthwatch", Vector("elastic"), Set.empty, "medium"),
+    "accellion.sft" -> TechnologyConfig("accellion.sft",
+      "logs-accellion.sft", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -652,6 +654,7 @@ object Registry {
     "cisco.router" -> CiscoRouterRules.router,
     "cisco.apic" -> CiscoApicRules.apic,
     "cisco.stealthwatch" -> StealthwatchRules.stealthwatch,
+    "accellion.sft" -> AccellionRules.sft,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

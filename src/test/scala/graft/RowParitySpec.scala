@@ -79,7 +79,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("layer7", Transcripts.l7Input), ("ata", Transcripts.mataInput),
       ("spectracom", Transcripts.ntpInput), ("sdwanos", Transcripts.vosInput),
       ("a10waf", Transcripts.awInput), ("ciscorouter", Transcripts.crInput),
-      ("ciscoapic", Transcripts.caInput), ("stealthwatch", Transcripts.swtInput))
+      ("ciscoapic", Transcripts.caInput), ("stealthwatch", Transcripts.swtInput),
+      ("accellion", Transcripts.acInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
