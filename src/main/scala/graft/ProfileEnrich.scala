@@ -95,6 +95,8 @@ object ProfileEnrich {
 
     onePass(measure = false) // warm JIT
     onePass(measure = false)
+    val fast = onePass(measure = false) // production apply (mask fast path)
+    println(f"FAST-APPLY ${fast / 1e9}%.3f s  (${turns.length / (fast / 1e9)}%.0f turns/s single-thread)")
     val total = onePass(measure = true)
     val enrichTotal = stepNanos.sum
     println(f"TOTAL ${total / 1e9}%.3f s  (${turns.length / (total / 1e9)}%.0f turns/s single-thread)")

@@ -29,9 +29,20 @@ object Enrich {
       else f(ev, d, ctx)
   }
 
+  // Pre-parsed hot paths (each string-path call costs a concurrent-map get;
+  // the chain runs per event, so the static paths are parsed once here)
+  private val pMessage = Event.parsePath("message")
+  private val pLogOriginal = Event.parsePath("[log][original]")
+  private val pEventCreatedMs = Event.parsePath("[event][created_ms]")
+  private val pEventHash = Event.parsePath("[event][hash]")
+  private val pSourceIp = Event.parsePath("[source][ip]")
+  private val pDestinationIp = Event.parsePath("[destination][ip]")
+
   // 01_log_original.conf:4-10 — copy message before anything mutates it
-  private def e01LogOriginal(ev: Event, d: Dicts, ctx: Ctx): Unit =
-    ev.getString("message").foreach(m => ev.set("[log][original]", m))
+  private def e01LogOriginal(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    val m = ev.stringAtParts(pMessage)
+    if (m != null) ev.setParts(pLogOriginal, m)
+  }
 
   // 02_ecs_data_type.conf — late type coercion: the reference's full
   // enumerated long-field list (:22-84) coerce-or-remove (:110-120), float
@@ -199,7 +210,10 @@ object Enrich {
   // replacing the reference's Time.now (04_timestamp.conf:14-18 — documented
   // deviation, SURVEY.md §7.4 #4)
   private def e03EventCreated(ev: Event, d: Dicts, ctx: Ctx): Unit =
-    if (!ev.has("[event][created_ms]")) ev.set("[event][created_ms]", ctx.tsMillis)
+    ev.partsOrNull(pEventCreatedMs) match { // Logstash truthiness, as has()
+      case null | false => ev.setParts(pEventCreatedMs, ctx.tsMillis)
+      case _ => ()
+    }
 
   // 04_syslog_pri_ecs.conf:11-30
   private def e04SyslogPriEcs(ev: Event, d: Dicts, ctx: Ctx): Unit =
@@ -273,10 +287,10 @@ object Enrich {
     lcWalk(ev.root, lowercaseTrie)
 
   // 08_add_hash.conf:11-16 — md5(message) → [event][hash]
-  private def e08Hash(ev: Event, d: Dicts, ctx: Ctx): Unit =
-    ev.getString("message").foreach { m =>
-      ev.set("[event][hash]", graft.util.Md5.hex(m))
-    }
+  private def e08Hash(ev: Event, d: Dicts, ctx: Ctx): Unit = {
+    val m = ev.stringAtParts(pMessage)
+    if (m != null) ev.setParts(pEventHash, graft.util.Md5.hex(m))
+  }
 
   // 10_user_agent_enrichment.conf:8-25 — UA parse via grok (not the
   // useragent plugin), 'compatible' device fixup, failure-field cleanup
@@ -304,41 +318,52 @@ object Enrich {
     }
   }
 
-  // 12_related_user.conf idiom — collect user identifiers, dedup
-  private val userFields = Vector("[user][name]", "[user][email]")
-  private def e12RelatedUser(ev: Event, d: Dicts, ctx: Ctx): Unit = {
-    userFields.foreach { f =>
-      val v = ev.stringOrNull(f)
-      if (v != null) ev.mergeInto("[related][user]", v)
+  // Shared related.* collector: gather present scalar values into the
+  // target (mergeInto promotion semantics), then first-occurrence dedup in
+  // place — same result as Mutate.dedupArray without the per-event set
+  // allocation (these arrays are 0–4 elements).
+  private def relatedStep(ev: Event, sources: Array[Seq[String]], target: Seq[String]): Unit = {
+    var i = 0
+    while (i < sources.length) {
+      val v = ev.stringAtParts(sources(i))
+      if (v != null) ev.mergeIntoParts(target, v)
+      i += 1
     }
-    Mutate.dedupArray(ev, "[related][user]")
+    ev.partsOrNull(target) match {
+      case a: mutable.ArrayBuffer[Any @unchecked] if a.length > 1 =>
+        var x = 1
+        while (x < a.length) {
+          var j = 0; var dup = false
+          while (j < x && !dup) { if (a(j) == a(x)) dup = true else j += 1 }
+          if (dup) a.remove(x) else x += 1
+        }
+      case _ => ()
+    }
   }
 
+  // 12_related_user.conf idiom — collect user identifiers, dedup
+  private val userFields = Array("[user][name]", "[user][email]").map(Event.parsePath)
+  private val pRelatedUser = Event.parsePath("[related][user]")
+  private def e12RelatedUser(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    relatedStep(ev, userFields, pRelatedUser)
+
   // related.ip (14/16/19/20 family) — collect source/destination ips, dedup
-  private val ipFields = Vector("[source][ip]", "[destination][ip]")
-  private def e14RelatedIp(ev: Event, d: Dicts, ctx: Ctx): Unit = {
-    ipFields.foreach { f =>
-      val v = ev.stringOrNull(f)
-      if (v != null) ev.mergeInto("[related][ip]", v)
-    }
-    Mutate.dedupArray(ev, "[related][ip]")
-  }
+  private val ipFields = Array(pSourceIp, pDestinationIp)
+  private val pRelatedIp = Event.parsePath("[related][ip]")
+  private def e14RelatedIp(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    relatedStep(ev, ipFields, pRelatedIp)
 
   // 14_related_hash.conf:10-63 — collect hash identifiers across the ECS
   // hash field families (the subset emitted by ported technologies), dedup
-  private val hashSourceFields = Vector(
+  private val hashSourceFields = Array(
     "[dll][hash][md5]", "[file][hash][md5]", "[file][hash][sha1]",
     "[file][hash][sha256]", "[file][hash][sha512]", "[hash][sha1]",
     "[process][hash][md5]", "[process][hash][sha1]", "[process][hash][sha256]",
     "[process][parent][hash][md5]", "[user][hash]", "[source][user][hash]",
-    "[destination][user][hash]")
-  private def e14bRelatedHash(ev: Event, d: Dicts, ctx: Ctx): Unit = {
-    hashSourceFields.foreach { f =>
-      val v = ev.stringOrNull(f)
-      if (v != null) ev.mergeInto("[related][hash]", v)
-    }
-    Mutate.dedupArray(ev, "[related][hash]")
-  }
+    "[destination][user][hash]").map(Event.parsePath)
+  private val pRelatedHash = Event.parsePath("[related][hash]")
+  private def e14bRelatedHash(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    relatedStep(ev, hashSourceFields, pRelatedHash)
 
   // 15_standardize_mac.conf:13-18 — '-'→':' + lowercase
   private val macFields = Vector("[source][mac]", "[destination][mac]")
@@ -349,16 +374,12 @@ object Enrich {
 
   // 16_related_mac.conf:9-22 — collect mac identifiers (post-standardize:
   // 16 runs after 15 in the lexical chain), dedup
-  private val macSourceFields = Vector(
+  private val macSourceFields = Array(
     "[host][mac]", "[client][mac]", "[destination][mac]", "[observer][mac]",
-    "[server][mac]", "[source][mac]", "[network][mac]")
-  private def e16RelatedMac(ev: Event, d: Dicts, ctx: Ctx): Unit = {
-    macSourceFields.foreach { f =>
-      val v = ev.stringOrNull(f)
-      if (v != null) ev.mergeInto("[related][mac]", v)
-    }
-    Mutate.dedupArray(ev, "[related][mac]")
-  }
+    "[server][mac]", "[source][mac]", "[network][mac]").map(Event.parsePath)
+  private val pRelatedMac = Event.parsePath("[related][mac]")
+  private def e16RelatedMac(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    relatedStep(ev, macSourceFields, pRelatedMac)
 
   // 18_host_split.conf — split "name.domain" / "a.b.c.d.domain" composites:
   // ip-prefixed values keep the ip and move the rest to the paired domain
@@ -380,7 +401,7 @@ object Enrich {
     }
     (true, i)
   }
-  private val hostSplitTargets = Vector(
+  private val hostSplitTargets: Array[(Seq[String], Seq[String])] = Array(
     ("[client][address]", "[client][domain]"),
     ("[server][address]", "[server][domain]"),
     ("[source][address]", "[source][domain]"),
@@ -388,18 +409,21 @@ object Enrich {
     ("[log][source][hostname]", null),
     ("[destination][address]", "[destination][domain]"),
     ("[observer][hostname]", null))
+    .map { case (f, domF) =>
+      (Event.parsePath(f), if (domF == null) null else Event.parsePath(domF))
+    }
   private def e18HostSplit(ev: Event, d: Dicts, ctx: Ctx): Unit =
     hostSplitTargets.foreach { case (f, domF) =>
-      val v = ev.stringOrNull(f)
+      val v = ev.stringAtParts(f)
       if (v != null && v.indexOf('.') >= 0) {
         val (ipPrefixed, after) = isIpPrefixed(v)
         if (ipPrefixed && after < v.length && v.charAt(after) == '.') {
-          ev.set(f, v.substring(0, after)) // ip kept, rest is the domain
-          if (domF != null) ev.set(domF, v.substring(after + 1))
+          ev.setParts(f, v.substring(0, after)) // ip kept, rest is the domain
+          if (domF != null) ev.setParts(domF, v.substring(after + 1))
         } else if (domF != null && !(ipPrefixed && after == v.length)) {
           val dot = v.indexOf('.') // FQDN: name before first dot, domain after
-          ev.set(f, v.substring(0, dot))
-          ev.set(domF, v.substring(dot + 1))
+          ev.setParts(f, v.substring(0, dot))
+          ev.setParts(domF, v.substring(dot + 1))
         }
       }
     }
@@ -412,79 +436,104 @@ object Enrich {
   // unresolved; array = resolve the first TWO unique ips and prune entries
   // still equal to an ip (:40-46,65-77 ruby idioms). The resolved FQDN then
   // flows through 18_host_split downstream (name.domain split).
-  private val dnsFamilies = Vector(
+  private val dnsFamilies = Array(
     ("[client][ip]", "[client][address]"),
     ("[host][ip]", "[host][hostname]"),
     ("[server][ip]", "[server][address]"),
     ("[source][ip]", "[source][address]"),
     ("[destination][ip]", "[destination][address]"),
     ("[observer][ip]", "[observer][hostname]"))
+    .map { case (a, b) => (Event.parsePath(a), Event.parsePath(b)) }
   private def e17Dns(ev: Event, d: Dicts, ctx: Ctx): Unit = {
     dnsFamilies.foreach { case (ipF, tgtF) =>
-      if (!ev.has(tgtF)) ev.valueOrNull(ipF) match {
+      val present = ev.partsOrNull(tgtF) match { // has() truthiness
+        case null | false => false
+        case _ => true
+      }
+      if (!present) ev.partsOrNull(ipF) match {
         case ip: String =>
           // copy → resolve → remove-if-unchanged collapses to set-on-hit
-          d.ptr.get(ip).foreach(h => ev.set(tgtF, h))
+          d.ptr.get(ip).foreach(h => ev.setParts(tgtF, h))
         case a: mutable.ArrayBuffer[Any @unchecked] =>
           val uniq2 = a.iterator.collect { case s: String => s }
             .distinct.take(2).toVector
           val hits = uniq2.flatMap(ip => d.ptr.get(ip)) // unresolved pruned (:65-77)
-          if (hits.nonEmpty) ev.set(tgtF, mutable.ArrayBuffer[Any](hits: _*))
+          if (hits.nonEmpty) ev.setParts(tgtF, mutable.ArrayBuffer[Any](hits: _*))
         case _ => ()
       }
     }
     // public/private tagging (ref :977-995)
-    ev.getString("[source][ip]").foreach(ip =>
-      ev.addTag(if (Net.isPrivate(ip)) "source_ip_private" else "source_ip_public"))
-    ev.getString("[destination][ip]").foreach(ip =>
-      ev.addTag(if (Net.isPrivate(ip)) "destination_ip_private" else "destination_ip_public"))
+    val sIp = ev.stringAtParts(pSourceIp)
+    if (sIp != null)
+      ev.addTag(if (Net.isPrivate(sIp)) "source_ip_private" else "source_ip_public")
+    val dIp = ev.stringAtParts(pDestinationIp)
+    if (dIp != null)
+      ev.addTag(if (Net.isPrivate(dIp)) "destination_ip_private" else "destination_ip_public")
   }
 
   // related.hosts (the 18/19/20 family companion to related.ip/user):
   // collect host-name-ish identifiers, dedup
-  private val hostFields = Vector("[host][name]", "[destination][domain]", "[url][domain]")
-  private def e20RelatedHosts(ev: Event, d: Dicts, ctx: Ctx): Unit = {
-    hostFields.foreach { f =>
-      val v = ev.stringOrNull(f)
-      if (v != null) ev.mergeInto("[related][hosts]", v)
-    }
-    Mutate.dedupArray(ev, "[related][hosts]")
-  }
+  private val hostFields = Array("[host][name]", "[destination][domain]",
+    "[url][domain]").map(Event.parsePath)
+  private val pRelatedHosts = Event.parsePath("[related][hosts]")
+  private def e20RelatedHosts(ev: Event, d: Dicts, ctx: Ctx): Unit =
+    relatedStep(ev, hostFields, pRelatedHosts)
 
   // 90_lookup_iana_protocol.conf — transport from iana number (:10-19);
   // protocol from port/transport or port-only dict (:21-47)
+  private val pIanaNumber = Event.parsePath("[network][iana_number]")
+  private val pNetTransport = Event.parsePath("[network][transport]")
+  private val pNetProtocol = Event.parsePath("[network][protocol]")
+  private val pDestinationPort = Event.parsePath("[destination][port]")
+  private def truthyAt(ev: Event, parts: Seq[String]): Boolean =
+    ev.partsOrNull(parts) match { // has() truthiness
+      case null | false => false
+      case _ => true
+    }
   private def e90Iana(ev: Event, d: Dicts, ctx: Ctx): Unit = {
-    if (ev.has("[network][iana_number]") && !ev.has("[network][transport]"))
-      ev.getString("[network][iana_number]").flatMap(d.ianaTransport.get)
-        .foreach(t => ev.set("[network][transport]", t))
-    if (!ev.has("[network][protocol]") && ev.has("[destination][port]")) {
-      val port = ev.getString("[destination][port]").getOrElse("")
-      val proto = ev.getString("[network][transport]") match {
-        case Some(t) => d.ianaProtocols.get(s"$port/$t")
-        case None => d.ianaProtocolsPort.get(port)
+    if (truthyAt(ev, pIanaNumber) && !truthyAt(ev, pNetTransport)) {
+      val n = ev.stringAtParts(pIanaNumber)
+      if (n != null) d.ianaTransport.get(n)
+        .foreach(t => ev.setParts(pNetTransport, t))
+    }
+    if (!truthyAt(ev, pNetProtocol) && truthyAt(ev, pDestinationPort)) {
+      val port = ev.stringAtParts(pDestinationPort) match {
+        case null => ""
+        case p => p
       }
-      proto.foreach(p => ev.set("[network][protocol]", p))
+      val proto = ev.stringAtParts(pNetTransport) match {
+        case null => d.ianaProtocolsPort.get(port)
+        case t => d.ianaProtocols.get(s"$port/$t")
+      }
+      proto.foreach(p => ev.setParts(pNetProtocol, p))
     }
   }
 
   // 91_geoip.conf — cidr private tags (:10-15) + geo range lookup (:20-36);
   // private ips get the "private database" (country 'internal')
-  private val geoTargets = Vector(
-    ("[destination][ip]", "dip", "[destination][geo]"),
-    ("[source][ip]", "sip", "[source][geo]"))
+  private final case class GeoTarget(ip: Seq[String], privTag: String,
+    pubTag: String, country: Seq[String], city: Seq[String])
+  private val geoTargets = Array(
+    GeoTarget(pDestinationIp, "dip_private", "dip_public",
+      Event.parsePath("[destination][geo][country_iso_code]"),
+      Event.parsePath("[destination][geo][city_name]")),
+    GeoTarget(pSourceIp, "sip_private", "sip_public",
+      Event.parsePath("[source][geo][country_iso_code]"),
+      Event.parsePath("[source][geo][city_name]")))
   private def e91CidrGeo(ev: Event, d: Dicts, ctx: Ctx): Unit = {
-    geoTargets.foreach { case (f, pfx, geoF) =>
-      ev.getString(f).foreach { ip =>
+    geoTargets.foreach { t =>
+      val ip = ev.stringAtParts(t.ip)
+      if (ip != null) {
         if (Net.isPrivate(ip)) {
-          ev.addTag(s"${pfx}_private")
-          ev.set(s"$geoF[country_iso_code]", "internal")
+          ev.addTag(t.privTag)
+          ev.setParts(t.country, "internal")
         } else {
-          ev.addTag(s"${pfx}_public")
+          ev.addTag(t.pubTag)
           val ipl = Net.ipv4ToLong(ip)
           if (ipl >= 0) Dicts.geoLookup(d.geoRanges, ipl) match {
             case Some(g) =>
-              ev.set(s"$geoF[country_iso_code]", g.country)
-              ev.set(s"$geoF[city_name]", g.city)
+              ev.setParts(t.country, g.country)
+              ev.setParts(t.city, g.city)
             case None => ev.addTag("_geoip_lookup_failure")
           }
         }

@@ -133,9 +133,12 @@ final class Event {
 
   /** Append to a field, promoting scalar→array (mutate.merge idiom,
     * ref: config/enrichments/12_related_user.conf:17-26). */
-  def mergeInto(path: String, value: Any): Unit = {
-    valueOrNull(path) match {
-      case null => set(path, value)
+  def mergeInto(path: String, value: Any): Unit =
+    mergeIntoParts(Event.parsePath(path), value)
+
+  def mergeIntoParts(parts: Seq[String], value: Any): Unit = {
+    partsOrNull(parts) match {
+      case null => setParts(parts, value)
       case a: mutable.ArrayBuffer[Any @unchecked] =>
         value match {
           case vs: mutable.ArrayBuffer[Any @unchecked] => a ++= vs
@@ -147,7 +150,7 @@ final class Event {
           case vs: mutable.ArrayBuffer[Any @unchecked] => a ++= vs
           case v => a += v
         }
-        set(path, a)
+        setParts(parts, a)
     }
   }
 
