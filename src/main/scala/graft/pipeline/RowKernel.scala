@@ -113,15 +113,28 @@ object RowKernel {
     }
   }
 
-  /** Ordinal mask for a column subset (always includes the 13 context
+  /** Count of always-populated context columns at the head of the flatten
+    * put order (conv_id..route_outputs). Shared by maskFor and asserted at
+    * the point in flatten where the Event-derived section begins, so a
+    * later context-column insertion cannot silently misalign the mask. */
+  val numContextCols = 13
+
+  /** Ordinal mask for a column subset (always includes the context
     * columns — they are populated unconditionally). */
   def maskFor(cols: Seq[String]): Array[Boolean] = {
     val m = new Array[Boolean](numFields)
     var i = 0
-    while (i < 13) { m(i) = true; i += 1 }
+    while (i < numContextCols) { m(i) = true; i += 1 }
     cols.foreach(c => m(schema.fieldIndex(c)) = true)
     m
   }
+
+  /** Pre-parsed path per flatten ordinal — the path probed at ordinal `i`
+    * is the same on every call (flatten's put order is fixed), so the
+    * parse-once cache can be a flat array instead of the global
+    * concurrent map (~180 concurrent-map gets per event otherwise).
+    * Filled idempotently on first use; benign under races. */
+  private val ordinalPaths = new Array[Seq[String]](numFields)
 
   /** Counts-only 5-column schema (see Engine.parseCardinality). */
   val countSchema: org.apache.spark.sql.types.StructType = {
@@ -197,19 +210,24 @@ object RowKernel {
     // `on` gates every Event-derived column on the lazy-flatten mask: an
     // unselected ordinal skips its map walk and UTF8String copy (null slot)
     def on: Boolean = mask == null || mask(i)
+    def pathAt(p: String): Seq[String] = {
+      var parts = ordinalPaths(i)
+      if (parts == null) { parts = graft.model.Event.parsePath(p); ordinalPaths(i) = parts }
+      parts
+    }
     def s(p: String): Unit = {
       if (on) {
-        val x = ev.stringOrNull(p)
+        val x = ev.stringAtParts(pathAt(p))
         put(if (x == null) null else UTF8String.fromString(x))
       } else put(null)
     }
-    def l(p: String): Unit = put(if (!on) null else ev.valueOrNull(p) match {
+    def l(p: String): Unit = put(if (!on) null else ev.partsOrNull(pathAt(p)) match {
       case x: Long => x
       case x: String => x.toLongOption match { case Some(n) => n; case None => null }
       case x: Double => x.toLong
       case _ => null
     })
-    def arr(p: String): Unit = put(if (!on) emptyArray else ev.valueOrNull(p) match {
+    def arr(p: String): Unit = put(if (!on) emptyArray else ev.partsOrNull(pathAt(p)) match {
       case a: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
         val b = Array.newBuilder[Any]
         b.sizeHint(a.length)
@@ -249,6 +267,7 @@ object RowKernel {
     }
     put(tech.routeIndexU8(tsMillis))  // route_index
     put(tech.routeOutputs)            // route_outputs (shared immutable constant)
+    assert(i == numContextCols, s"context section is $i cols, maskFor assumes $numContextCols")
     s("message")
     s("[log][original]")
     s("[event][module]")

@@ -194,7 +194,14 @@ object Sink {
     * prefix template re-adds the date as folders), and the s3 plugin's
     * size/time `rotation_strategy` maps to `maxRecordsPerFile` (each rolled
     * file is an independently-readable .json.gz, exactly like a rotated
-    * upload part). Rows are the ones routed to the "s3" output. */
+    * upload part). Rows are the ones routed to the "s3" output.
+    *
+    * Documented deviation: the reference's `%{+xxxx/MM/dd}` is a Joda
+    * WEEK-BASED year rendered in UTC, while `year(ts)` is the calendar year
+    * in the session timezone — the y= folder differs for events in the
+    * ISO-week-year boundary days (circa Dec 29–Jan 3) and under non-UTC
+    * sessions (this pipeline pins spark.sql.session.timeZone=UTC, so only
+    * the boundary-days case applies here). File CONTENTS are unaffected. */
   def writeS3JsonLines(spark: SparkSession, parsed: DataFrame, dir: String,
                        maxRecordsPerFile: Int = 1000000): Unit =
     parsed
