@@ -874,6 +874,24 @@ px AS (
         col("event_created_ms"), col("log_syslog_facility_code"),
         col("log_syslog_severity_code"), col("route_index"))),
 
+    // sap.onapsis: heartbeat conditional ('hearbeat' typo), incident JSON
+    // (alarm collector overrides ruleset, [source][adress] typo arm,
+    // 5-format GMT date list), else-branch mega-grok (top-level captures)
+    "qon01_onapsis" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.onpInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("rule_category"), col("event_type"),
+        col("network_protocol"), col("user_name"), col("source_ip"),
+        col("destination_ip"), col("destination_address"),
+        col("destination_domain"),
+        col("rule_ruleset"), col("rule_description"), col("rule_name"),
+        col("process_name"), col("event_original"),
+        col("user_agent_original"), col("destination_user_name"),
+        col("event_id_s"), col("event_severity"), col("source_port"),
+        col("event_created_ms"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -3345,6 +3363,56 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   'logs-accellion.sft_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM ac_turns t JOIN ac_base b USING (event_id)
 WHERE b.ksel <> 0""",
+
+    // parse_rule is NEVER set by the conf (every row 'not parsed');
+    // heartbeat rows fail the downstream dissect/grok (parse_ok 0) but keep
+    // the 'hearbeat' category (the reference's drop{} is commented out);
+    // k2's alarm collector overrides [rule][ruleset] with an ARRAY (flattens
+    // NULL via the string getter); k3's hostname src lands on the [source]
+    // [adress] typo (unobservable) and its hostname erp_host is migrated
+    // ip->address by enrichment 02 then lowercased; k5's mega-grok captures
+    // are TOP-LEVEL underscore fields - no ECS column sees them
+    "qon01_onapsis" ->
+      s"""WITH ${Transcripts.onpCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.ksel IN (0, 1) THEN 0 ELSE 1 END AS parse_ok_i,
+  'sap.onapsis' AS technology, 'not parsed' AS parse_rule,
+  'sap' AS event_module, 'sap.onapsis' AS event_dataset,
+  CASE b.ksel WHEN 0 THEN 'hearbeat' WHEN 1 THEN 'hearbeat'
+    WHEN 2 THEN 'audit/access success' WHEN 3 THEN 'audit/other'
+    WHEN 4 THEN 'others' ELSE NULL END AS rule_category,
+  CASE b.ksel WHEN 2 THEN 'userlogin' WHEN 3 THEN 'systemchangeglobalsettingupdate'
+    WHEN 4 THEN 'passwordchange' ELSE NULL END AS event_type,
+  CASE b.ksel WHEN 2 THEN 'https' WHEN 3 THEN 'rfc'
+    WHEN 4 THEN 'sapgui' ELSE NULL END AS network_protocol,
+  CASE WHEN b.ksel IN (2, 3, 4) THEN 'sapu' || b.u5 ELSE NULL END AS user_name,
+  CASE WHEN b.ksel IN (2, 4) THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel IN (2, 4) THEN b.dip ELSE NULL END AS destination_ip,
+  CASE WHEN b.ksel = 3 THEN 'erp' || b.eid_s ELSE NULL END AS destination_address,
+  CASE WHEN b.ksel = 3 THEN 'corp.example' ELSE NULL END AS destination_domain,
+  CASE b.ksel WHEN 3 THEN 'false' WHEN 4 THEN 'true' ELSE NULL END AS rule_ruleset,
+  CASE b.ksel WHEN 2 THEN 'brute force attempt' WHEN 3 THEN 'global setting changed'
+    WHEN 4 THEN 'password changed' ELSE NULL END AS rule_description,
+  CASE b.ksel WHEN 2 THEN 'inc' || b.eid_s WHEN 3 THEN 'cfg' || b.eid_s
+    WHEN 4 THEN 'aud' || b.eid_s ELSE NULL END AS rule_name,
+  CASE b.ksel WHEN 2 THEN 'attack' WHEN 3 THEN 'config change'
+    WHEN 4 THEN 'audit' ELSE NULL END AS process_name,
+  CASE WHEN b.ksel IN (2, 3, 4) THEN 'Detail ' || b.eid_s ELSE NULL END AS event_original,
+  CASE b.ksel WHEN 2 THEN 'Dialog' WHEN 3 THEN 'Batch'
+    WHEN 4 THEN 'Dialog' ELSE NULL END AS user_agent_original,
+  CASE WHEN b.ksel IN (2, 3, 4) THEN 'admin' || b.u5 ELSE NULL END AS destination_user_name,
+  CASE WHEN b.ksel IN (2, 3, 4) THEN 'ev' || b.eid_s ELSE NULL END AS event_id_s,
+  CASE b.ksel WHEN 2 THEN CAST(5 AS BIGINT) WHEN 3 THEN CAST(3 AS BIGINT)
+    WHEN 4 THEN CAST(7 AS BIGINT) ELSE NULL END AS event_severity,
+  CASE b.ksel WHEN 2 THEN CAST(51234 AS BIGINT) WHEN 3 THEN CAST(8443 AS BIGINT)
+    WHEN 4 THEN CAST(50000 AS BIGINT) ELSE NULL END AS source_port,
+  CASE WHEN b.ksel IN (2, 4) THEN epoch_ms(date_trunc('second', t.ts))
+    WHEN b.ksel = 3 THEN epoch_ms(date_trunc('second', t.ts)) + (b.event_id % 1000)
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-sap.onapsis_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM onp_turns t JOIN onp_base b USING (event_id)""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

@@ -4252,6 +4252,68 @@ ac_turns AS (
     spark.sql(s"WITH $acCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ac_turns")
   }
 
+  /** sap.onapsis — heartbeat conditional (commented-out drop), incident JSON
+    * with alarm-profile ruby collector, ISO/millis/second erp_time date list,
+    * and the else-branch mega-grok (syslog_security_sap.onapsis.conf).
+    * ksel 0/1 heartbeat variants, 2-4 JSON incidents, 5 kv-style grok. */
+  val onpCte: String = s"""
+onp_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 77) AS INT) % 6 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    ${spSecOf("ts")} AS d1,
+    REPLACE(${spSecOf("ts")}, ' ', 'T') AS iso1,
+    LPAD(CAST(event_id % 1000 AS STRING), 3, '0') AS ms3,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip,
+    '10.9.' || CAST(event_id % 250 AS STRING) || '.' || CAST(1 + (user_id % 254) AS STRING) AS dip
+  FROM events WHERE (event_id % 77) = 13
+),
+onp_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN d1 || ' {name=hb} {"event_id": "HeartBeat", "status": "ok"}'
+      WHEN 1 THEN 'keepalive ok from onapsis sensor ' || eid_s
+      WHEN 2 THEN d1 || ' {name=onapsis} {"incident_type": "Attack", "event_type": "UserLogin", "protocol": "HTTPS", "event_id": "EV' || eid_s
+        || '", "username": "SAPU' || u5 || '", "erp_time": "' || d1 || '", "incident_detail": "Detail ' || eid_s
+        || '", "success": "True", "sid": "PRD", "reason": "Brute Force Attempt", "source_port": 51234, "user_type": "Dialog", "system_type": "ABAP", "asset_name": "sap-prd' || u5
+        || '", "incident_name": "INC' || eid_s || '", "client": "100", "sev": 5, "modified": "Admin' || u5
+        || '", "src": "' || sip || '", "erp_host": "' || dip
+        || '", "alarm_profile_matches": [{"alarm_name": "Alarm' || u5 || '"}, {"alarm_name": ""}]}'
+      WHEN 3 THEN d1 || ' {name=onapsis} {"incident_type": "Config Change", "event_type": "SystemChangeGlobalSettingUpdate", "protocol": "RFC", "event_id": "EV' || eid_s
+        || '", "username": "SAPU' || u5 || '", "erp_time": "' || d1 || '.' || ms3 || '", "incident_detail": "Detail ' || eid_s
+        || '", "success": "False", "sid": "PRD", "reason": "Global Setting Changed", "source_port": 8443, "user_type": "Batch", "system_type": "ABAP", "asset_name": "sap-prd' || u5
+        || '", "incident_name": "CFG' || eid_s || '", "client": "200", "sev": 3, "modified": "Admin' || u5
+        || '", "src": "SAPHOST' || eid_s || '", "erp_host": "ERP' || eid_s
+        || '.corp.example", "alarm_profile_matches": []}'
+      WHEN 4 THEN d1 || ' {name=onapsis} {"incident_type": "Audit", "event_type": "PasswordChange", "protocol": "SAPGUI", "event_id": "EV' || eid_s
+        || '", "username": "SAPU' || u5 || '", "erp_time": "' || iso1 || '", "incident_detail": "Detail ' || eid_s
+        || '", "success": "True", "sid": "QAS", "reason": "Password Changed", "source_port": 50000, "user_type": "Dialog", "system_type": "JAVA", "asset_name": "sap-qas' || u5
+        || '", "incident_name": "AUD' || eid_s || '", "client": "100", "sev": 7, "modified": "Admin' || u5
+        || '", "src": "' || sip || '", "erp_host": "' || dip
+        || '", "alarm_profile_matches": [{"alarm_name": ""}]}'
+      ELSE d1 || ' {name=onapsis} dst=' || dip || ' erpHost=erp' || eid_s
+        || ' eventType=UserLogin incidentDetail=detail incidentName=INC protocol=HTTPS reason=matched sourcePort=5123 success=True systemType=ABAP terminalSource=term' || eid_s
+        || ' usrName=sapu' || u5 || ' userType=Dialog alarmProfileMatches=[{"alarm_name": "Alarm1", "alarm_id": 1}] eventId=EV' || eid_s
+    END AS rest
+  FROM onp_base
+),
+onp_turns AS (
+  SELECT 'onp_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || rest AS text,
+    'sap.onapsis' AS tool, ts, event_id
+  FROM onp_body
+)"""
+
+  def onpInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $onpCte SELECT conv_id, turn_idx, role, text, tool, ts FROM onp_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

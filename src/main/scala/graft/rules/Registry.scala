@@ -267,6 +267,8 @@ object Registry {
       "logs-cisco.stealthwatch", Vector("elastic"), Set.empty, "medium"),
     "accellion.sft" -> TechnologyConfig("accellion.sft",
       "logs-accellion.sft", Vector("elastic"), Set.empty, "low"),
+    "sap.onapsis" -> TechnologyConfig("sap.onapsis",
+      "logs-sap.onapsis", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -655,6 +657,7 @@ object Registry {
     "cisco.apic" -> CiscoApicRules.apic,
     "cisco.stealthwatch" -> StealthwatchRules.stealthwatch,
     "accellion.sft" -> AccellionRules.sft,
+    "sap.onapsis" -> SapOnapsisRules.onapsis,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

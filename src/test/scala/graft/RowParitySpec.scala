@@ -80,7 +80,7 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("spectracom", Transcripts.ntpInput), ("sdwanos", Transcripts.vosInput),
       ("a10waf", Transcripts.awInput), ("ciscorouter", Transcripts.crInput),
       ("ciscoapic", Transcripts.caInput), ("stealthwatch", Transcripts.swtInput),
-      ("accellion", Transcripts.acInput))
+      ("accellion", Transcripts.acInput), ("onapsis", Transcripts.onpInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
