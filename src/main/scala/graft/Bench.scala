@@ -274,6 +274,14 @@ object Bench {
     val (kTput8, kTput32) = kPairs.maxBy(p => p._1 + p._2)
     val kEff = math.min(1.0, (kTput32 / kTput8) / 4.0)
 
+    // Per-step enrichment attribution (round-5 verdict item 8): a
+    // single-thread measured pass over the kernel sample, reported beside
+    // the sf1 leg so the wide path's dominant cost is decomposed without
+    // polluting any timed Spark leg (instrumentation stays off the
+    // production chain).
+    val enrichSteps: Vector[(String, Double)] =
+      ProfileEnrich.stepSeconds(sampleTurns.take(48000), graft.enrich.Dicts.build())
+
     // ANN quality: recall of the IVF approximate top-k vs exact brute force
     val exact = graft.ml.Similarity.bruteTopK(spark, sfDir)
       .select("query_id", "neighbor_id")
@@ -323,8 +331,9 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val cs = components.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val es = enrichSteps.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"components":$cs,"sf":"$sfDir","turns":$n32,"turns_per_sec_2":$tput2%.0f,"turns_per_sec_8":$tput8%.0f,"turns_per_sec_32":$tput32%.0f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff832%.3f,"narrow_turns_per_sec_8":$nTput8%.0f,"narrow_turns_per_sec_32":$nTput32%.0f,"narrow_scaling_efficiency_8_32":$nEff832%.3f,"lazy_turns_per_sec_8":$lzTput8%.0f,"lazy_turns_per_sec_32":$lzTput32%.0f,"lazy_scaling_efficiency_8_32":$lzEff832%.3f,"kernel_turns_per_sec_8":$kTput8%.0f,"kernel_turns_per_sec_32":$kTput32%.0f,"kernel_scaling_efficiency_8_32":$kEff%.3f,"sf1_turns":$sf1Turns,"sf1_turns_per_sec_32":$sf1Tput%.0f,"sf1_peak_heap_mb":$sf1PeakMb,"ann_recall":$recall%.3f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"components":$cs,"sf":"$sfDir","turns":$n32,"turns_per_sec_2":$tput2%.0f,"turns_per_sec_8":$tput8%.0f,"turns_per_sec_32":$tput32%.0f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff832%.3f,"narrow_turns_per_sec_8":$nTput8%.0f,"narrow_turns_per_sec_32":$nTput32%.0f,"narrow_scaling_efficiency_8_32":$nEff832%.3f,"lazy_turns_per_sec_8":$lzTput8%.0f,"lazy_turns_per_sec_32":$lzTput32%.0f,"lazy_scaling_efficiency_8_32":$lzEff832%.3f,"kernel_turns_per_sec_8":$kTput8%.0f,"kernel_turns_per_sec_32":$kTput32%.0f,"kernel_scaling_efficiency_8_32":$kEff%.3f,"sf1_turns":$sf1Turns,"sf1_turns_per_sec_32":$sf1Tput%.0f,"sf1_peak_heap_mb":$sf1PeakMb,"enrich_steps":$es,"ann_recall":$recall%.3f}""")
   }
 }

@@ -14,6 +14,68 @@ import graft.rules.{Dropped, Parsed, ParseCtx}
   */
 object ProfileEnrich {
 
+  /** Parse preamble shared by the profiler passes: exactly what
+    * `Engine.processTurn` does before the enrichment chain. */
+  private def parseTurn(t: Turn, dicts: Dicts): (graft.rules.TechnologyConfig, graft.rules.ParseOutcome, Enrich.Ctx) = {
+    val (cfg, program) = Engine.techOf(t.tool)
+    val tsMillis = t.ts.getTime
+    val tsYear = java.time.Instant.ofEpochMilli(tsMillis)
+      .atZone(java.time.ZoneOffset.UTC).getYear
+    val ctx = ParseCtx(tsMillis, tsYear)
+    graft.rules.RuleDicts.set(dicts)
+    val ev = new Event
+    ev.set("message", if (t.text == null) "" else t.text)
+    if (cfg.jsonCodec) graft.parse.JsonOps.parse(ev, "message", "")
+    ev.valueOrNull("host") match {
+      case null => ()
+      case _: Event.FMap => ()
+      case hostScalar => ev.set("[agent][name]", Event.deepCopy(hostScalar))
+    }
+    (cfg, program(ev, ctx), Enrich.Ctx(tsMillis, tsYear))
+  }
+
+  /** One warm + one measured pass: parse each turn, stamp the reference's
+    * disable tags, then run every enrichment step under a per-step timer.
+    * Returns ("enrich_parse" -> sec) followed by each chain step in
+    * descending cost. Bench emits this next to the sf1 leg as the
+    * component-level enrich attribution (round-5 verdict item 8). */
+  def stepSeconds(turns: Array[Turn], dicts: Dicts): Vector[(String, Double)] = {
+    val steps = Enrich.chain
+    val stepNanos = new Array[Long](steps.length)
+    var parseNanos = 0L
+    def pass(measure: Boolean): Unit = {
+      var ti = 0
+      while (ti < turns.length) {
+        val t = turns(ti)
+        val p0 = System.nanoTime()
+        val (cfg, outcome, ectx) = parseTurn(t, dicts)
+        if (measure) parseNanos += System.nanoTime() - p0
+        outcome match {
+          case Dropped => ()
+          case Parsed(events) =>
+            events.foreach { e =>
+              cfg.disabledEnrichments.foreach(n => e.addTag(s"disable_${n}_enrichment"))
+              if (measure) {
+                var si = 0
+                while (si < steps.length) {
+                  val n0 = System.nanoTime()
+                  steps(si)._2(e, dicts, ectx)
+                  stepNanos(si) += System.nanoTime() - n0
+                  si += 1
+                }
+              } else steps.foreach(_._2(e, dicts, ectx))
+            }
+        }
+        ti += 1
+      }
+    }
+    pass(measure = false)
+    pass(measure = true)
+    ("enrich_parse" -> parseNanos / 1e9) +:
+      steps.indices.sortBy(i => -stepNanos(i))
+        .map(i => steps(i)._1 -> stepNanos(i) / 1e9).toVector
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
