@@ -892,6 +892,25 @@ px AS (
         col("event_created_ms"), col("log_syslog_facility_code"),
         col("log_syslog_severity_code"), col("route_index"))),
 
+    // symantec.dlp: 3-token syslog-date dissect, CR-separated kv body, the
+    // N\/A rename-guard literal, the no-ip scrub, url-case copy split
+    "qsd01_dlp" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.sdlInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("rule_ruleset"), col("rule_name"),
+        col("rule_description"), col("event_severity_name"),
+        col("event_action"), col("network_protocol"), col("event_id_s"),
+        col("file_name"), col("file_path"), col("file_target_path"),
+        col("url_full"), col("rule_reference"), col("email_subject"),
+        col("source_user_email"), col("destination_user_email"),
+        col("user_email"), col("source_user_name"), col("user_name"),
+        col("source_ip"), col("destination_address"),
+        col("destination_domain"), col("host_hostname"), col("host_domain"),
+        col("host_name"), col("host_id"), col("observer_hostname"),
+        col("event_created_ms"), col("log_syslog_facility_code"),
+        col("log_syslog_severity_code"), col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -3413,6 +3432,63 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
   CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
   'logs-sap.onapsis_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM onp_turns t JOIN onp_base b USING (event_id)""",
+
+    // module/dataset NEVER set by this conf (both NULL); parse_rule only on
+    // the no-ip row; MONITOR_NAME/RULES renames OVERWRITE the dissect's CEF
+    // captures (k3 has no RULES -> the CEF capture survives); the FNAME
+    // guard compares against the literal N\/A so a real 'N/A' renames
+    // anyway (k1) — but enrichment 94's invalid-value scrub then deletes
+    // the 'n/a' leaf, so k1's file_name still flattens NULL; the literal
+    // payload suppresses both arms (k3);
+    // rule_reference is copied from url BEFORE the e07 lowercase and is not
+    // on the 681-path list -> keeps original case; host_split cuts the FQDN
+    // hostname/destination.address while the earlier host.name copy keeps it
+    "qsd01_dlp" ->
+      s"""WITH ${Transcripts.sdlCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'symantec.dlp' AS technology,
+  CASE WHEN b.ksel = 1 THEN 'rule 1(no ip)' ELSE 'not parsed' END AS parse_rule,
+  CAST(NULL AS STRING) AS event_module, CAST(NULL AS STRING) AS event_dataset,
+  CASE b.ksel WHEN 0 THEN 'endpoint prevent' WHEN 1 THEN 'network email'
+    WHEN 2 THEN 'cloud gateway' ELSE 'endpoint discover' END AS rule_ruleset,
+  CASE b.ksel WHEN 0 THEN 'credit card rule' WHEN 1 THEN 'keyword match'
+    WHEN 2 THEN 'code fingerprint' ELSE 'cefrule' || b.u5 END AS rule_name,
+  CASE b.ksel WHEN 0 THEN 'pci policy' WHEN 1 THEN 'confidential policy'
+    WHEN 2 THEN 'source code policy' ELSE NULL END AS rule_description,
+  CASE b.ksel WHEN 0 THEN 'high' WHEN 1 THEN 'medium'
+    WHEN 2 THEN 'low' ELSE 'info' END AS event_severity_name,
+  CASE b.ksel WHEN 0 THEN 'blocked' WHEN 2 THEN 'allowed' ELSE NULL END AS event_action,
+  CASE b.ksel WHEN 0 THEN 'https' WHEN 2 THEN 'ftp' ELSE NULL END AS network_protocol,
+  CASE b.ksel WHEN 0 THEN '7' WHEN 1 THEN '8' WHEN 2 THEN '9' ELSE '6' END
+    || b.eid_s AS event_id_s,
+  CASE b.ksel WHEN 0 THEN 'secret_' || b.eid_s || '.xlsx'
+    WHEN 2 THEN 'report-' || b.eid_s || '.pdf' ELSE NULL END AS file_name,
+  CASE WHEN b.ksel = 0 THEN 'c:/users/u' || b.u5 || '/documents' ELSE NULL END AS file_path,
+  CASE WHEN b.ksel = 3 THEN '/mnt/usb/out.dat' ELSE NULL END AS file_target_path,
+  CASE WHEN b.ksel = 2 THEN 'https://files.corp.example/share/' || b.eid_s
+    ELSE NULL END AS url_full,
+  CASE WHEN b.ksel = 2 THEN 'https://Files.Corp.Example/share/' || b.eid_s
+    ELSE NULL END AS rule_reference,
+  CASE WHEN b.ksel = 1 THEN 'quarterly report ' || b.eid_s ELSE NULL END AS email_subject,
+  CASE WHEN b.ksel = 1 THEN 'u' || b.u5 || '@corp.example' ELSE NULL END AS source_user_email,
+  CASE WHEN b.ksel = 1 THEN 'r' || b.u5 || '@partner.example' ELSE NULL END AS destination_user_email,
+  CASE WHEN b.ksel = 2 THEN 'owner' || b.u5 || '@corp.example' ELSE NULL END AS user_email,
+  CASE WHEN b.ksel = 2 THEN 'svc' || b.u5 ELSE NULL END AS source_user_name,
+  CASE WHEN b.ksel IN (0, 3) THEN 'user' || b.u5 ELSE NULL END AS user_name,
+  CASE WHEN b.ksel IN (0, 2) THEN b.sip ELSE NULL END AS source_ip,
+  CASE WHEN b.ksel = 2 THEN 'share' || b.eid_s ELSE NULL END AS destination_address,
+  CASE WHEN b.ksel = 2 THEN 'corp.example' ELSE NULL END AS destination_domain,
+  CASE WHEN b.ksel IN (0, 3) THEN 'wks' || b.eid_s ELSE NULL END AS host_hostname,
+  CASE WHEN b.ksel = 0 THEN 'corp.example' ELSE NULL END AS host_domain,
+  CASE b.ksel WHEN 0 THEN 'wks' || b.eid_s || '.corp.example'
+    WHEN 3 THEN 'wks' || b.eid_s ELSE NULL END AS host_name,
+  CASE WHEN b.ksel = 2 THEN 'dev-' || b.eid_s ELSE NULL END AS host_id,
+  'dlp-mgr' || CAST(b.user_id % 3 AS STRING) AS observer_hostname,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-symantec.dlp_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM sdl_turns t JOIN sdl_base b USING (event_id)""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

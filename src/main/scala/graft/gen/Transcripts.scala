@@ -4314,6 +4314,83 @@ onp_turns AS (
     spark.sql(s"WITH $onpCte SELECT conv_id, turn_idx, role, text, tool, ts FROM onp_turns")
   }
 
+  /** symantec.dlp — 3-token year-less syslog date dissect, 8-pipe CEF split,
+    * kv over the CR-separated incident body (syslog_security_symantec.dlp
+    * .conf). The CRs mirror the real transport: TCP syslog frames split on
+    * LF, each payload line keeps the CR of its CRLF, so the kv's
+    * `field_split => "\r\n"` sees CRs. ksel 0 endpoint/blocked (FQDN
+    * machine), 1 the `N/A`-FNAME + no-ip + `null null` scrub row, 2 cloud/
+    * email shapes (URL case split: rule.reference keeps original case),
+    * 3 the literal `N\/A` FNAME that suppresses BOTH rename arms. */
+  val sdlCte: String = s"""
+sdl_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 78) AS INT) % 4 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    $monCase AS mon,
+    CASE WHEN EXTRACT(DAY FROM ts) < 10 THEN ' ' || CAST(EXTRACT(DAY FROM ts) AS STRING)
+         ELSE CAST(EXTRACT(DAY FROM ts) AS STRING) END AS dd2,
+    ${hmsOf("ts")} AS hms,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(1 + (event_id % 254) AS STRING) AS sip
+  FROM events WHERE (event_id % 78) = 17
+),
+sdl_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN 'INCIDENT_ID=7' || eid_s || chr(13) || 'MONITOR_NAME=Endpoint Prevent'
+        || chr(13) || 'POLICY=PCI Policy' || chr(13) || 'RULES=Credit Card Rule'
+        || chr(13) || 'SEVERITY=High' || chr(13) || 'BLOCKED=Blocked'
+        || chr(13) || 'PROTOCOL=HTTPS' || chr(13) || 'FNAME=Secret_' || eid_s || '.xlsx'
+        || chr(13) || 'PATH=C:/Users/u' || u5 || '/Documents'
+        || chr(13) || 'MACHINE_IP=' || sip
+        || chr(13) || 'ENDPOINT_MACHINE=WKS' || eid_s || '.corp.example'
+        || chr(13) || 'ENDPOINT_USERNAME=User' || u5
+      WHEN 1 THEN 'INCIDENT_ID=8' || eid_s || chr(13) || 'MONITOR_NAME=Network Email'
+        || chr(13) || 'POLICY=Confidential Policy' || chr(13) || 'RULES=Keyword Match'
+        || chr(13) || 'SEVERITY=Medium' || chr(13) || 'FNAME=N/A'
+        || chr(13) || 'MACHINE_IP=N/A' || chr(13) || 'DESTINATION_ADDRESS=null null'
+        || chr(13) || 'SUBJECT=Quarterly Report ' || eid_s
+        || chr(13) || 'SENDER=U' || u5 || '@corp.example'
+        || chr(13) || 'RECIPIENT=R' || u5 || '@partner.example'
+      WHEN 2 THEN 'INCIDENT_ID=9' || eid_s || chr(13) || 'MONITOR_NAME=Cloud Gateway'
+        || chr(13) || 'POLICY=Source Code Policy' || chr(13) || 'RULES=Code Fingerprint'
+        || chr(13) || 'SEVERITY=Low' || chr(13) || 'BLOCKED=Allowed'
+        || chr(13) || 'PROTOCOL=FTP' || chr(13) || 'FILE_NAME=Report-' || eid_s || '.pdf'
+        || chr(13) || 'URL=https://Files.Corp.Example/share/' || eid_s
+        || chr(13) || 'DESTINATION_ADDRESS=share' || eid_s || '.corp.example'
+        || chr(13) || 'MACHINE_IP=' || sip
+        || chr(13) || 'ENDPOINT_DEVICE_ID=DEV-' || eid_s
+        || chr(13) || 'APPLICATION_USER=Svc' || u5
+        || chr(13) || 'DATAOWNER_NAME=Owner ' || u5
+        || chr(13) || 'DATAOWNER_EMAIL=Owner' || u5 || '@corp.example'
+      ELSE 'INCIDENT_ID=6' || eid_s || chr(13) || 'MONITOR_NAME=Endpoint Discover'
+        || chr(13) || 'SEVERITY=INFO' || chr(13) || 'FNAME=N' || chr(92) || '/A'
+        || chr(13) || 'FILE_NAME=Other.txt' || chr(13) || 'TARGET=/mnt/usb/out.dat'
+        || chr(13) || 'ENDPOINT_MACHINE=WKS' || eid_s
+        || chr(13) || 'ENDPOINT_USERNAME=User' || u5
+    END AS kvdata
+  FROM sdl_base
+),
+sdl_turns AS (
+  SELECT 'sdl_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || mon || ' ' || dd2 || ' ' || hms
+      || ' dlp-mgr' || CAST(user_id % 3 AS STRING)
+      || ' SymantecDLP: CEF:0|Symantec|Data Loss Prevention|15.7|CEFSET' || u5
+      || '|CEFRULE' || u5 || '|' || CAST(ksel AS STRING) || '|' || kvdata AS text,
+    'symantec.dlp' AS tool, ts, event_id
+  FROM sdl_body
+)"""
+
+  def sdlInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $sdlCte SELECT conv_id, turn_idx, role, text, tool, ts FROM sdl_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

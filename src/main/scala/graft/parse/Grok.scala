@@ -191,7 +191,14 @@ object Grok {
       pos += 1
     }
     val indexed = groups.iterator.map { case (g, path) => (nameToIndex(g), path) }.toArray
-    CompiledGrok(Pattern.compile(finalPattern), indexed)
+    // UNIX_LINES: Oniguruma (Logstash's regex engine) treats ONLY \n as a
+    // line terminator — `.` crosses a bare \r. Java's default terminator set
+    // also includes \r/\r\n, which would truncate `(?<actual_msg>.*$)`-style
+    // captures at the first CR. Multi-line payloads framed over TCP syslog
+    // keep the \r of each CRLF (the frame splits on \n), so CR-separated
+    // bodies are the NORM for kv-over-"\r\n" processors
+    // (ref: syslog_security_symantec.dlp.conf:27-33).
+    CompiledGrok(Pattern.compile(finalPattern, Pattern.UNIX_LINES), indexed)
   }
 
   /** First-match-wins over a pattern list; failure appends tag(s).

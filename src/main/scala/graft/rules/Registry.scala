@@ -269,6 +269,8 @@ object Registry {
       "logs-accellion.sft", Vector("elastic"), Set.empty, "low"),
     "sap.onapsis" -> TechnologyConfig("sap.onapsis",
       "logs-sap.onapsis", Vector("elastic"), Set.empty, "low"),
+    "symantec.dlp" -> TechnologyConfig("symantec.dlp",
+      "logs-symantec.dlp", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -658,6 +660,7 @@ object Registry {
     "cisco.stealthwatch" -> StealthwatchRules.stealthwatch,
     "accellion.sft" -> AccellionRules.sft,
     "sap.onapsis" -> SapOnapsisRules.onapsis,
+    "symantec.dlp" -> SymantecDlpRules.dlp,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

@@ -80,7 +80,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("spectracom", Transcripts.ntpInput), ("sdwanos", Transcripts.vosInput),
       ("a10waf", Transcripts.awInput), ("ciscorouter", Transcripts.crInput),
       ("ciscoapic", Transcripts.caInput), ("stealthwatch", Transcripts.swtInput),
-      ("accellion", Transcripts.acInput), ("onapsis", Transcripts.onpInput))
+      ("accellion", Transcripts.acInput), ("onapsis", Transcripts.onpInput),
+      ("symantecdlp", Transcripts.sdlInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
