@@ -911,6 +911,34 @@ px AS (
         col("event_created_ms"), col("log_syslog_facility_code"),
         col("log_syslog_severity_code"), col("route_index"))),
 
+    // cisco.aci: SYSTEM_MSG bracket grok, alert/event kind, error-code
+    // translate with fallback rebuild, hostname-derived network/service
+    "qaci01_aci" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.aciInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("event_kind"), col("event_action"),
+        col("event_category"), col("event_type"), col("error_code"),
+        col("error_message"), col("error_type"), col("event_reason"),
+        col("event_recommendation"), col("event_severity"),
+        col("log_level"), col("host_hostname"), col("network_name"),
+        col("service_type"), col("observer_hostname"),
+        col("log_syslog_severity_code"), col("log_syslog_facility_code"),
+        col("log_syslog_facility_name"), col("event_created_ms"),
+        col("route_index"))),
+
+    // cisco.wireless.control.system: colon-ladder dissects, optional
+    // leading-MAC grok, 10-arm rule.name category cascade
+    "qwl01_wlc" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.wlcInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"),
+        col("technology"), col("parse_rule"), col("event_module"),
+        col("event_dataset"), col("event_id_s"), col("rule_name"),
+        col("rule_description"), col("rule_category"), col("host_mac"),
+        col("source_address"), col("event_created_ms"),
+        col("log_syslog_facility_code"), col("log_syslog_severity_code"),
+        col("route_index"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -3489,6 +3517,90 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
   'logs-symantec.dlp_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM sdl_turns t JOIN sdl_base b USING (event_id)""",
+
+    // event_category / event_type / observer_hostname are NULL on every row
+    // (three dead limbs in the conf — see CiscoAciRules scaladoc); syslog
+    // codes are pri-derived (e04 clobbers the message-text renames); the
+    // grok-failure row (k3) KEEPS its sprintf literals: e94's scrub regex
+    // ^%{[a-z-_.]+}$ (94_remove_empty_n_truncate.conf:87) rejects brackets,
+    // so bracketed refs survive to the output (its [event][severity] literal
+    // still dies to the e02 long coercion)
+    "qaci01_aci" ->
+      s"""WITH ${Transcripts.aciCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.ksel = 3 THEN 0 ELSE 1 END AS parse_ok_i,
+  'cisco.aci' AS technology, 'not parsed' AS parse_rule,
+  'cisco' AS event_module, 'cisco.aci' AS event_dataset,
+  CASE WHEN b.ksel IN (1, 3) THEN 'event' ELSE 'alert' END AS event_kind,
+  CASE b.ksel WHEN 0 THEN 'raised' WHEN 2 THEN 'cleared'
+    WHEN 4 THEN 'soakingclearing' ELSE NULL END AS event_action,
+  CAST(NULL AS STRING) AS event_category, CAST(NULL AS STRING) AS event_type,
+  CASE b.ksel WHEN 0 THEN 'f0103' WHEN 1 THEN 'e4204936' WHEN 2 THEN 'f9999'
+    WHEN 4 THEN 'f110331' ELSE NULL END AS error_code,
+  CASE b.ksel
+    WHEN 0 THEN 'fan speed below threshold on node ' || b.eid_s
+    WHEN 1 THEN 'config change committed by admin' || b.u5
+    WHEN 2 THEN 'psu restored ' || b.eid_s
+    WHEN 4 THEN lower(b.syslogts) || ' %log_auth-3-system_msg: login failed for user admin' || b.u5
+    ELSE NULL END AS error_message,
+  CASE b.ksel WHEN 0 THEN 'environmental' WHEN 1 THEN 'config'
+    WHEN 2 THEN 'not_found_alert_type' WHEN 4 THEN 'not_found_alert_type'
+    ELSE '%{[[tmp][error_translation][type]]}' END AS error_type,
+  CASE b.ksel WHEN 0 THEN 'fan tray fault has been raised'
+    WHEN 1 THEN 'controller configuration was modified'
+    WHEN 2 THEN 'fltpsu' WHEN 4 THEN 'fltethpm'
+    ELSE '%{[[tmp][error_translation][explanation]]}' END AS event_reason,
+  CASE b.ksel WHEN 0 THEN 'reseat or replace the fan tray'
+    WHEN 1 THEN 'review the audit log entry'
+    WHEN 2 THEN 'not_found_recommendation' WHEN 4 THEN 'not_found_recommendation'
+    ELSE '%{[[tmp][error_translation][remediation]]}' END AS event_recommendation,
+  CASE b.ksel WHEN 0 THEN CAST(3 AS BIGINT) WHEN 1 THEN CAST(5 AS BIGINT)
+    WHEN 2 THEN CAST(b.event_id % 7 AS BIGINT)
+    WHEN 4 THEN CAST(b.event_id % 7 AS BIGINT) ELSE NULL END AS event_severity,
+  CASE b.ksel WHEN 0 THEN 'major' WHEN 1 THEN 'info' WHEN 2 THEN 'minor'
+    WHEN 4 THEN 'warning' ELSE NULL END AS log_level,
+  CASE WHEN b.ksel = 3 THEN NULL ELSE 'aci-leaf' || b.nodeid END AS host_hostname,
+  CASE WHEN b.ksel = 3 THEN '%{[[host][hostname]]}' ELSE 'aci-leaf' END AS network_name,
+  CASE WHEN b.ksel = 3 THEN '%{[[host][hostname]]}' ELSE 'leaf' || b.nodeid END AS service_type,
+  CAST(NULL AS STRING) AS observer_hostname,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  'local' || CAST(b.event_id % 8 AS STRING) AS log_syslog_facility_name,
+  epoch_ms(t.ts) AS event_created_ms,
+  'logs-cisco.aci_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM aci_turns t JOIN aci_base b USING (event_id)""",
+
+    // RULE 1 rows stack 'rule 1,rule 1(b),rule N' (the 1(a) arm guards on a
+    // field nothing sets — dead); event.created is removed without a date
+    // parse, so created_ms is e03's ingest default everywhere; the MAC grok
+    // captures only a description-LEADING mac (k1)
+    "qwl01_wlc" ->
+      s"""WITH ${Transcripts.wlcCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'cisco.wireless.controller' AS technology,
+  CASE b.ksel WHEN 0 THEN 'rule 1,rule 1(b),rule 6'
+    WHEN 1 THEN 'rule 1,rule 1(b),rule 7'
+    WHEN 2 THEN 'rule 1,rule 1(b),rule 4'
+    ELSE 'rule 2,rule 11' END AS parse_rule,
+  'cisco' AS event_module, 'cisco.wireless.controller' AS event_dataset,
+  CASE WHEN b.ksel = 3 THEN NULL ELSE b.wlchost END AS event_id_s,
+  CASE b.ksel WHEN 0 THEN 'apf-3-auth_admin_user' WHEN 1 THEN 'mm-5-reboot_info'
+    WHEN 2 THEN 'dot1x-3-entry_changed' ELSE NULL END AS rule_name,
+  CASE b.ksel
+    WHEN 0 THEN 'authentication succeeded for admin user' || b.u5
+    WHEN 1 THEN lower(b.mac) || ' reboot after crash ' || b.eid_s
+    WHEN 2 THEN 'entry changed for client ' || b.eid_s
+    ELSE 'station deauthenticated ' || b.eid_s END AS rule_description,
+  CASE b.ksel WHEN 0 THEN 'audit/authentication success'
+    WHEN 1 THEN 'audit/configuration' WHEN 2 THEN 'audit/access success'
+    ELSE 'ops/information' END AS rule_category,
+  CASE WHEN b.ksel = 1 THEN lower(b.mac) ELSE NULL END AS host_mac,
+  CASE WHEN b.ksel = 3 THEN b.wlchost ELSE NULL END AS source_address,
+  epoch_ms(t.ts) AS event_created_ms,
+  CAST(16 + (b.event_id % 8) AS BIGINT) AS log_syslog_facility_code,
+  CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
+  'logs-cisco.wireless.controller_' || strftime(t.ts, '%Y.%m.%d') AS route_index
+FROM wlc_turns t JOIN wlc_base b USING (event_id)""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

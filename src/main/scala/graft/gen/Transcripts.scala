@@ -4386,6 +4386,101 @@ sdl_turns AS (
   FROM sdl_body
 )"""
 
+  /** cisco.aci — SYSTEM_MSG body grok with the optional lifecycle bracket
+    * (syslog_audit_cisco.aci.conf). ksel 0 found-code fault, 1 found-code
+    * 4-bracket event, 2 not-found fault, 3 body-grok failure (unresolved
+    * sprintf templates → e94 scrub), 4 not-found alert whose error_message
+    * is a nexus-style inner syslog and whose dn is literally `sys` — the
+    * conf's `"[sys]" in [tmp][rule]` nexus branch still cannot fire (the
+    * det_severity WORD group always claims the `[sys]` bracket first). */
+  val aciCte: String = s"""
+aci_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 80) AS INT) % 5 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    CAST(event_id % 7 AS STRING) AS msev,
+    CAST(100 + (event_id % 50) AS STRING) AS nodeid,
+    $monCase || ' ' || CAST(EXTRACT(DAY FROM ts) AS STRING) || ' ' || ${hmsOf("ts")} AS syslogts
+  FROM events WHERE (event_id % 80) = 21
+),
+aci_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN syslogts || ' aci-leaf' || nodeid || ' %LOG_LOCAL7-' || msev
+        || '-SYSTEM_MSG [F0103][raised][fltFan][major][topology/pod-1/node-' || eid_s
+        || '] Fan speed below threshold on node ' || eid_s
+      WHEN 1 THEN syslogts || ' aci-leaf' || nodeid || ' %LOG_LOCAL7-' || msev
+        || '-SYSTEM_MSG [E4204936][evtCfg][info][uni/tn-common] Config change committed by admin' || u5
+      WHEN 2 THEN syslogts || ' aci-leaf' || nodeid || ' %LOG_LOCAL7-' || msev
+        || '-SYSTEM_MSG [F9999][cleared][fltPsu][minor][topology/pod-2/node-' || eid_s
+        || '] PSU restored ' || eid_s
+      WHEN 3 THEN 'apic login session opened for user admin' || u5
+      ELSE syslogts || ' aci-leaf' || nodeid || ' %LOG_LOCAL7-' || msev
+        || '-SYSTEM_MSG [F110331][soakingclearing][fltEthpm][warning][sys] ' || syslogts
+        || ' %LOG_AUTH-3-SYSTEM_MSG: login failed for user admin' || u5
+    END AS rest
+  FROM aci_base
+),
+aci_turns AS (
+  SELECT 'aci_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || rest AS text,
+    'cisco.aci' AS tool, ts, event_id
+  FROM aci_body
+)"""
+
+  def aciInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $aciCte SELECT conv_id, turn_idx, role, text, tool, ts FROM aci_turns")
+  }
+
+  /** cisco.wireless.control.system — `host: ts: %CODE: desc` ladder
+    * (syslog_audit_cisco.wireless.control.system.conf). ksel 0 RULE 6
+    * auth-success, 1 RULE 7 reboot with a leading MAC in the description,
+    * 2 RULE 4 entry-changed, 3 the colon-less RULE 2 → RULE 11 arm. */
+  val wlcCte: String = s"""
+wlc_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 82) AS INT) % 4 AS ksel,
+    8 * (16 + (event_id % 8)) + (event_id % 5) AS pri,
+    'wlc-ctrl' || CAST(user_id % 4 AS STRING) AS wlchost,
+    $monCase || ' ' || CAST(EXTRACT(DAY FROM ts) AS STRING) || ' ' || ${hmsOf("ts")}
+      || '.' || LPAD(CAST(event_id % 1000 AS STRING), 3, '0') AS wts,
+    '00:1A:2B:3C:4D:' || LPAD(CAST(event_id % 100 AS STRING), 2, '0') AS mac
+  FROM events WHERE (event_id % 82) = 19
+),
+wlc_body AS (
+  SELECT *,
+    CASE ksel
+      WHEN 0 THEN wlchost || ': ' || wts
+        || ': %APF-3-AUTH_ADMIN_USER: Authentication succeeded for admin user' || u5
+      WHEN 1 THEN wlchost || ': ' || wts || ': %MM-5-REBOOT_INFO: ' || mac
+        || ' reboot after crash ' || eid_s
+      WHEN 2 THEN wlchost || ': ' || wts
+        || ': %DOT1X-3-ENTRY_CHANGED: Entry changed for client ' || eid_s
+      ELSE wlchost || ': apfMsConnTask: Station deauthenticated ' || eid_s
+    END AS rest
+  FROM wlc_base
+),
+wlc_turns AS (
+  SELECT 'wlc_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<' || CAST(pri AS STRING) || '>' || rest AS text,
+    'cisco.wireless.controller' AS tool, ts, event_id
+  FROM wlc_body
+)"""
+
+  def wlcInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $wlcCte SELECT conv_id, turn_idx, role, text, tool, ts FROM wlc_turns")
+  }
+
   def sdlInput(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
     spark.sql(s"WITH $sdlCte SELECT conv_id, turn_idx, role, text, tool, ts FROM sdl_turns")

@@ -271,6 +271,10 @@ object Registry {
       "logs-sap.onapsis", Vector("elastic"), Set.empty, "low"),
     "symantec.dlp" -> TechnologyConfig("symantec.dlp",
       "logs-symantec.dlp", Vector("elastic"), Set.empty, "low"),
+    "cisco.aci" -> TechnologyConfig("cisco.aci",
+      "logs-cisco.aci", Vector("elastic"), Set.empty, "medium"),
+    "cisco.wireless.controller" -> TechnologyConfig("cisco.wireless.controller",
+      "logs-cisco.wireless.controller", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -661,6 +665,8 @@ object Registry {
     "accellion.sft" -> AccellionRules.sft,
     "sap.onapsis" -> SapOnapsisRules.onapsis,
     "symantec.dlp" -> SymantecDlpRules.dlp,
+    "cisco.aci" -> CiscoAciRules.aci,
+    "cisco.wireless.controller" -> CiscoWlcRules.wlc,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

@@ -81,7 +81,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("a10waf", Transcripts.awInput), ("ciscorouter", Transcripts.crInput),
       ("ciscoapic", Transcripts.caInput), ("stealthwatch", Transcripts.swtInput),
       ("accellion", Transcripts.acInput), ("onapsis", Transcripts.onpInput),
-      ("symantecdlp", Transcripts.sdlInput))
+      ("symantecdlp", Transcripts.sdlInput), ("ciscoaci", Transcripts.aciInput),
+      ("ciscowlc", Transcripts.wlcInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
