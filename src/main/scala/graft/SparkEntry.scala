@@ -939,6 +939,86 @@ px AS (
         col("log_syslog_facility_code"), col("log_syslog_severity_code"),
         col("route_index"))),
 
+    // azure.eventhub.atp: records[] split, dataset-overwrite quirk, both
+    // source-ip renames, SHA1/SHA256 parent mis-mapping, lowercase
+    // versioninfo last-wins pairs, four per-clone ISO dates
+    "qeh10_atp" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.eatInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("agent_name"), col("log_source_hostname"), col("event_module"),
+        col("event_dataset"), col("route_index"), col("event_created_ms"),
+        col("event_ingested_ms"), col("cloud_account_id"),
+        col("event_action"), col("event_outcome"), col("event_original"),
+        col("container_id"), col("cloud_instance_id"),
+        col("cloud_instance_name"), col("file_name"), col("source_ip"),
+        col("http_request_referrer"), col("url_full"), col("file_size"),
+        col("file_path"), col("user_domain"), col("user_name"),
+        col("process_command_line"), col("process_start_ms"),
+        col("process_name"), col("process_pid"), col("process_hash_md5"),
+        col("process_parent_start_ms"), col("process_parent_name"),
+        col("process_parent_pid"), col("process_parent_hash_sha1"),
+        col("process_parent_hash_sha256"),
+        when(size(col("file_hash_md5")) > 0,
+          concat_ws(",", col("file_hash_md5"))).as("fh_md5"),
+        when(size(col("file_hash_sha1")) > 0,
+          concat_ws(",", col("file_hash_sha1"))).as("fh_sha1"),
+        when(size(col("file_hash_sha256")) > 0,
+          concat_ws(",", col("file_hash_sha256"))).as("fh_sha256"),
+        col("rule_id"), col("source_user_domain"), col("source_user_id"),
+        col("alarm_id"), col("network_protocol"), col("source_port"),
+        col("process_pe_company"), col("process_pe_description"),
+        col("process_pe_file_version"),
+        col("process_pe_original_file_name"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // azure.eventhub.security: space-stripping gsub, json_encode message,
+    // envelope [tmp] riding every split clone, FileHashes entity ruby
+    "qeh11_seccenter" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ehcInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("agent_name"), col("log_source_hostname"), col("event_module"),
+        col("event_dataset"), col("route_index"), col("event_created_ms"),
+        col("message"), col("rule_name"), col("event_category"),
+        col("event_severity_name"), col("event_recommendation"),
+        col("rule_version"), col("event_reference"), col("event_type"),
+        col("error_code"), col("event_action"), col("log_level"),
+        col("rule_description"), col("source_ip"), col("rule_category"),
+        col("host_geo_name"), col("event_start_ms"), col("host_os_version"),
+        col("event_duration"), col("event_id_s"),
+        col("threat_tactic_name"), col("event_url"),
+        when(size(col("file_hash_md5")) > 0,
+          concat_ws(",", col("file_hash_md5"))).as("fh_md5"),
+        when(size(col("file_hash_sha1")) > 0,
+          concat_ws(",", col("file_hash_sha1"))).as("fh_sha1"),
+        when(size(col("file_hash_sha256")) > 0,
+          concat_ws(",", col("file_hash_sha256"))).as("fh_sha256"),
+        when(size(col("file_hash_sha512")) > 0,
+          concat_ws(",", col("file_hash_sha512"))).as("fh_sha512"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // azure.graph_data: \' gsub pre-parse, name-clobbers-start,
+    // fileStates list overwrite, hostStates fan-out, dead ip probes
+    "qgr01_graphsec" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.graInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("sub_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("cloud_provider"), col("log_source_hostname"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_start_ms"),
+        col("event_end_ms"), col("event_modified_ms"),
+        col("rule_category"), col("event_risk_score_norm"),
+        col("rule_description"), col("event_id_s"),
+        col("event_severity_name"), col("rule_reference"),
+        col("event_kind"), col("source_as_organization_name"),
+        col("client_as_organization_name"), col("observer_vendor"),
+        col("user_domain"), col("user_email"), col("event_type"),
+        col("host_geo_location"), col("file_path"),
+        when(size(col("file_hash_md5")) > 0,
+          concat_ws(",", col("file_hash_md5"))).as("fh_md5"),
+        when(size(col("file_hash_sha256")) > 0,
+          concat_ws(",", col("file_hash_sha256"))).as("fh_sha256"),
+        col("host_hostname"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -3601,6 +3681,190 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   CAST(b.event_id % 5 AS BIGINT) AS log_syslog_severity_code,
   'logs-cisco.wireless.controller_' || strftime(t.ts, '%Y.%m.%d') AS route_index
 FROM wlc_turns t JOIN wlc_base b USING (event_id)""",
+
+    // azure.eventhub.atp: record rows (esel 0 two records a/b, esel 1 one
+    // record with failed Timestamp + lowercase versioninfo) + bare rows
+    // (esel 2 — unresolved hostname literal, stamped dataset survives)
+    "qeh10_atp" ->
+      s"""WITH ${Transcripts.eatCte},
+sfx(sfx, sub_idx) AS (VALUES ('', 0), ('b', 1)),
+rec AS (
+  SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, x.sub_idx AS sub_idx,
+    1 AS parse_ok_i, 'rule 1' AS parse_rule, 'azure.eventhub' AS agent_name,
+    LOWER(b.tnt) AS log_source_hostname, 'azure' AS event_module,
+    'advancedhunting-fileevents' || x.sfx AS event_dataset,
+    'logs-azure.eventhub.atp_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+    CASE WHEN b.esel = 1 THEN epoch_ms(t.ts)
+      ELSE epoch_ms(date_trunc('second', t.ts)) END AS event_created_ms,
+    epoch_ms(date_trunc('second', t.ts)) AS event_ingested_ms,
+    LOWER(b.tnt) AS cloud_account_id, 'advanced hunting' AS event_action,
+    'filecreated' AS event_outcome,
+    'AF ' || b.eid_s || x.sfx AS event_original,
+    'cont' || b.eid_s || x.sfx AS container_id,
+    'dev' || CAST(b.event_id % 400 AS VARCHAR) AS cloud_instance_id,
+    'host' || CAST(b.user_id % 20 AS VARCHAR) || '.corp.example' AS cloud_instance_name,
+    'payload' || b.eid_s || x.sfx || '.exe' AS file_name,
+    b.sip AS source_ip,
+    'https://ref.example/r/' || b.eid_s AS http_request_referrer,
+    'https://dl.example/f/' || b.eid_s AS url_full,
+    CAST(b.event_id % 100000 AS BIGINT) AS file_size,
+    '/tmp/dl' || b.u5 AS file_path,
+    'corp' || b.u5 AS user_domain, 'user' || b.u5 AS user_name,
+    'powershell -enc abc' || b.eid_s AS process_command_line,
+    epoch_ms(date_trunc('second', t.ts)) AS process_start_ms,
+    'powershell.exe' AS process_name,
+    CAST(b.event_id % 30000 AS BIGINT) AS process_pid,
+    md5('pm' || b.eid_s) AS process_hash_md5,
+    epoch_ms(date_trunc('second', t.ts)) AS process_parent_start_ms,
+    'explorer.exe' AS process_parent_name,
+    CAST(b.event_id % 20000 AS BIGINT) AS process_parent_pid,
+    md5('s1' || b.eid_s) AS process_parent_hash_sha1,
+    md5('s2' || b.eid_s) AS process_parent_hash_sha256,
+    md5('fm' || b.eid_s) AS fh_md5, md5('f1' || b.eid_s) AS fh_sha1,
+    md5('f2' || b.eid_s) AS fh_sha256,
+    CAST(b.event_id % 100000 AS VARCHAR) AS rule_id,
+    'reqdom' || b.u5 AS source_user_domain,
+    'requser' || b.u5 AS source_user_id,
+    'S-1-5-21-' || b.eid_s AS alarm_id, 'smb' AS network_protocol,
+    CAST(30000 + (b.event_id % 20000) AS BIGINT) AS source_port,
+    CASE WHEN b.esel = 1 THEN 'microsoft corp' END AS process_pe_company,
+    CASE WHEN b.esel = 1 THEN 'file desc ' || b.eid_s END AS process_pe_description,
+    CASE WHEN b.esel = 1 THEN '10.0.' || b.eid_s END AS process_pe_file_version,
+    CASE WHEN b.esel = 1 THEN 'Original' || b.eid_s || '.EXE' END AS process_pe_original_file_name,
+    CASE WHEN b.esel = 1 THEN '_dateparsefailure_ec,sip_public,source_ip_public'
+      ELSE 'sip_public,source_ip_public' END AS tags_s
+  FROM eat_turns t JOIN eat_base b USING (event_id)
+  JOIN sfx x ON (b.esel = 0 OR x.sub_idx = 0) AND b.esel <> 2
+)
+SELECT * FROM rec
+UNION ALL
+SELECT t.conv_id, t.turn_idx, 0, 1, 'rule 1', 'azure.eventhub',
+  '%{[az][tenantid]}', 'azure', 'azure.eventhub.atp',
+  'logs-azure.eventhub.atp_' || strftime(t.ts, '%Y.%m.%d'),
+  epoch_ms(t.ts),
+  NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, -- ingested..source_ip
+  NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, -- referrer..process_pid
+  NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, -- process_hash_md5..rule_id
+  NULL, NULL, NULL, NULL, NULL,                               -- source_user_domain..source_port
+  NULL, NULL, NULL, NULL,                                     -- process_pe_*
+  ''
+FROM eat_turns t JOIN eat_base b USING (event_id) WHERE b.esel = 2""",
+
+    // azure.eventhub.security: whole-message space strip, json_encode'd
+    // per-record message, envelope Severity/Entities riding every clone
+    "qeh11_seccenter" ->
+      s"""WITH ${Transcripts.ehcCte},
+sfx(sfx, sub_idx) AS (VALUES ('', 0), ('b', 1)),
+rec AS (
+  SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, x.sub_idx AS sub_idx,
+    1 AS parse_ok_i, 'rule 1' AS parse_rule, 'azure.eventhub' AS agent_name,
+    'api_azure_eventhub_security' AS log_source_hostname,
+    'azure' AS event_module, 'azure.eventhub.security' AS event_dataset,
+    'logs-azure.eventhub.security_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+    epoch_ms(t.ts) AS event_created_ms,
+    '{"time":"' || LOWER(b.iso) || '","operationname":"securityassessment'
+      || b.eid_s || x.sfx || '","category":"recommendation","resulttype":"succeededaction"'
+      || ',"resultsignature":"sig' || b.eid_s || x.sfx || '","resultdescription":"desctext' || b.eid_s || '"'
+      || ',"calleripaddress":"' || b.sip || '","location":"eastus2","operationversion":"3.0"'
+      || ',"durationms":' || CAST(b.event_id % 5000 AS VARCHAR) || ',"level":"informational"'
+      || ',"properties":{"recommendationcategory":"computesecure","recommendationimpact":"high"'
+      || ',"recommendationname":"enablemfanow","recommendationschemaversion":"1.0"'
+      || ',"recommendationresourcelink":"https://portal.azure.com/r/' || b.eid_s || '"'
+      || ',"recommendationtype":"typea' || x.sfx || '"}}' AS message,
+    'securityassessment' || b.eid_s || x.sfx AS rule_name,
+    'computesecure' AS event_category,
+    CASE WHEN b.esel = 2 THEN 'low' ELSE 'high' END AS event_severity_name,
+    'enablemfanow' AS event_recommendation, '1.0' AS rule_version,
+    'https://Portal.Azure.Com/r/' || b.eid_s AS event_reference,
+    'typea' || x.sfx AS event_type, 'sig' || b.eid_s || x.sfx AS error_code,
+    'succeededaction' AS event_action, 'informational' AS log_level,
+    'desctext' || b.eid_s AS rule_description, b.sip AS source_ip,
+    'recommendation' AS rule_category, 'eastus2' AS host_geo_name,
+    epoch_ms(date_trunc('second', t.ts)) AS event_start_ms,
+    '3.0' AS host_os_version,
+    CAST(b.event_id % 5000 AS VARCHAR) AS event_duration,
+    CAST(NULL AS VARCHAR) AS event_id_s,
+    CAST(NULL AS VARCHAR) AS threat_tactic_name,
+    CAST(NULL AS VARCHAR) AS event_url,
+    CAST(NULL AS VARCHAR) AS fh_md5, CAST(NULL AS VARCHAR) AS fh_sha1,
+    CAST(NULL AS VARCHAR) AS fh_sha256,
+    CASE WHEN b.esel = 2 THEN md5('e5' || b.eid_s) END AS fh_sha512,
+    'sip_public,source_ip_public' AS tags_s
+  FROM ehc_turns t JOIN ehc_base b USING (event_id)
+  JOIN sfx x ON (b.esel = 0 OR x.sub_idx = 0) AND b.esel <> 1
+)
+SELECT * FROM rec
+UNION ALL
+SELECT t.conv_id, t.turn_idx, 0, 1, 'rule 1', 'azure.eventhub',
+  'api_azure_eventhub_security', 'azure', 'azure.eventhub.security',
+  'logs-azure.eventhub.security_' || strftime(t.ts, '%Y.%m.%d'),
+  epoch_ms(t.ts),
+  '{"severity":"high","systemalertid":"sa' || b.eid_s || '","intent":"initialaccess"'
+    || ',"alertdisplayname":"suspiciousprocesslaunch","description":"alertabout' || b.eid_s || '"'
+    || ',"alerturi":"https://portal.azure.com/alert/' || b.eid_s || '"'
+    || ',"entities":[{"type":"file","filehashes":[{"algorithm":"md5","value":"' || md5('e1' || b.eid_s)
+    || '"},{"algorithm":"sha256","value":"' || md5('e2' || b.eid_s)
+    || '"}]},{"type":"process","filehashes":[{"algorithm":"sha1","value":"' || md5('e3' || b.eid_s)
+    || '"},{"algorithm":"md5","value":"' || md5('e4' || b.eid_s)
+    || '"}]},{"type":"host"}]}',
+  'suspiciousprocesslaunch', NULL, 'high', NULL, NULL, NULL, NULL, NULL,
+  NULL, NULL, 'alertabout' || b.eid_s, NULL, NULL, NULL, NULL, NULL, NULL,
+  'sa' || b.eid_s, 'initialaccess',
+  'https://Portal.Azure.com/alert/' || b.eid_s,
+  md5('e1' || b.eid_s) || ',' || md5('e4' || b.eid_s),
+  md5('e3' || b.eid_s), md5('e2' || b.eid_s), NULL, ''
+FROM ehc_turns t JOIN ehc_base b USING (event_id) WHERE b.esel = 1""",
+
+    // azure.graph_data: gsel 0 full alert, 1 hostStates fan-out (2 rows,
+    // fileStates list nulls the scalar path), 2 name-clobbers-start +
+    // garbage createddatetime, 3 minimal (unresolved tenant literal)
+    "qgr01_graphsec" ->
+      s"""WITH ${Transcripts.graCte},
+hs(hn, sub_idx) AS (VALUES ('ws one ', 0), ('ws two ', 1)),
+alert AS (
+  SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, h.sub_idx AS sub_idx,
+    1 AS parse_ok_i, 'rule 1' AS parse_rule,
+    'azure ad svc' AS cloud_provider,
+    LOWER(b.tnt) AS log_source_hostname, 'azure' AS event_module,
+    'azure.graph_data' AS event_dataset,
+    'logs-azure.graph_data_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+    CASE WHEN b.gsel = 2 THEN epoch_ms(t.ts)
+      ELSE epoch_ms(date_trunc('second', t.ts)) END AS event_created_ms,
+    CASE WHEN b.gsel = 2 THEN NULL
+      ELSE epoch_ms(date_trunc('second', t.ts)) END AS event_start_ms,
+    CAST(NULL AS BIGINT) AS event_end_ms,
+    CAST(NULL AS BIGINT) AS event_modified_ms,
+    'credential access' AS rule_category,
+    CAST(b.event_id % 100 AS BIGINT) AS event_risk_score_norm,
+    'user' || chr(39) || 's file ' || b.eid_s || ' accessed' AS rule_description,
+    'al' || b.eid_s AS event_id_s, 'medium' AS event_severity_name,
+    'https://Graph.Example/alerts/' || b.eid_s AS rule_reference,
+    'malware detected' AS event_kind,
+    'ipc' AS source_as_organization_name,
+    'azure ad' AS client_as_organization_name,
+    'microsoft' AS observer_vendor,
+    'corp' || b.u5 || '.example' AS user_domain,
+    'u' || b.eid_s || '@corp.example' AS user_email,
+    'newalert' AS event_type, 'redmond wa' AS host_geo_location,
+    CASE WHEN b.gsel = 1 THEN NULL
+      ELSE '/tmp/doc ' || b.eid_s || '.txt' END AS file_path,
+    md5('g1' || b.eid_s) AS fh_md5, md5('g2' || b.eid_s) AS fh_sha256,
+    CASE WHEN b.gsel = 1 THEN h.hn || b.eid_s END AS host_hostname,
+    CASE WHEN b.gsel = 2
+      THEN '_dateparsefailure_ec,_dateparsefailure_ee,_dateparsefailure_es,_dateparsefailure_estart'
+      ELSE '_dateparsefailure_ee' END AS tags_s
+  FROM gra_turns t JOIN gra_base b USING (event_id)
+  JOIN hs h ON (b.gsel = 1 OR h.sub_idx = 0) AND b.gsel <> 3
+)
+SELECT * FROM alert
+UNION ALL
+SELECT t.conv_id, t.turn_idx, 0, 1, 'rule 1', 'azure',
+  '%{[az][azuretenantid]}', 'azure', 'azure.graph_data',
+  'logs-azure.graph_data_' || strftime(t.ts, '%Y.%m.%d'),
+  epoch_ms(t.ts), NULL, NULL, NULL, NULL, NULL, NULL,
+  'al' || b.eid_s, 'low', NULL, 'info alert', NULL, NULL, NULL, NULL,
+  NULL, NULL, NULL, NULL, NULL, NULL, NULL, ''
+FROM gra_turns t JOIN gra_base b USING (event_id) WHERE b.gsel = 3""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

@@ -4486,6 +4486,200 @@ wlc_turns AS (
     spark.sql(s"WITH $sdlCte SELECT conv_id, turn_idx, role, text, tool, ts FROM sdl_turns")
   }
 
+  /** azure.eventhub.atp — records[] envelope over AdvancedHunting-style
+    * CamelCase properties (event_hub_security_azure.event_hub_atp.conf).
+    * esel 0 two-record envelope (record b varies category/AdditionalFields/
+    * AppGuardContainerId/FileName), 1 one-record envelope with an
+    * unparseable Timestamp plus the LOWERCASE versioninfo keys (fires the
+    * :70-75 renames incl. both last-wins pairs), 2 bare object (no split →
+    * unresolved hostname literal, dataset stamp survives). */
+  // CONCAT (variadic, binds flat) rather than a `||` chain: DuckDB's
+  // binder recurses per `||` and this record alone would blow its
+  // 128-frame cap when the oracle replays the CTE.
+  private def eatRec(sfx: String, tsExpr: String = "iso"): String =
+    s"""CONCAT('{"time":"', iso, '","tenantId":"', tnt,
+      '","operationName":"Advanced Hunting","category":"AdvancedHunting-FileEvents$sfx"',
+      ',"properties":{"ActionType":"FileCreated","AdditionalFields":"AF ', eid_s, '$sfx"',
+      ',"AppGuardContainerId":"Cont', eid_s, '$sfx"',
+      ',"DeviceId":"dev', CAST(event_id % 400 AS STRING), '"',
+      ',"DeviceName":"Host', CAST(user_id % 20 AS STRING), '.corp.example"',
+      ',"FileName":"Payload', eid_s, '$sfx.EXE"',
+      ',"FileOriginIP":"9.', CAST(user_id % 200 AS STRING), '.', CAST(event_id % 250 AS STRING), '.25"',
+      ',"FileOriginReferrerUrl":"https://Ref.example/r/', eid_s, '"',
+      ',"FileOriginUrl":"https://Dl.example/f/', eid_s, '"',
+      ',"FileSize":', CAST(event_id % 100000 AS STRING),
+      ',"FolderPath":"/tmp/dl', u5, '"',
+      ',"InitiatingProcessAccountDomain":"CORP', u5, '"',
+      ',"InitiatingProcessAccountName":"User', u5, '"',
+      ',"InitiatingProcessCommandLine":"powershell -enc ABC', eid_s, '"',
+      ',"InitiatingProcessCreationTime":"', iso, '"',
+      ',"InitiatingProcessFileName":"Powershell.exe"',
+      ',"InitiatingProcessId":', CAST(event_id % 30000 AS STRING),
+      ',"InitiatingProcessMD5":"', MD5(CONCAT('pm', eid_s)), '"',
+      ',"InitiatingProcessParentCreationTime":"', iso, '"',
+      ',"InitiatingProcessParentFileName":"Explorer.exe"',
+      ',"InitiatingProcessParentId":', CAST(event_id % 20000 AS STRING),
+      ',"InitiatingProcessSHA1":"', MD5(CONCAT('s1', eid_s)), '"',
+      ',"InitiatingProcessSHA256":"', MD5(CONCAT('s2', eid_s)), '"',
+      ',"MD5":"', UPPER(MD5(CONCAT('fm', eid_s))), '"',
+      ',"ReportId":', CAST(event_id % 100000 AS STRING),
+      ',"RequestAccountDomain":"ReqDom', u5, '","RequestAccountName":"ReqUser', u5, '"',
+      ',"RequestAccountSid":"S-1-5-21-', eid_s, '"',
+      ',"RequestProtocol":"Smb","RequestSourceIP":"', sip, '"',
+      ',"RequestSourcePort":', CAST(30000 + (event_id % 20000) AS STRING),
+      ',"SHA1":"', MD5(CONCAT('f1', eid_s)), '","SHA256":"', MD5(CONCAT('f2', eid_s)), '"',
+      ',"Timestamp":"', $tsExpr, '"')"""
+
+  val eatCte: String = s"""
+eat_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    'Tnt' || CAST(user_id % 9 AS STRING) AS tnt,
+    CAST(FLOOR(event_id / 84.0) AS BIGINT) % 3 AS esel, -- quotient: the %84 filter pins event_id%3
+
+    $isoSec || 'Z' AS iso,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(14 + (event_id % 200) AS STRING) AS sip
+  FROM events WHERE (event_id % 84) = 11
+),
+eat_turns AS (
+  SELECT 'eat_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE esel
+      WHEN 2 THEN '{"tenantId":"' || tnt || '","operationName":"Bare"}'
+      WHEN 1 THEN '{"records": [' || ${eatRec("", "'notatime'")}
+        || ',"initiatingprocessversioninfocompanyname":"Microsoft Corp"'
+        || ',"initiatingprocessversioninfoproductname":"Win OS"'
+        || ',"initiatingprocessversioninfoproductversion":"10.0.' || eid_s || '"'
+        || ',"initiatingprocessversioninfointernalfilename":"Internal' || eid_s || '.exe"'
+        || ',"initiatingprocessversioninfooriginalfilename":"Original' || eid_s || '.EXE"'
+        || ',"initiatingprocessversioninfofiledescription":"File Desc ' || eid_s || '"}}]}'
+      ELSE '{"records": [' || ${eatRec("")} || '}},' || ${eatRec("b")} || '}}]}'
+    END AS text,
+    'azure.eventhub.atp' AS tool, ts, event_id
+  FROM eat_base
+)"""
+
+  def eatInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $eatCte SELECT conv_id, turn_idx, role, text, tool, ts FROM eat_turns")
+  }
+
+  /** azure.eventhub.security — the space-stripping security-center feed
+    * (event_hub_security_azure.event_hub.conf). esel 0 two-record
+    * insights envelope, 1 bare Graph-security alert (tmp renames + the
+    * Entities FileHashes ruby, UPPER-cased hash values prove the e07 array
+    * lowercase), 2 one-record envelope with ENVELOPE-level Severity +
+    * Entities (split clones retain [tmp]: the record's
+    * recommendationImpact severity is overwritten by the envelope's, and
+    * the envelope's SHA512 entity hashes land on the per-record clone). */
+  private def ehcRec(sfx: String): String =
+    s"""'{"time":"' || iso || '","operationName":"Security Assessment ' || eid_s || '$sfx"'
+      || ',"category":"Recommendation","resultType":"Succeeded Action"'
+      || ',"resultSignature":"Sig ' || eid_s || '$sfx","resultDescription":"Desc text ' || eid_s || '"'
+      || ',"callerIpAddress":"' || sip || '","location":"East US 2","operationVersion":"3.0"'
+      || ',"durationMs":' || CAST(event_id % 5000 AS STRING) || ',"level":"Informational"'
+      || ',"properties":{"recommendationCategory":"Compute Secure","recommendationImpact":"High"'
+      || ',"recommendationName":"Enable MFA Now","recommendationSchemaVersion":"1.0"'
+      || ',"recommendationResourceLink":"https://Portal.Azure.Com/r/' || eid_s || '"'
+      || ',"recommendationType":"Type A$sfx"}}'"""
+
+  val ehcCte: String = s"""
+ehc_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    (event_id % 3) AS esel,
+    $isoSec || 'Z' AS iso,
+    '8.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING)
+      || '.' || CAST(14 + (event_id % 200) AS STRING) AS sip
+  FROM events WHERE (event_id % 86) = 33
+),
+ehc_turns AS (
+  SELECT 'ehc_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE esel
+      WHEN 1 THEN '{"Severity":"High","SystemAlertId":"SA ' || eid_s
+        || '","Intent":"Initial Access","AlertDisplayName":"Suspicious Process Launch"'
+        || ',"Description":"Alert about ' || eid_s || '"'
+        || ',"AlertUri":"https://Portal.Azure.com/alert/' || eid_s || '"'
+        || ',"Entities":[{"Type":"file","FileHashes":[{"Algorithm":"MD5","Value":"'
+        || UPPER(MD5('e1' || eid_s)) || '"},{"Algorithm":"SHA256","Value":"'
+        || UPPER(MD5('e2' || eid_s)) || '"}]},{"Type":"process","FileHashes":[{"Algorithm":"SHA1","Value":"'
+        || MD5('e3' || eid_s) || '"},{"Algorithm":"MD5","Value":"'
+        || MD5('e4' || eid_s) || '"}]},{"Type":"host"}]}'
+      WHEN 2 THEN '{"records": [' || ${ehcRec("")}
+        || '],"Severity":"Low","Entities":[{"Type":"file","FileHashes":[{"Algorithm":"SHA512","Value":"'
+        || MD5('e5' || eid_s) || '"}]}]}'
+      ELSE '{"records": [' || ${ehcRec("")} || ',' || ${ehcRec("b")} || ']}'
+    END AS text,
+    'azure.eventhub.security' AS tool, ts, event_id
+  FROM ehc_base
+)"""
+
+  def ehcInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ehcCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ehc_turns")
+  }
+
+  /** azure.graph_data — Graph security API alerts
+    * (api_security_azure.graph_api.conf). gsel 0 full alert (the invalid
+    * JSON escape fixed by the :14 gsub, closeddatetime surviving only to
+    * e02's unparsed-date sweep), 1 hostStates fan-out (2 rows) + fileStates
+    * LIST clobbering the scalar path rename, 2 `name` clobbering
+    * [event][start] + garbage createddatetime, 3 minimal alert without
+    * azureTenantId (unresolved hostname literal). */
+  private val graFull: String =
+    """'"category":"Credential Access","closeddatetime":"' || iso || '"'
+      || ',"confidence":' || CAST(event_id % 100 AS STRING)
+      || ',"description":"User' || chr(92) || chr(39) || 's file ' || eid_s || ' accessed"'
+      || ',"id":"AL' || eid_s || '","severity":"Medium"'
+      || ',"sourceMaterials":"https://Graph.Example/alerts/' || eid_s || '"'
+      || ',"title":"Malware Detected","provider":"IPC","subprovider":"Azure AD"'
+      || ',"vendor":"Microsoft","destination_service_name":"Azure AD Svc"'
+      || ',"domain_name":"Corp' || u5 || '.example"'
+      || ',"user_principal_name":"U' || eid_s || '@Corp.example"'
+      || ',"status":"newAlert","logon_location":"Redmond WA"'
+      || ',"logon_date_time":"' || iso || '","path":"/tmp/Doc ' || eid_s || '.txt"'
+      || ',"file_hash_md5":"' || UPPER(MD5('g1' || eid_s)) || '"'
+      || ',"file_hash_sha256":"' || MD5('g2' || eid_s) || '"'
+      || ',"lastModifiedDateTime":"' || iso || '"'"""
+
+  val graCte: String = s"""
+gra_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    'TenantA' || CAST(user_id % 9 AS STRING) AS tnt,
+    CAST(FLOOR(event_id / 88.0) AS BIGINT) % 4 AS gsel, -- quotient: the %88 filter pins event_id%4
+
+    $isoSec || 'Z' AS iso
+  FROM events WHERE (event_id % 88) = 41
+),
+gra_turns AS (
+  SELECT 'gra_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE gsel
+      WHEN 3 THEN '{"id":"AL' || eid_s || '","severity":"Low","title":"Info Alert"}'
+      WHEN 2 THEN '{"azureTenantId":"' || tnt || '",' || $graFull
+        || ',"name":"Anomalous Token","createddatetime":"garbage"}'
+      WHEN 1 THEN '{"azureTenantId":"' || tnt || '","createddatetime":"' || iso || '",' || $graFull
+        || ',"hostStates":[{"netBiosName":"WS One ' || eid_s || '"},{"netBiosName":"WS Two ' || eid_s || '"}]'
+        || ',"fileStates":[{"path":"/tmp/a' || eid_s || '.txt"},{"path":""},{"path":"/tmp/b' || eid_s || '.txt"}]}'
+      ELSE '{"azureTenantId":"' || tnt || '","createddatetime":"' || iso || '",' || $graFull || '}'
+    END AS text,
+    'azure.graph_data' AS tool, ts, event_id
+  FROM gra_base
+)"""
+
+  def graInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $graCte SELECT conv_id, turn_idx, role, text, tool, ts FROM gra_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -394,6 +394,28 @@ object Engine {
       process_executable = s("[process][executable]"),
       organization_name = s("[organization][name]"),
       error_type = s("[error][type]"),
-      destination_user_name = s("[destination][user][name]"))
+      destination_user_name = s("[destination][user][name]"),
+      ext = graft.model.ParsedTurnExt(
+      container_id = s("[container][id]"),
+      process_start_ms = l("[process][start_ms]"),
+      process_hash_md5 = s("[process][hash][md5]"),
+      process_parent_start_ms = l("[process][parent][start_ms]"),
+      process_parent_name = s("[process][parent][name]"),
+      process_parent_pid = l("[process][parent][pid]"),
+      process_parent_hash_sha1 = s("[process][parent][hash][sha1]"),
+      process_parent_hash_sha256 = s("[process][parent][hash][sha256]"),
+      file_hash_md5 = arr("[file][hash][md5]"),
+      file_hash_sha1 = arr("[file][hash][sha1]"),
+      file_hash_sha256 = arr("[file][hash][sha256]"),
+      file_hash_sha512 = arr("[file][hash][sha512]"),
+      alarm_id = s("[alarm][id]"),
+      process_pe_company = s("[process][pe][company]"),
+      process_pe_description = s("[process][pe][description]"),
+      process_pe_file_version = s("[process][pe][file_version]"),
+      process_pe_original_file_name = s("[process][pe][original_file_name]"),
+      event_reference = s("[event][reference]"),
+      host_geo_name = s("[host][geo][name]"),
+      client_as_organization_name = s("[client][as][organization][name]"),
+      host_geo_location = s("[host][geo][location]")))
   }
 }

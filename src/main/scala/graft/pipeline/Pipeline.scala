@@ -110,6 +110,13 @@ object Pipeline {
       .repartition(p, col("conv_id")).as[Turn])
   }
 
+  /** Project the typed Dataset's nested `ext` overflow struct (the JVM
+    * 254-parameter case-class wall, Schema.scala) back to the kernel's flat
+    * table: ext's fields land at the end in declaration order, exactly
+    * matching RowKernel.schema. */
+  def typedToFlatDf(ds: Dataset[ParsedTurn]): DataFrame =
+    ds.toDF().select(col("*"), col("ext.*")).drop("ext")
+
   /** Counts-only narrow path straight from the input table: parse decides
     * cardinality, the enrichment chain and the ~250-column flatten are
     * skipped entirely (they cannot affect the grouped columns — see

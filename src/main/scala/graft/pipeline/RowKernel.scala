@@ -27,8 +27,16 @@ import graft.rules.{ParseCtx, ParseOutcome, TechnologyConfig}
 object RowKernel {
 
   /** Output schema — derived from the ParsedTurn encoder so the row path and
-    * the typed path are the same table by construction. */
-  val schema: StructType = org.apache.spark.sql.Encoders.product[graft.model.ParsedTurn].schema
+    * the typed path are the same table by construction. The typed class
+    * nests its 254th-parameter overflow in `ext` (JVM case-class limit, see
+    * Schema.scala); the ROW path has no such limit, so the kernel's table
+    * stays FLAT — ext's fields are spliced inline in declaration order and
+    * Pipeline.typedToFlatDf projects the typed shape to this one. */
+  val schema: StructType = {
+    val base = org.apache.spark.sql.Encoders.product[graft.model.ParsedTurn].schema
+    val ext = org.apache.spark.sql.Encoders.product[graft.model.ParsedTurnExt].schema
+    StructType(base.fields.filter(_.name != "ext") ++ ext.fields)
+  }
   private val numFields = schema.length
 
   private val emptyArray = new GenericArrayData(Array.empty[Any])
@@ -508,6 +516,27 @@ object RowKernel {
     s("[organization][name]")
     s("[error][type]")
     s("[destination][user][name]")
+    s("[container][id]")
+    l("[process][start_ms]")
+    s("[process][hash][md5]")
+    l("[process][parent][start_ms]")
+    s("[process][parent][name]")
+    l("[process][parent][pid]")
+    s("[process][parent][hash][sha1]")
+    s("[process][parent][hash][sha256]")
+    arr("[file][hash][md5]")
+    arr("[file][hash][sha1]")
+    arr("[file][hash][sha256]")
+    arr("[file][hash][sha512]")
+    s("[alarm][id]")
+    s("[process][pe][company]")
+    s("[process][pe][description]")
+    s("[process][pe][file_version]")
+    s("[process][pe][original_file_name]")
+    s("[event][reference]")
+    s("[host][geo][name]")
+    s("[client][as][organization][name]")
+    s("[host][geo][location]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

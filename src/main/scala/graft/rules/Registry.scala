@@ -275,6 +275,12 @@ object Registry {
       "logs-cisco.aci", Vector("elastic"), Set.empty, "medium"),
     "cisco.wireless.controller" -> TechnologyConfig("cisco.wireless.controller",
       "logs-cisco.wireless.controller", Vector("elastic"), Set.empty, "medium"),
+    "azure.eventhub.atp" -> TechnologyConfig("azure.eventhub.atp",
+      "logs-azure.eventhub.atp", Vector("elastic"), Set.empty, "medium"),
+    "azure.eventhub.security" -> TechnologyConfig("azure.eventhub.security",
+      "logs-azure.eventhub.security", Vector("elastic"), Set.empty, "low"),
+    "azure.graph_data" -> TechnologyConfig("azure.graph_data",
+      "logs-azure.graph_data", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -667,6 +673,9 @@ object Registry {
     "symantec.dlp" -> SymantecDlpRules.dlp,
     "cisco.aci" -> CiscoAciRules.aci,
     "cisco.wireless.controller" -> CiscoWlcRules.wlc,
+    "azure.eventhub.atp" -> AzureTailRules.ehAtp,
+    "azure.eventhub.security" -> AzureTailRules.ehSecurity,
+    "azure.graph_data" -> AzureTailRules.graphApi,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

@@ -120,7 +120,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("rate streaming source (kafka-topic analogue) == batch kernel on identical ticks") {
     val parsed = StreamingPipeline.parse(spark, StreamingPipeline.rateTurns(spark, 200))
-    val q = parsed.toDF().writeStream.format("memory").queryName("rate_parsed")
+    // flatten the typed `ext` overflow struct so the memory table matches
+    // the row kernel's flat table (Schema.scala 254-param wall)
+    val q = Pipeline.typedToFlatDf(parsed).writeStream.format("memory").queryName("rate_parsed")
       .outputMode("append").option("checkpointLocation", tmp("graft-ckpt-rate-"))
       .start()
     try {

@@ -33,7 +33,7 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.setLogLevel("ERROR")
     val input = Transcripts.input(spark, sf)
     assertSame(Pipeline.parseDf(spark, input),
-      Pipeline.parseTyped(spark, input).toDF(), "main")
+      Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input)), "main")
   }
 
   test("row kernel == typed kernel on every side corpus") {
@@ -82,10 +82,11 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ciscoapic", Transcripts.caInput), ("stealthwatch", Transcripts.swtInput),
       ("accellion", Transcripts.acInput), ("onapsis", Transcripts.onpInput),
       ("symantecdlp", Transcripts.sdlInput), ("ciscoaci", Transcripts.aciInput),
-      ("ciscowlc", Transcripts.wlcInput))
+      ("ciscowlc", Transcripts.wlcInput), ("ehatp", Transcripts.eatInput),
+      ("ehseccenter", Transcripts.ehcInput), ("graphsec", Transcripts.graInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
-        Pipeline.parseTyped(spark, input(spark, sf)).toDF(), name)
+        Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
     }
   }
 
