@@ -1019,6 +1019,57 @@ px AS (
         col("host_hostname"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // riverbed.netim: lowercase-first header dissect, app-severity RFC5424
+    // remap, dual self-targeting kv, sample map -> [labels] via
+    // json_encode/gsub/json, CST6CDT crossed-at date
+    "qrv01_netim" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.rvbInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("technology"), col("event_module"), col("event_dataset"),
+        col("route_index"), col("event_created_ms"), col("host_ip"),
+        col("host_hostname"), col("rule_category"), col("rule_ruleset"),
+        col("event_reason"), col("event_action"), col("event_category"),
+        col("event_kind"), col("event_outcome"),
+        col("observer_ingress_interface_alias"),
+        col("observer_ingress_interface_id"),
+        col("observer_ingress_interface_name"), col("error_message"),
+        col("event_start_ms"), col("labels_tags"),
+        col("log_syslog_severity_code"), col("log_syslog_severity_name"),
+        col("log_syslog_facility_code"), col("log_syslog_facility_name"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // aws.app: journald/k8s rename blocks, nested-JSON jtmp payload,
+    // bounded-UNIX microsecond created, skip_on_invalid_json drop
+    "qap02_awsapp" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.appInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("log_source_hostname"), col("event_created_ms"),
+        col("event_ingested_ms"), col("process_executable"),
+        col("process_name"), col("process_entity_id"),
+        col("process_parent_command_line"), col("process_parent_name"),
+        col("service_name"), col("process_pgid"), col("process_pid"),
+        col("process_command_line"), col("file_uid"), col("group_name"),
+        col("network_transport"), col("host_id"),
+        col("log_origin_function"), col("log_origin_file_line"),
+        col("host_hostname"), col("log_syslog_facility_name"),
+        col("log_syslog_priority"), col("log_syslog_facility_code"),
+        col("cloud_instance_name"), col("container_id"),
+        col("container_runtime"), col("container_image_tag"),
+        col("container_image_name"), col("container_name"),
+        col("cloud_instance_id"), col("cloud_project_id"),
+        when(size(col("cloud_project_name")) > 0,
+          concat_ws(",", col("cloud_project_name"))).as("cloud_project_name_s"),
+        col("cloud_account_name"),
+        col("cloud_service_name"), col("cloud_machine_type"),
+        col("event_kind"), col("event_provider"),
+        col("dns_answers_class"), col("log_syslog_severity_name"),
+        col("log_level"), col("log_syslog_severity_code"),
+        col("log_logger"), col("process_thread_name"),
+        col("error_message"), col("trace_id"), col("span_id"),
+        col("file_name"), col("file_type"), col("file_mime_type"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -2852,7 +2903,9 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   CASE WHEN b.ksel = 0 THEN '10.7.7.7' ELSE NULL END AS observer_ip,
   CASE WHEN b.ksel = 0 THEN 'browser' ELSE NULL END AS process_name,
   CASE WHEN b.ksel = 0 THEN 'curl/8.5' ELSE NULL END AS user_agent_original,
-  CAST(NULL AS STRING) AS tls_next_protocol,
+  -- the tmp_url grok's optional next-protocol capture matches "" and is
+  -- dropped (keep_empty_captures false) — the ver= rename survives it
+  CASE WHEN b.ksel = 0 THEN 'h2' ELSE NULL END AS tls_next_protocol,
   CASE WHEN b.ksel IN (0,1) THEN 'get' ELSE NULL END AS http_request_method,
   CASE b.ksel WHEN 0 THEN 'http://shop' || b.u5 || '.example.com/cart'
     WHEN 1 THEN 'http://bad' || b.u5 || '.example.com/x' ELSE NULL END AS url_full,
@@ -3866,6 +3919,112 @@ SELECT t.conv_id, t.turn_idx, 0, 1, 'rule 1', 'azure',
   NULL, NULL, NULL, NULL, NULL, NULL, NULL, ''
 FROM gra_turns t JOIN gra_base b USING (event_id) WHERE b.gsel = 3""",
 
+    // riverbed.netim: rsel 0/1 flattened single-line alarms (live kv +
+    // labels path), 2 multiline (reference's dead details path — empty
+    // grok captures dropped), 3 severity-less periodic line
+    "qrv01_netim" ->
+      s"""WITH ${Transcripts.rvbCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.rsel = 3 THEN 0 ELSE 1 END AS parse_ok_i,
+  'not parsed' AS parse_rule, 'riverbed.netim' AS technology,
+  'riverbed' AS event_module, 'riverbed.netim' AS event_dataset,
+  'logs-riverbed.netim_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  CASE WHEN b.rsel IN (0, 1) THEN b.hip END AS host_ip,
+  CASE WHEN b.rsel IN (0, 1) THEN 'sw' || b.eid_s END AS host_hostname,
+  CASE WHEN b.rsel IN (0, 1) THEN 'interface utilization threshold' END AS rule_category,
+  CASE WHEN b.rsel IN (0, 1) THEN 'link util ' || b.eid_s END AS rule_ruleset,
+  CASE WHEN b.rsel IN (0, 1) THEN 'utilization' END AS event_reason,
+  CASE WHEN b.rsel IN (0, 1) THEN 'util in' END AS event_action,
+  'network' AS event_category, 'alert' AS event_kind,
+  'failure' AS event_outcome,
+  CASE WHEN b.rsel = 0 THEN 'uplink to core' END AS observer_ingress_interface_alias,
+  CAST(NULL AS VARCHAR) AS observer_ingress_interface_id,
+  CASE WHEN b.rsel = 0 THEN 'gi0/' || b.ifn END AS observer_ingress_interface_name,
+  CASE b.rsel
+    WHEN 0 THEN 'gigabitethernet0/' || b.ifn || ' (uplink port ' || b.ifn || ') util in 9' || b.thr || '%'
+    WHEN 1 THEN '%{[[tmp][details][display name]]} (uplink port ' || b.ifn || ') util in 9' || b.thr || '%'
+    ELSE '%{[[tmp][details][display name]]} (%{[[tmp][details][ifdescr]]}) %{[[event][action]]} %{[[tmp][details][threshold]]}'
+  END AS error_message,
+  CASE WHEN b.rsel = 0
+    THEN epoch_ms(date_trunc('second', t.ts)) + 21600000 END AS event_start_ms,
+  CASE WHEN b.rsel = 0 THEN 'high_util_link' END AS labels_tags,
+  CAST(CASE b.rsel WHEN 0 THEN 3 WHEN 1 THEN 7 WHEN 2 THEN 4 ELSE 5 END AS BIGINT) AS log_syslog_severity_code,
+  CASE b.rsel WHEN 0 THEN 'error' WHEN 1 THEN 'debug' WHEN 2 THEN 'warning'
+    ELSE 'notice' END AS log_syslog_severity_name,
+  CAST(CASE b.rsel WHEN 1 THEN 23 WHEN 3 THEN 10 ELSE 16 END AS BIGINT) AS log_syslog_facility_code,
+  CASE b.rsel WHEN 1 THEN 'local7' WHEN 3 THEN 'security/authorization'
+    ELSE 'local0' END AS log_syslog_facility_name,
+  CASE WHEN b.rsel = 3 THEN '_grokparsefailure_severity' ELSE '' END AS tags_s
+FROM rvb_turns t JOIN rvb_base b USING (event_id)""",
+
+    // aws.app: asel 0 journald (UNIX_MS micro created), 1 k8s + nested
+    // jtmp payload, 2 invalid nested JSON silently dropped, 3 ISO created
+    "qap02_awsapp" ->
+      s"""WITH ${Transcripts.appCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, 'aws' AS event_module, 'aws.app' AS event_dataset,
+  'logs-aws.app_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  'aws_app' AS log_source_hostname,
+  CASE b.asel
+    WHEN 0 THEN 1704485287000000 + (b.event_id % 100000)
+    WHEN 1 THEN epoch_ms(date_trunc('second', t.ts)) + 333
+    WHEN 2 THEN epoch_ms(t.ts)
+    ELSE epoch_ms(date_trunc('second', t.ts)) + 921
+  END AS event_created_ms,
+  CASE WHEN b.asel = 1 THEN epoch_ms(date_trunc('second', t.ts)) + 921 END AS event_ingested_ms,
+  CASE WHEN b.asel = 0 THEN '/usr/bin/app' END AS process_executable,
+  CASE WHEN b.asel IN (0, 3) THEN 'app' || b.u5 END AS process_name,
+  CASE WHEN b.asel = 0 THEN 'b' || b.eid_s END AS process_entity_id,
+  CASE WHEN b.asel = 0 THEN 'app' || b.u5 || '.service' END AS process_parent_command_line,
+  CASE WHEN b.asel = 0 THEN 'src/main.c' END AS process_parent_name,
+  CASE b.asel WHEN 0 THEN 'payments api' WHEN 1 THEN 'checkout svc' END AS service_name,
+  CAST(CASE WHEN b.asel = 0
+    THEN CAST('1' || CAST(b.event_id % 100 AS VARCHAR) AS BIGINT) END AS BIGINT) AS process_pgid,
+  CAST(CASE WHEN b.asel = 0 THEN CAST('2' || CAST(b.event_id % 1000 AS VARCHAR) AS BIGINT)
+    WHEN b.asel = 3 THEN CAST('2' || b.eid_s AS BIGINT) END AS BIGINT) AS process_pid,
+  CASE WHEN b.asel = 0 THEN '/usr/bin/app --serve --port 80' || b.u5 END AS process_command_line,
+  CASE WHEN b.asel = 0 THEN '50' || b.u5 END AS file_uid,
+  CASE WHEN b.asel = 0 THEN '/system.slice/app.service' END AS group_name,
+  CASE WHEN b.asel = 0 THEN 'journal' END AS network_transport,
+  CASE WHEN b.asel = 0 THEN 'm' || b.eid_s END AS host_id,
+  CASE WHEN b.asel = 0 THEN 'handlereq' END AS log_origin_function,
+  CASE b.asel WHEN 0 THEN '142' WHEN 1 THEN '88' END AS log_origin_file_line,
+  CASE WHEN b.asel IN (0, 3) THEN 'node' || b.u5 ELSE 'pod' || b.u5 END AS host_hostname,
+  CASE WHEN b.asel = 0 THEN 'appd' END AS log_syslog_facility_name,
+  CASE WHEN b.asel = 0 THEN '6' END AS log_syslog_priority,
+  CAST(CASE WHEN b.asel = 0 THEN 3 END AS BIGINT) AS log_syslog_facility_code,
+  CASE WHEN b.asel = 1 THEN 'eks-prod' || b.u5 END AS cloud_instance_name,
+  CASE WHEN b.asel = 1 THEN 'c' || b.eid_s END AS container_id,
+  CASE WHEN b.asel = 1 THEN 'containerd' END AS container_runtime,
+  CASE WHEN b.asel = 1 THEN 'env:prod,ver1.' || b.eid_s END AS container_image_tag,
+  CASE WHEN b.asel = 1 THEN 'registry.example/app:1.' || b.u5 END AS container_image_name,
+  CASE WHEN b.asel = 1 THEN 'app' || b.eid_s END AS container_name,
+  CASE WHEN b.asel = 1 THEN '10.42.' || b.u5 || '.9' END AS cloud_instance_id,
+  CASE WHEN b.asel = 1 THEN 'payments' END AS cloud_project_id,
+  CASE WHEN b.asel = 1 THEN 'app-' || b.eid_s || '-x' END AS cloud_project_name_s,
+  CASE WHEN b.asel = 1 THEN 'deployment/app' END AS cloud_account_name,
+  CAST(NULL AS VARCHAR) AS cloud_service_name,
+  CASE WHEN b.asel = 1 THEN 'nodejs' END AS cloud_machine_type,
+  CASE WHEN b.asel IN (1, 2) THEN 'kubernetes' END AS event_kind,
+  CASE WHEN b.asel = 1 THEN 'stdout' END AS event_provider,
+  CAST(NULL AS VARCHAR) AS dns_answers_class,
+  CASE WHEN b.asel = 1 THEN 'warn' END AS log_syslog_severity_name,
+  CASE WHEN b.asel = 1 THEN 'warn' END AS log_level,
+  CAST(CASE WHEN b.asel = 1 THEN 30000 END AS BIGINT) AS log_syslog_severity_code,
+  CASE WHEN b.asel = 1 THEN 'app.router' END AS log_logger,
+  CASE WHEN b.asel = 1 THEN 'main-' || b.eid_s END AS process_thread_name,
+  CASE b.asel WHEN 0 THEN 'plain text failure ' || b.eid_s
+    WHEN 1 THEN 'request failed ' || b.eid_s
+    WHEN 3 THEN 'shutdown requested ' || b.eid_s END AS error_message,
+  CASE WHEN b.asel = 1 THEN 'tr' || b.eid_s END AS trace_id,
+  CASE WHEN b.asel = 1 THEN 'sp' || b.eid_s END AS span_id,
+  CASE WHEN b.asel = 1 THEN 'invoice ' || b.eid_s || '.pdf' END AS file_name,
+  CASE WHEN b.asel = 1 THEN '7bit' END AS file_type,
+  CASE WHEN b.asel = 1 THEN 'application/pdf' END AS file_mime_type,
+  '' AS tags_s
+FROM app_turns t JOIN app_base b USING (event_id)""",
+
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}
 SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
@@ -4470,9 +4629,9 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
     || ':443. action: deny. policy: pol1 rule collection group: rcg1 rule collection: rc1 rule: netrule'
     || b.eid_s ELSE NULL END AS error_message,
   -- 90_lookup_iana back-fills https from port 443 where the protocol is
-  -- absent; the NetworkRule grok's "" capture is PRESENT at 90 (Logstash
-  -- truthiness) and only scrubbed later by 94 → stays null
-  CASE WHEN b.ksel IN (1, 2) THEN 'https' ELSE NULL END AS network_protocol
+  -- absent; the NetworkRule grok's lazy "" capture is DROPPED
+  -- (keep_empty_captures defaults false), so ksel 3 backfills too
+  CASE WHEN b.ksel IN (1, 2, 3) THEN 'https' ELSE NULL END AS network_protocol
 FROM fw_turns t JOIN fw_base b USING (event_id)""",
 
     "qpo01_pod" ->

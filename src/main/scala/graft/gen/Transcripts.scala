@@ -4680,6 +4680,176 @@ gra_turns AS (
     spark.sql(s"WITH $graCte SELECT conv_id, turn_idx, role, text, tool, ts FROM gra_turns")
   }
 
+  /** riverbed.netim — weekly threshold-crossing alarms
+    * (syslog_audit_riverbed.netim_weekly.conf). rsel 0 flattened (comma-
+    * joined single-line) full alarm: the live path — details+sample kv,
+    * [labels] via json_encode/gsub/json, "major severity" remap, CST6CDT
+    * crossed-at; 1 flattened alarm with an off-dictionary severity word
+    * (fallback code 7 → "debug"), no display-name (partially unresolved
+    * error.message) and no crossed-at; 2 MULTILINE alarm — the reference's
+    * own dead path: GREEDYDATA cannot cross newlines, so the sample grok
+    * matches on the "complete sample:" line with both captures empty, and
+    * keep_empty_captures=false drops them (details machinery entirely
+    * inert, severity remap still live); 3 sample-less periodic line
+    * (severity grok fails → pri-derived severity kept, error.message fully
+    * unresolved). */
+  val rvbCte: String = s"""
+rvb_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(1 + (event_id % 8) AS STRING) AS ifn,
+    CAST(event_id % 10 AS STRING) AS thr,
+    CAST(FLOOR(event_id / 90.0) AS BIGINT) % 4 AS rsel,
+    -- weekday from day-of-month: EXTRACT(DOW) is 0-based in DuckDB but
+    -- 1-based in Spark, so the shared CTE cannot use it. The events table
+    -- is entirely January 2024 (Jan 1 = Monday), making dow = day mod 7.
+    CASE CAST(EXTRACT(DAY FROM ts) AS INT) % 7 WHEN 1 THEN 'mon'
+      WHEN 2 THEN 'tue' WHEN 3 THEN 'wed' WHEN 4 THEN 'thu' WHEN 5 THEN 'fri'
+      WHEN 6 THEN 'sat' ELSE 'sun' END AS dow,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS hms,
+    '10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 250 AS STRING) || '.9' AS hip
+  FROM events WHERE (event_id % 90) = 7
+),
+rvb_turns AS (
+  SELECT 'rvb_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE rsel
+      WHEN 3 THEN '2024-01-0' || CAST(1 + (event_id % 9) AS STRING)
+        || 'T00:00:00Z collector <85>NetIM' || eid_s
+        || ' - NetIM STATUS Periodic Report: system OK sample window closed'
+      WHEN 2 THEN CONCAT('2024-01-0', CAST(1 + (event_id % 9) AS STRING),
+        'T00:00:00Z collector <134>NetIM', eid_s,
+        ' - NetIM ALARM IFC Threshold Crossing MINOR SEVERITY: ',
+        'alert name:link util ', eid_s, chr(10),
+        'primaryaddress:', hip, chr(10),
+        'sysname:SW', eid_s, '.Corp.Example', chr(10),
+        'threshold:9', thr, '%', chr(10),
+        'complete sample:', chr(10),
+        'tags:High Util Link', chr(10),
+        chr(9), 'average utilization:4', thr, '.2 %')
+      WHEN 1 THEN CONCAT('2024-01-0', CAST(1 + (event_id % 9) AS STRING),
+        'T00:00:00Z collector <188>NetIM', eid_s,
+        ' - NetIM ALARM IFC Threshold Crossing ELEVATED SEVERITY: ',
+        'alert name:link util ', eid_s,
+        ',alert description:Interface Utilization Threshold',
+        ',primaryaddress:', hip,
+        ',sysname:SW', eid_s, '.Corp.Example',
+        ',metric class:UTILIZATION,metric:util in',
+        ',ifindex:', ifn, ',ifdescr:uplink port ', ifn,
+        ',threshold:9', thr, '%',
+        'complete sample:',
+        'peak utilization:9', thr, ' %,sample count:1', eid_s)
+      ELSE CONCAT('2024-01-0', CAST(1 + (event_id % 9) AS STRING),
+        'T00:00:00Z collector <134>NetIM', eid_s,
+        ' - NetIM ALARM IFC Threshold Crossing MAJOR SEVERITY: ',
+        'alert name:link util ', eid_s,
+        ',alert description:Interface Utilization Threshold',
+        ',primaryaddress:', hip,
+        ',sysname:SW', eid_s, '.Corp.Example',
+        ',metric class:UTILIZATION,metric:util in',
+        ',ifalias:Uplink To Core,ifindex:', ifn,
+        ',preferredname:gi0/', ifn,
+        ',display name:GigabitEthernet0/', ifn,
+        ',ifdescr:uplink port ', ifn,
+        ',threshold:9', thr, '%',
+        ',crossed at:CDT ', dow, ' jan ', dd, ' ', hms, ' 2024',
+        'complete sample:',
+        'tags:High Util Link',
+        ',average utilization:4', thr, '.2 %',
+        ',interface speed:1 gbps')
+    END AS text,
+    'riverbed.netim' AS tool, ts, event_id
+  FROM rvb_base
+)"""
+
+  def rvbInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $rvbCte SELECT conv_id, turn_idx, role, text, tool, ts FROM rvb_turns")
+  }
+
+  /** aws.app — journald + EKS datadog feed (api_aws_app.conf). asel 0
+    * journald record (16-digit microsecond created → the bounded-UNIX /
+    * UNIX_MS arm, plain-text message → error.message), 1 k8s record
+    * (host+hostname both present — k8s rename wins; `service` consumed by
+    * the journald block proving the dead k8s rename; nested JSON message →
+    * jtmp renames incl. the dotted dd.* keys), 2 object-looking but invalid
+    * nested message (skip_on_invalid_json silently drops the payload), 3
+    * ISO created falling through the two malformed triple-s arms. */
+  val appCte: String = s"""
+app_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 92.0) AS BIGINT) % 4 AS asel,
+    CAST(1704485287000000 + (event_id % 100000) AS STRING) AS micros,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 92) = 5
+),
+app_turns AS (
+  SELECT 'app_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE asel
+      WHEN 3 THEN CONCAT('{"_source_realtime_timestamp":"', iso, '.921Z"',
+        ',"_comm":"app', u5, '","_pid":"2', eid_s, '"',
+        ',"host":"Node', u5, '.corp.example"',
+        ',"message":"shutdown requested ', eid_s, '"}')
+      WHEN 2 THEN CONCAT('{"source_type":"kubernetes"',
+        ',"hostname":"Pod', u5, '.corp.example"',
+        ',"message":"{invalid json ', eid_s, '}"}')
+      WHEN 1 THEN CONCAT('{"cluster_name":"EKS-Prod', u5, '"',
+        ',"container_id":"c', eid_s, '","ddsource":"Containerd"',
+        ',"ddtags":"env:prod,ver1.', eid_s, '"',
+        ',"host":"Journal', u5, '.corp.example"',
+        ',"hostname":"Pod', u5, '.corp.example"',
+        ',"kubernetes":{"container_image":"registry.example/app:1.', u5, '"',
+        ',"container_name":"App', eid_s, '","pod_ip":"10.42.', u5, '.9"',
+        ',"namespace_name":"payments","pod_name":"app-', eid_s, '-x"',
+        ',"pod_owner":"Deployment/app"}',
+        ',"service":"Payments API","source":"Nodejs","source_type":"kubernetes"',
+        ',"stream":"stdout","timestamp":"', iso, '.921235225Z"',
+        ',"message":"{', chr(92), chr(34), '@severity', chr(92), chr(34), ':',
+        chr(92), chr(34), 'WARN', chr(92), chr(34), ',',
+        chr(92), chr(34), 'level', chr(92), chr(34), ':', chr(92), chr(34), 'warn', chr(92), chr(34), ',',
+        chr(92), chr(34), 'level_value', chr(92), chr(34), ':30000,',
+        chr(92), chr(34), 'logger_name', chr(92), chr(34), ':', chr(92), chr(34), 'app.Router', chr(92), chr(34), ',',
+        chr(92), chr(34), 'thread_name', chr(92), chr(34), ':', chr(92), chr(34), 'main-', eid_s, chr(92), chr(34), ',',
+        chr(92), chr(34), '@timestamp', chr(92), chr(34), ':', chr(92), chr(34), iso, '.333Z', chr(92), chr(34), ',',
+        chr(92), chr(34), '@message', chr(92), chr(34), ':', chr(92), chr(34), 'Request Failed ', eid_s, chr(92), chr(34), ',',
+        chr(92), chr(34), 'dd.trace_id', chr(92), chr(34), ':', chr(92), chr(34), 'tr', eid_s, chr(92), chr(34), ',',
+        chr(92), chr(34), 'dd.service', chr(92), chr(34), ':', chr(92), chr(34), 'Checkout Svc', chr(92), chr(34), ',',
+        chr(92), chr(34), 'dd.span_id', chr(92), chr(34), ':', chr(92), chr(34), 'sp', eid_s, chr(92), chr(34), ',',
+        chr(92), chr(34), 'file', chr(92), chr(34), ':{', chr(92), chr(34), 'originalname', chr(92), chr(34), ':',
+        chr(92), chr(34), 'Invoice ', eid_s, '.PDF', chr(92), chr(34), ',',
+        chr(92), chr(34), 'encoding', chr(92), chr(34), ':', chr(92), chr(34), '7bit', chr(92), chr(34), ',',
+        chr(92), chr(34), 'mimetype', chr(92), chr(34), ':', chr(92), chr(34), 'application/pdf', chr(92), chr(34), '},',
+        chr(92), chr(34), 'line', chr(92), chr(34), ':88}"}')
+      ELSE CONCAT('{"_source_realtime_timestamp":"', micros, '"',
+        ',"_exe":"/usr/bin/App","_comm":"app', u5, '","_boot_id":"b', eid_s, '"',
+        ',"unit":"app', u5, '.service","code_file":"src/Main.c"',
+        ',"service":"Payments API","_gid":"1', CAST(event_id % 100 AS STRING), '"',
+        ',"_pid":"2', CAST(event_id % 1000 AS STRING), '"',
+        ',"_cmdline":"/usr/bin/app --serve --port 80', u5, '"',
+        ',"_uid":"50', u5, '","_systemd_cgroup":"/system.slice/app.service"',
+        ',"_transport":"journal","_machine_id":"m', eid_s, '"',
+        ',"code_function":"handleReq","code_line":"142"',
+        ',"host":"Node', u5, '.corp.example"',
+        ',"syslog_identifier":"appd","priority":"6","syslog_facility":"3"',
+        ',"message":"Plain Text Failure ', eid_s, '"}')
+    END AS text,
+    'aws.app' AS tool, ts, event_id
+  FROM app_base
+)"""
+
+  def appInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $appCte SELECT conv_id, turn_idx, role, text, tool, ts FROM app_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -45,7 +45,11 @@ final case class CompiledGrok(pattern: Pattern, groupToPath: Array[(Int, Seq[Str
     while (i < groupToPath.length) {
       val (g, path) = groupToPath(i)
       val v = m.group(g)
-      if (v != null) ev.setParts(path, v)
+      // empty captures are dropped: logstash-filter-grok's
+      // `keep_empty_captures` defaults to false, so a GREEDYDATA that
+      // matches "" (e.g. around a line-anchored literal in multiline
+      // input — riverbed.netim_weekly.conf:42-45) never sets its field
+      if (v != null && !v.isEmpty) ev.setParts(path, v)
       i += 1
     }
     true

@@ -416,6 +416,24 @@ object Engine {
       event_reference = s("[event][reference]"),
       host_geo_name = s("[host][geo][name]"),
       client_as_organization_name = s("[client][as][organization][name]"),
-      host_geo_location = s("[host][geo][location]")))
+      host_geo_location = s("[host][geo][location]"),
+      observer_ingress_interface_alias = s("[observer][ingress][interface][alias]"),
+      process_entity_id = s("[process][entity_id]"),
+      process_parent_command_line = s("[process][parent][command_line]"),
+      process_pgid = l("[process][pgid]"),
+      file_uid = s("[file][uid]"),
+      log_origin_function = s("[log][origin][function]"),
+      log_origin_file_line = s("[log][origin][file][line]"),
+      dns_answers_class = s("[dns][answers][class]"),
+      log_logger = s("[log][logger]"),
+      process_thread_name = s("[process][thread][name]"),
+      span_id = s("[span][id]"),
+      file_mime_type = s("[file][mime_type]"),
+      container_runtime = s("[container][runtime]"),
+      container_image_tag = s("[container][image][tag]"),
+      container_name = s("[container][name]"),
+      cloud_project_id = s("[cloud][project][id]"),
+      cloud_account_name = s("[cloud][account][name]"),
+      cloud_service_name = s("[cloud][service][name]")))
   }
 }

@@ -537,6 +537,24 @@ object RowKernel {
     s("[host][geo][name]")
     s("[client][as][organization][name]")
     s("[host][geo][location]")
+    s("[observer][ingress][interface][alias]")
+    s("[process][entity_id]")
+    s("[process][parent][command_line]")
+    l("[process][pgid]")
+    s("[file][uid]")
+    s("[log][origin][function]")
+    s("[log][origin][file][line]")
+    s("[dns][answers][class]")
+    s("[log][logger]")
+    s("[process][thread][name]")
+    s("[span][id]")
+    s("[file][mime_type]")
+    s("[container][runtime]")
+    s("[container][image][tag]")
+    s("[container][name]")
+    s("[cloud][project][id]")
+    s("[cloud][account][name]")
+    s("[cloud][service][name]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -281,6 +281,10 @@ object Registry {
       "logs-azure.eventhub.security", Vector("elastic"), Set.empty, "low"),
     "azure.graph_data" -> TechnologyConfig("azure.graph_data",
       "logs-azure.graph_data", Vector("elastic"), Set.empty, "medium"),
+    "riverbed.netim" -> TechnologyConfig("riverbed.netim",
+      "logs-riverbed.netim", Vector("elastic"), Set.empty, "low"),
+    "aws.app" -> TechnologyConfig("aws.app",
+      "logs-aws.app", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -676,6 +680,8 @@ object Registry {
     "azure.eventhub.atp" -> AzureTailRules.ehAtp,
     "azure.eventhub.security" -> AzureTailRules.ehSecurity,
     "azure.graph_data" -> AzureTailRules.graphApi,
+    "riverbed.netim" -> RiverbedNetimRules.netim,
+    "aws.app" -> AwsAppRules.awsApp,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

@@ -16,8 +16,9 @@ import graft.parse.{Csv, Dates, Dissect, Grok, Kv, Mutate, Net, SyslogPri}
   *    (ref api_security_skyhigh.scp.conf:131-149 — SURVEY §2.4).
   *
   * Mirrored accidents: sec_mgr RULE 2's rule-name gsub re-appends the `)`
-  * the dissect consumed (ref :50-53); swg's tmp_url grok overwrites the
-  * `ver=` next-protocol rename with an empty capture that 94 then scrubs
+  * the dissect consumed (ref :50-53); swg's tmp_url grok would overwrite
+  * the `ver=` next-protocol rename, but its optional capture matches ""
+  * and keep_empty_captures=false drops it — the rename survives
   * (ref :103); scp removes [event][original] right after assembling it
   * (ref :41/:128), and its `split` leaves rule.category/event.code as
   * arrays (scalar flatten → NULL).

@@ -83,7 +83,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("accellion", Transcripts.acInput), ("onapsis", Transcripts.onpInput),
       ("symantecdlp", Transcripts.sdlInput), ("ciscoaci", Transcripts.aciInput),
       ("ciscowlc", Transcripts.wlcInput), ("ehatp", Transcripts.eatInput),
-      ("ehseccenter", Transcripts.ehcInput), ("graphsec", Transcripts.graInput))
+      ("ehseccenter", Transcripts.ehcInput), ("graphsec", Transcripts.graInput),
+      ("riverbednetim", Transcripts.rvbInput), ("awsapp", Transcripts.appInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
