@@ -1070,6 +1070,51 @@ px AS (
         col("file_name"), col("file_type"), col("file_mime_type"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // tanium.inventory: braced-prefix grok, Intel Type dataset overwrite,
+    // "[current result unavailable]" sweeps, M/d/yyyy install date
+    "qti01_taninv" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.tinInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("host_hostname"), col("host_name"),
+        col("host_os_name"), col("host_os_installation_date_ms"),
+        col("host_serial"), col("host_domain"), col("host_mac"),
+        col("host_ip"), col("source_ip"), col("source_nat_ip"),
+        col("observer_hostname"), col("host_logged_in_users"),
+        col("host_last_logged_in_user"), col("host_timezone"),
+        col("host_manufacturer"), col("host_model"),
+        col("log_syslog_severity_code"), col("log_syslog_facility_code"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // virtustream.linux: forwarder envelope renames, logstash self-log
+    // grok with ruby exception suffix, three envelope dates
+    "qvl01_virtlinux" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.vlInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("host_os_type"), col("log_source_hostname"),
+        col("log_syslog_facility_name"), col("event_type"),
+        col("event_kind"), col("observer_version"), col("event_original"),
+        col("log_syslog_facility_code"), col("process_pid"),
+        col("log_syslog_priority"), col("log_source_ip"),
+        col("log_syslog_severity_code"), col("process_parent_name"),
+        col("process_name"), col("process_id"), col("event_action"),
+        col("error_message"), col("error_type"), col("event_created_ms"),
+        col("event_start_ms"), col("event_ingested_ms"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // pingfederate.auth: drop rules, newline/double-space gsubs, braced
+    // trace-id dissect, 187/188 rule ladder, level translate
+    "qpf01_pingfed" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.pfInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("log_level"), col("event_created_ms"), col("source_address"),
+        col("log_logger"), col("rule_description"),
+        col("http_request_method"), col("url_full"), col("error_code"),
+        col("rule_category"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4024,6 +4069,105 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   CASE WHEN b.asel = 1 THEN 'application/pdf' END AS file_mime_type,
   '' AS tags_s
 FROM app_turns t JOIN app_base b USING (event_id)""",
+
+    // tanium.inventory: tsel 0 full record (Intel Type overwrites dataset,
+    // M/d/yyyy install date, private-ip geo tags), 1 the unavailable sweeps
+    // + bad install date + default pri 13, 2 brace-less (_grokparsefailure)
+    "qti01_taninv" ->
+      s"""WITH ${Transcripts.tinCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.tsel = 2 THEN 0 ELSE 1 END AS parse_ok_i,
+  'not parsed' AS parse_rule, 'tanium' AS event_module,
+  CASE b.tsel WHEN 0 THEN 'tanium asset report' ELSE 'tanium.inventory' END AS event_dataset,
+  'logs-tanium.inventory_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  CASE WHEN b.tsel IN (0, 1) THEN 'host' || b.u5 END AS host_hostname,
+  CASE WHEN b.tsel IN (0, 1) THEN 'host' || b.u5 END AS host_name,
+  CASE WHEN b.tsel IN (0, 1) THEN 'ubuntu 22.04' END AS host_os_name,
+  CAST(CASE WHEN b.tsel = 0
+    THEN epoch_ms(make_date(2024, 1, CAST(b.dnp AS INT))) END AS BIGINT) AS host_os_installation_date_ms,
+  CASE WHEN b.tsel IN (0, 1) THEN 'sn' || b.eid_s END AS host_serial,
+  CASE WHEN b.tsel = 0 THEN 'corp.example' END AS host_domain,
+  CASE WHEN b.tsel IN (0, 1) THEN '00:1b:44:7a:aa:0' || b.u5 END AS host_mac,
+  CASE WHEN b.tsel = 0 THEN '10.' || b.u5 || '.' || CAST(b.event_id % 250 AS VARCHAR) || '.4' END AS host_ip,
+  CASE WHEN b.tsel = 0 THEN '10.' || b.u5 || '.' || CAST(b.event_id % 250 AS VARCHAR) || '.5' END AS source_ip,
+  CASE WHEN b.tsel = 0 THEN '172.16.' || b.u5 || '.6' END AS source_nat_ip,
+  CASE WHEN b.tsel IN (0, 1) THEN 'tansrv' || b.u5 END AS observer_hostname,
+  CASE WHEN b.tsel = 0 THEN 'user' || b.u5 || ', admin' || b.eid_s END AS host_logged_in_users,
+  CASE WHEN b.tsel = 0 THEN 'corp' || chr(92) || 'user' || b.u5 END AS host_last_logged_in_user,
+  CASE WHEN b.tsel = 0 THEN 'central standard time' END AS host_timezone,
+  CASE WHEN b.tsel IN (0, 1) THEN 'dell inc.' END AS host_manufacturer,
+  CASE WHEN b.tsel IN (0, 1) THEN 'optiplex 70' || b.u5 END AS host_model,
+  CAST(CASE WHEN b.tsel = 2 THEN 6 ELSE 5 END AS BIGINT) AS log_syslog_severity_code,
+  CAST(1 AS BIGINT) AS log_syslog_facility_code,
+  CASE b.tsel WHEN 0 THEN 'sip_private,source_ip_private'
+    WHEN 1 THEN '_dateparsefailure_hoid' ELSE '_grokparsefailure' END AS tags_s
+FROM tin_turns t JOIN tin_base b USING (event_id)""",
+
+    // virtustream.linux: vsel 0 logstash bracket self-log (4-group grok +
+    // ruby exception suffix), 1 non-bracket wholesale error.message rename,
+    // 2 sshd (grok branch skipped); [tmp][tags] array -> host_os_type null,
+    // "notice" priority nulled by the e94 numeric coercion
+    "qvl01_virtlinux" ->
+      s"""WITH ${Transcripts.vlCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'rule 1' AS parse_rule, 'virtustream' AS event_module,
+  'virtustream.linux' AS event_dataset,
+  'logs-virtustream.linux_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CAST(NULL AS VARCHAR) AS host_os_type,
+  'fwdnode' || b.u5 AS log_source_hostname,
+  'daemon' AS log_syslog_facility_name, 'syslog' AS event_type,
+  CASE b.vsel WHEN 2 THEN 'sshd' ELSE 'logstash.agent' END AS event_kind,
+  '1' AS observer_version,
+  'Raw Original ' || b.eid_s AS event_original,
+  CAST(3 AS BIGINT) AS log_syslog_facility_code,
+  CAST('81' || b.u5 AS BIGINT) AS process_pid,
+  CAST(NULL AS BIGINT) AS log_syslog_priority,
+  '10.' || b.u5 || '.' || CAST(b.event_id % 250 AS VARCHAR) || '.7' AS log_source_ip,
+  CAST(5 AS BIGINT) AS log_syslog_severity_code,
+  CASE WHEN b.vsel = 0 THEN 'logstash.outputs.opensearch' END AS process_parent_name,
+  CASE WHEN b.vsel = 0 THEN 'main' END AS process_name,
+  CAST(NULL AS VARCHAR) AS process_id,
+  CASE WHEN b.vsel = 0
+    THEN 'attempted to resurrect connection to dead es instance ' || b.eid_s END AS event_action,
+  CASE b.vsel WHEN 0 THEN 'connect refused ' || b.eid_s
+    WHEN 1 THEN 'plain forwarder warning ' || b.eid_s END AS error_message,
+  CASE WHEN b.vsel = 0 THEN 'manticore::socketexception' END AS error_type,
+  epoch_ms(date_trunc('day', t.ts)) + 15120000 + (b.event_id % 60) * 1000 AS event_created_ms,
+  epoch_ms(date_trunc('second', t.ts)) + 333 AS event_start_ms,
+  epoch_ms(date_trunc('second', t.ts)) + 921 AS event_ingested_ms,
+  '' AS tags_s
+FROM vl_turns t JOIN vl_base b USING (event_id)""",
+
+    // pingfederate.auth: psel 4 (<191> debug) and 5 (empty) are DROPPED;
+    // 0 RULE 3 PingOne API exception, 1 RULE 4 UnknownHostException,
+    // 2 RULE 5 plain 187, 3 RULE 6 188 (CRLF -> ';' kept in description)
+    "qpf01_pingfed" ->
+      s"""WITH ${Transcripts.pfCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.psel WHEN 0 THEN 'rule 3' WHEN 1 THEN 'rule 4'
+    WHEN 2 THEN 'rule 5' ELSE 'rule 6' END AS parse_rule,
+  'pingfederate' AS event_module, 'pingfederate.auth' AS event_dataset,
+  'logs-pingfederate.auth_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.psel = 3 THEN '188' ELSE '187' END AS log_level,
+  epoch_ms(date_trunc('second', t.ts)) AS event_created_ms,
+  'pfsrv' || b.u5 AS source_address,
+  CASE b.psel WHEN 0 THEN 'integrationcontrollerservlet'
+    WHEN 1 THEN 'httpservletrespproxy' WHEN 2 THEN 'muxinvocationhandler'
+    ELSE 'httpoutput' END AS log_logger,
+  CASE b.psel WHEN 0 THEN 'provisioning call failed ' || b.eid_s
+    WHEN 1 THEN 'dns lookup failed ' || b.eid_s
+    WHEN 2 THEN 'connector pool exhausted ' || b.eid_s
+    ELSE 'response header too large ' || b.eid_s || ';header dump truncated'
+  END AS rule_description,
+  CASE WHEN b.psel = 0 THEN 'get' END AS http_request_method,
+  CASE WHEN b.psel = 0
+    THEN 'https://api.pingone.example/v1/environments/' || b.eid_s END AS url_full,
+  CASE WHEN b.psel = 0 THEN '403' END AS error_code,
+  CASE WHEN b.psel = 3 THEN 'ops warning' ELSE 'ops error' END AS rule_category,
+  '' AS tags_s
+FROM pf_turns t JOIN pf_base b USING (event_id)
+WHERE b.psel <= 3""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

@@ -4850,6 +4850,167 @@ app_turns AS (
     spark.sql(s"WITH $appCte SELECT conv_id, turn_idx, role, text, tool, ts FROM app_turns")
   }
 
+  /** tanium.inventory — asset-report JSON after a braced prefix blob
+    * (syslog_list_inventory_tanium.conf). tsel 0 full record (Intel Type
+    * overwrites the dataset, M/d/yyyy install date), 1 all the
+    * "[current result unavailable]" removals + bad install date + no pri,
+    * 2 brace-less payload (prefix grok default _grokparsefailure). */
+  val tinCte: String = s"""
+tin_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 94.0) AS BIGINT) % 3 AS tsel,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dnp
+  FROM events WHERE (event_id % 94) = 3
+),
+tin_turns AS (
+  SELECT 'tin_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE tsel
+      WHEN 2 THEN '<14>Tanium status heartbeat ' || eid_s
+      WHEN 1 THEN CONCAT('tanium intel{', eid_s, '} ',
+        '{"Computer Name":"Host', u5, '","Operating System":"Ubuntu 22.04"',
+        ',"Operating System Install Date":"not yet known"',
+        ',"Computer Serial Number":"SN', eid_s, '"',
+        ',"Domain Name":"[current result unavailable]"',
+        ',"MAC Address":"00:1B:44:7A:AA:0', u5, '"',
+        ',"IPv4 Address":"x [current result unavailable] x"',
+        ',"Tanium Client IP Address":"[current result unavailable]"',
+        ',"Tanium Client NAT IP Address":"[current result unavailable]"',
+        ',"Tanium Server Name":"TanSrv', u5, '"',
+        ',"Logged In Users":"[current result unavailable]"',
+        ',"Last Logged In User":"[current result unavailable]"',
+        ',"Time Zone":"[current result unavailable]"',
+        ',"Manufacturer":"Dell Inc.","Model":"OptiPlex 70', u5, '"}')
+      ELSE CONCAT('tanium <13> intel{', eid_s, '} ',
+        '{"Computer Name":"Host', u5, '","Operating System":"Ubuntu 22.04"',
+        ',"Operating System Install Date":"1/', dnp, '/2024"',
+        ',"Computer Serial Number":"SN', eid_s, '"',
+        ',"Domain Name":"Corp.Example"',
+        ',"MAC Address":"00:1B:44:7A:AA:0', u5, '"',
+        ',"IPv4 Address":"10.', u5, '.', CAST(event_id % 250 AS STRING), '.4"',
+        ',"Tanium Client IP Address":"10.', u5, '.', CAST(event_id % 250 AS STRING), '.5"',
+        ',"Tanium Client NAT IP Address":"172.16.', u5, '.6"',
+        ',"Tanium Server Name":"TanSrv', u5, '"',
+        ',"Logged In Users":"user', u5, ', admin', eid_s, '"',
+        ',"Last Logged In User":"CORP', chr(92), chr(92), 'user', u5, '"',
+        ',"Time Zone":"Central Standard Time"',
+        ',"Manufacturer":"Dell Inc.","Model":"OptiPlex 70', u5, '"',
+        ',"Intel Type":"Tanium Asset Report"}')
+    END AS text,
+    'tanium.inventory' AS tool, ts, event_id
+  FROM tin_base
+)"""
+
+  def tinInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $tinCte SELECT conv_id, turn_idx, role, text, tool, ts FROM tin_turns")
+  }
+
+  /** virtustream.linux — rsyslog-forwarder JSON envelope
+    * (logstash_virtustream_linux_forwarder.conf). vsel 0 logstash self-log
+    * bracket form (4-group grok + ruby exception suffix), 1 logstash
+    * non-bracket message (wholesale error.message rename), 2 sshd line
+    * (grok branch skipped), each with the three envelope dates. */
+  val vlCte: String = s"""
+vl_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 96.0) AS BIGINT) % 3 AS vsel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 96) = 19
+),
+vl_turns AS (
+  SELECT 'vl_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"tags":["linux","fwd"]',
+      ',"syslog_hostname":"FwdNode', u5, '"',
+      ',"syslog_facility":"daemon"',
+      ',"type":"syslog"',
+      ',"syslog_program":"', CASE vsel WHEN 2 THEN 'sshd' ELSE 'logstash.agent' END, '"',
+      ',"@version":"1"',
+      ',"message":"Raw Original ', eid_s, '"',
+      ',"syslog_facility_code":3',
+      ',"syslog_pid":"81', u5, '"',
+      ',"syslog_severity":"notice"',
+      ',"received_from":"10.', u5, '.', CAST(event_id % 250 AS STRING), '.7"',
+      ',"syslog_severity_code":5',
+      ',"syslog_timestamp":"Jan ', dd, ' 04:12:', LPAD(CAST(event_id % 60 AS STRING), 2, '0'), '"',
+      ',"@timestamp":"', iso, '.333Z"',
+      ',"received_at":"', iso, '.921Z"',
+      ',"syslog_message":"',
+      CASE vsel
+        WHEN 0 THEN CONCAT('[2024-01-', dd, 'T04:12:33,123][WARN ][logstash.outputs.opensearch][main] ',
+          'Attempted to resurrect connection to dead ES instance ', eid_s,
+          ' {:message=>Connect Refused ', eid_s, ', :exception=>Manticore::SocketException,:backtrace=>[]}')
+        WHEN 1 THEN 'plain forwarder warning ' || eid_s
+        ELSE 'Accepted password for deploy from 10.0.0.' || CAST(event_id % 200 AS STRING)
+      END, '"}') AS text,
+    'virtustream.linux' AS tool, ts, event_id
+  FROM vl_base
+)"""
+
+  def vlInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $vlCte SELECT conv_id, turn_idx, role, text, tool, ts FROM vl_turns")
+  }
+
+  /** pingfederate.auth — flat-file jetty/provisioner log
+    * (flat_file_audit_pingfederate.conf). psel 0 RULE 3 (PingOne API
+    * exception), 1 RULE 4 (UnknownHostException), 2 RULE 5 (plain 187),
+    * 3 RULE 6 (188), 4 dropped <191> debug, 5 dropped empty message.
+    * psel 0 carries an embedded CRLF + double-space run to exercise the
+    * newline→';' and two-space gsubs. */
+  val pfCte: String = s"""
+pf_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 98.0) AS BIGINT) % 6 AS psel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(EXTRACT(HOUR FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(EXTRACT(MINUTE FROM ts) AS STRING), 2, '0') || ':'
+      || LPAD(CAST(CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS STRING), 2, '0') AS hms
+  FROM events WHERE (event_id % 98) = 17
+),
+pf_turns AS (
+  SELECT 'pf_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE psel
+      WHEN 5 THEN ''
+      WHEN 4 THEN '2024-01-' || dd || ' {tid' || eid_s || '} <191>Jan ' || dd
+        || ' ' || hms || ' pfsrv' || u5 || ' [t1,t2,DebugLogger] noisy debug detail'
+      WHEN 3 THEN '2024-01-' || dd || ' {tid' || eid_s || '} <188>Jan ' || dd
+        || ' ' || hms || ' pfsrv' || u5 || ' [t1,t2,HttpOutput] Response header too large ' || eid_s
+        || chr(13) || chr(10) || 'header dump truncated'
+      WHEN 2 THEN '2024-01-' || dd || ' {tid' || eid_s || '} <187>Jan ' || dd
+        || ' ' || hms || ' pfsrv' || u5 || ' [t1,t2,MuxInvocationHandler] Connector pool exhausted ' || eid_s
+      WHEN 1 THEN '2024-01-' || dd || ' {tid' || eid_s || '} <187>Jan ' || dd
+        || ' ' || hms || ' pfsrv' || u5
+        || ' [t1,t2,HttpServletRespProxy] DNS lookup failed ' || eid_s
+        || ';java.net.UnknownHostException: api' || u5 || '.example'
+      ELSE CONCAT('2024-01-', dd, ' {tid', eid_s, '} <187>Jan ', dd,
+        ' ', hms, ' pfsrv', u5,
+        ' [t1,t2,IntegrationControllerServlet] Provisioning  call failed ', eid_s,
+        ';com.pingidentity.pingone.api.PingOneAdminApiException: ',
+        'GET request to https://api.pingone.example/v1/environments/', eid_s,
+        ' returned 403: Forbidden')
+    END AS text,
+    'pingfederate.auth' AS tool, ts, event_id
+  FROM pf_base
+)"""
+
+  def pfInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $pfCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pf_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

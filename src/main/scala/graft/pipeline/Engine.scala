@@ -434,6 +434,13 @@ object Engine {
       container_name = s("[container][name]"),
       cloud_project_id = s("[cloud][project][id]"),
       cloud_account_name = s("[cloud][account][name]"),
-      cloud_service_name = s("[cloud][service][name]")))
+      cloud_service_name = s("[cloud][service][name]"),
+      host_os_installation_date_ms = l("[host][os][installation_date_ms]"),
+      host_logged_in_users = s("[host][logged_in_users]"),
+      host_last_logged_in_user = s("[host][last_logged_in_user]"),
+      host_timezone = s("[host][timezone]"),
+      host_os_type = s("[host][os][type]"),
+      log_source_ip = s("[log][source][ip]"),
+      process_id = s("[process][id]")))
   }
 }

@@ -555,6 +555,13 @@ object RowKernel {
     s("[cloud][project][id]")
     s("[cloud][account][name]")
     s("[cloud][service][name]")
+    l("[host][os][installation_date_ms]")
+    s("[host][logged_in_users]")
+    s("[host][last_logged_in_user]")
+    s("[host][timezone]")
+    s("[host][os][type]")
+    s("[log][source][ip]")
+    s("[process][id]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

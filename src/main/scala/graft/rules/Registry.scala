@@ -285,6 +285,12 @@ object Registry {
       "logs-riverbed.netim", Vector("elastic"), Set.empty, "low"),
     "aws.app" -> TechnologyConfig("aws.app",
       "logs-aws.app", Vector("elastic"), Set.empty, "medium"),
+    "tanium.inventory" -> TechnologyConfig("tanium.inventory",
+      "logs-tanium.inventory", Vector("elastic"), Set.empty, "low"),
+    "virtustream.linux" -> TechnologyConfig("virtustream.linux",
+      "logs-virtustream.linux", Vector("elastic"), Set.empty, "medium"),
+    "pingfederate.auth" -> TechnologyConfig("pingfederate.auth",
+      "logs-pingfederate.auth", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -682,6 +688,9 @@ object Registry {
     "azure.graph_data" -> AzureTailRules.graphApi,
     "riverbed.netim" -> RiverbedNetimRules.netim,
     "aws.app" -> AwsAppRules.awsApp,
+    "tanium.inventory" -> InventoryFwdRules.taniumInventory,
+    "virtustream.linux" -> InventoryFwdRules.virtustreamLinux,
+    "pingfederate.auth" -> InventoryFwdRules.pingfederate,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

@@ -84,7 +84,9 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("symantecdlp", Transcripts.sdlInput), ("ciscoaci", Transcripts.aciInput),
       ("ciscowlc", Transcripts.wlcInput), ("ehatp", Transcripts.eatInput),
       ("ehseccenter", Transcripts.ehcInput), ("graphsec", Transcripts.graInput),
-      ("riverbednetim", Transcripts.rvbInput), ("awsapp", Transcripts.appInput))
+      ("riverbednetim", Transcripts.rvbInput), ("awsapp", Transcripts.appInput),
+      ("taniuminv", Transcripts.tinInput), ("virtlinux", Transcripts.vlInput),
+      ("pingfed", Transcripts.pfInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
