@@ -1115,6 +1115,46 @@ px AS (
         col("rule_category"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // riverbed.audit: quote/tab/CR scrubs, three dissect rules, all
+    // captures but user/host discarded by the conf's own sweep
+    "qra01_rvbaudit" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.rauInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("user_name"), col("host_hostname"),
+        col("host_name"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // riverbed.vnes: broken dissect-2 literal tail + trailing-dot ip grok
+    "qrn01_vnes" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.rvnInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("log_level"), col("rule_description"),
+        col("source_ip"), col("user_name"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // riverbed.scportal: dict-key source.address, Start double-space
+    // delimiter, trailing-space RULE 4 mapping, workflow drop
+    "qrs01_scportal" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.rscInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("host_hostname"), col("host_name"),
+        col("source_address"), col("event_action"), col("event_start_ms"),
+        col("process_pid"), col("rule_category"), col("log_level"),
+        col("rule_description"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // riverbed.opnetreport: five-rule ladder keyed on the hard-coded 2019
+    "qro01_opnet" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ropInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("log_level"), col("event_original"),
+        col("file_path"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4168,6 +4208,82 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM pf_turns t JOIN pf_base b USING (event_id)
 WHERE b.psel <= 3""",
+
+    // riverbed.audit: only user/host survive the conf's own remove sweep;
+    // asel 3 is a LogOut line that fails the RULE 1 dissect
+    "qra01_rvbaudit" ->
+      s"""WITH ${Transcripts.rauCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.asel = 3 THEN 0 ELSE 1 END AS parse_ok_i,
+  CASE b.asel WHEN 1 THEN 'rule 2' WHEN 2 THEN 'rule 3' ELSE 'rule 1' END AS parse_rule,
+  'cisco' AS event_module, 'cisco.riverbed.audit' AS event_dataset,
+  'logs-cisco.riverbed.audit_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  CASE b.asel WHEN 0 THEN 'adm' || b.u5 WHEN 1 THEN 'root' || b.eid_s
+    WHEN 2 THEN 'op' || b.u5 END AS user_name,
+  CASE WHEN b.asel = 0 THEN 'rvb' || b.u5 END AS host_hostname,
+  CAST(NULL AS VARCHAR) AS host_name,
+  CASE WHEN b.asel = 3 THEN '_dissectfailure' ELSE '' END AS tags_s
+FROM rau_turns t JOIN rau_base b USING (event_id)""",
+
+    // riverbed.vnes: vsel 1 carries both custom failure tags yet stays
+    // parse_ok (neither matches the _dissectfailure/_grokparsefailure families)
+    "qrn01_vnes" ->
+      s"""WITH ${Transcripts.rvnCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule,
+  'cisco' AS event_module, 'cisco.riverbed.vnes_analytics' AS event_dataset,
+  'logs-cisco.riverbed.vnes_analytics_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(date_trunc('day', t.ts)) + 15180000 + (b.event_id % 60) * 1000 AS event_created_ms,
+  CASE WHEN b.vsel = 2 THEN 'info' ELSE 'warn' END AS log_level,
+  CASE WHEN b.vsel = 0 THEN 'failed log in attempt' END AS rule_description,
+  CASE WHEN b.vsel = 0
+    THEN '10.' || b.u5 || '.' || CAST(b.event_id % 250 AS VARCHAR) || '.9' END AS source_ip,
+  CASE WHEN b.vsel = 0 THEN 'vb' || b.eid_s END AS user_name,
+  CASE b.vsel WHEN 0 THEN 'sip_private,source_ip_private'
+    WHEN 1 THEN 'dissect 2 failure,grok 1 failure' ELSE '' END AS tags_s
+FROM rvn_turns t JOIN rvn_base b USING (event_id)""",
+
+    // riverbed.scportal: ssel 3 dropped; RULE 4's description ends at the
+    // FIRST space (dissect first-occurrence delimiter) - 'sync' only
+    "qrs01_scportal" ->
+      s"""WITH ${Transcripts.rscCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.ssel WHEN 0 THEN 'rule 2' WHEN 1 THEN 'rule 3' ELSE 'rule 4' END AS parse_rule,
+  'cisco' AS event_module, 'cisco.riverbed.scportal' AS event_dataset,
+  'logs-cisco.riverbed.scportal_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  CASE WHEN b.ssel = 0 THEN 'sc-host-' || b.u5 END AS host_hostname,
+  CASE WHEN b.ssel = 0 THEN 'sc-host-' || b.u5 END AS host_name,
+  CASE WHEN b.ssel = 0 THEN chr(39) || 'source' || chr(39) END AS source_address,
+  CASE WHEN b.ssel = 1 THEN 'start backup' END AS event_action,
+  CAST(CASE WHEN b.ssel = 1
+    THEN epoch_ms(date_trunc('day', t.ts)) + 15245120 END AS BIGINT) AS event_start_ms,
+  CAST(CASE WHEN b.ssel = 2 THEN CAST('13' || b.u5 AS BIGINT) END AS BIGINT) AS process_pid,
+  CASE WHEN b.ssel = 2 THEN 'provision' END AS rule_category,
+  CASE WHEN b.ssel = 2 THEN 'error' END AS log_level,
+  CASE WHEN b.ssel = 2 THEN 'sync' END AS rule_description,
+  '' AS tags_s
+FROM rsc_turns t JOIN rsc_base b USING (event_id)
+WHERE b.ssel <= 2""",
+
+    // riverbed.opnetreport: RULE 2's session token in event.start draws the
+    // enrichment-stage _dateparsefailure_es; event.original keeps case
+    "qro01_opnet" ->
+      s"""WITH ${Transcripts.ropCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'rule ' || CAST(b.osel + 1 AS VARCHAR) AS parse_rule,
+  'cisco' AS event_module, 'cisco.riverbed.opnetreport' AS event_dataset,
+  'logs-cisco.riverbed.opnetreport_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  CASE b.osel WHEN 1 THEN 'info' WHEN 2 THEN 'warn' WHEN 3 THEN 'warn'
+    WHEN 4 THEN 'error' END AS log_level,
+  CASE b.osel WHEN 0 THEN 'Report agent heartbeat OK ' || b.eid_s
+    WHEN 2 THEN 'Maintenance window started ' || b.eid_s
+    WHEN 3 THEN 'No appenders found for logger ' || b.eid_s END AS event_original,
+  CASE WHEN b.osel = 4 THEN '/opt/reports/run' || b.eid_s || '.csv' END AS file_path,
+  CASE WHEN b.osel = 1 THEN '_dateparsefailure_es' ELSE '' END AS tags_s
+FROM rop_turns t JOIN rop_base b USING (event_id)""",
 
     "qmp01_mpki" ->
       s"""WITH ${Transcripts.mpCte}

@@ -5011,6 +5011,160 @@ pf_turns AS (
     spark.sql(s"WITH $pfCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pf_turns")
   }
 
+  /** cisco.riverbed.audit — tab/CR/quote-scrubbed login audit lines
+    * (flat_file_audit_riverbed.audit.conf). asel 0 RULE 1 LogIn with host
+    * (tab/CR/quote gsubs exercised), 1 RULE 2 _LOGIN, 2 RULE 3 else-branch
+    * (resource capture discarded by the conf's own sweep), 3 RULE 1
+    * dissect failure (LogOut line without the k:v tail). */
+  val rauCte: String = s"""
+rau_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 42.0) AS BIGINT) % 4 AS asel,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dnp
+  FROM events WHERE (event_id % 42) = 11
+),
+rau_turns AS (
+  SELECT 'rau_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE asel
+      WHEN 0 THEN chr(9) || 'AUDIT' || chr(34) || 'LOG' || chr(34) || ' Jan ' || dnp
+        || ' 04:12:30 GMT 2024 LogIn user:Adm' || u5 || ' host:RVB' || u5
+        || ' allowed:true' || chr(13)
+      WHEN 1 THEN 'AUDIT Jan ' || dnp || ' 04:12:31 GMT 2024 ADMIN_LOGIN user:Root'
+        || eid_s || ' allowed:false'
+      WHEN 2 THEN 'AUDIT Jan ' || dnp || ' 04:12:32 GMT 2024 ConfigChange user:op'
+        || u5 || ' allowed:true resource:pool' || eid_s
+      ELSE 'System LogOut event ' || eid_s
+    END AS text,
+    'cisco.riverbed.audit' AS tool, ts, event_id
+  FROM rau_base
+)"""
+
+  def rauInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $rauCte SELECT conv_id, turn_idx, role, text, tool, ts FROM rau_turns")
+  }
+
+  /** cisco.riverbed.vnes_analytics — vnes web log
+    * (flat_file_audit_riverbed.vnes_analytics.conf). vsel 0 login line
+    * carrying BOTH the sentence-period ip and the literal
+    * "[[rule][category]]}" tail (the only shape the conf's broken dissect 2
+    * + trailing-dot grok both match), 1 the sane real-world login line
+    * (both custom failure tags, parse_ok stays true), 2 non-login INFO. */
+  val rvnCte: String = s"""
+rvn_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 45.0) AS BIGINT) % 3 AS vsel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2
+  FROM events WHERE (event_id % 45) = 7
+),
+rvn_turns AS (
+  SELECT 'rvn_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '2024/01/' || dd || ' 04:13:' || ss2 ||
+    CASE vsel
+      WHEN 0 THEN ' WARN - [portal] failed log in attempt from 10.' || u5 || '.'
+        || CAST(event_id % 250 AS STRING) || '.9. -- user: vb' || eid_s
+        || '. method: password[[rule][category]]}'
+      WHEN 1 THEN ' WARN - [portal] failed log in attempt from 10.' || u5 || '.'
+        || CAST(event_id % 250 AS STRING) || '.9 -- user: vb' || eid_s
+        || '. method: password'
+      ELSE ' INFO - [sched] nightly rollup completed ' || eid_s
+    END AS text,
+    'cisco.riverbed.vnes_analytics' AS tool, ts, event_id
+  FROM rvn_base
+)"""
+
+  def rvnInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $rvnCte SELECT conv_id, turn_idx, role, text, tool, ts FROM rvn_turns")
+  }
+
+  /** cisco.riverbed.scportal — steelcentral portal mix
+    * (flat_file_audit_riverbed.scportal.conf). ssel 0 RULE 2 python-dict
+    * line (key text "'source'" lands in source.address), 1 RULE 3 Start
+    * line (" at  " double-space delimiter, MM/dd/yyyy HH:mm:ss.SS start),
+    * 2 RULE 4 log4j-ish line (trailing-space mapping; its yyyy-MM-dd date
+    * targets the e04-clobbered @timestamp), 3 RULE 1 workflow dict DROP. */
+  val rscCte: String = s"""
+rsc_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 49.0) AS BIGINT) % 4 AS ssel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2
+  FROM events WHERE (event_id % 49) = 13
+),
+rsc_turns AS (
+  SELECT 'rsc_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE ssel
+      WHEN 0 THEN 'Portal' || u5 || ' SC-Host-' || u5 || ',{' || chr(39) || 'model'
+        || chr(39) || ': dash,' || chr(39) || 'objtype' || chr(39) || ': nd,'
+        || chr(39) || 'product' || chr(39) || ': scp,' || chr(39) || 'runtime'
+        || chr(39) || ': rt' || eid_s || ',' || chr(39) || 'schema' || chr(39)
+        || ': h1,' || chr(39) || 'serial' || chr(39) || ': sn1,' || chr(39)
+        || 'source' || chr(39) || ': lab,' || chr(39) || 'systemtime' || chr(39)
+        || ': t0,' || chr(39) || 'version' || chr(39) || ': 9'
+      WHEN 1 THEN 'Start backup at  04:14:05.12 for job' || eid_s || ' 01/' || dd || '/2024'
+      WHEN 2 THEN '2024-01-' || dd || ' 04:15:' || ss2 || ',13' || u5
+        || ' [Provision] ERROR  Sync failed for node ' || eid_s || ' '
+      ELSE 'update {' || chr(39) || 'workflow' || chr(39) || ': w' || eid_s || '}'
+    END AS text,
+    'cisco.riverbed.scportal' AS tool, ts, event_id
+  FROM rsc_base
+)"""
+
+  def rscInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $rscCte SELECT conv_id, turn_idx, role, text, tool, ts FROM rsc_turns")
+  }
+
+  /** cisco.riverbed.opnetreport — opnet report scraper
+    * (flat_file_audit_riverbed.opnetreport.conf). osel 0 RULE 1 ^2019
+    * line, 1 RULE 2 mid-2019 session line (event.start captures the
+    * session token; rebuilt MMM-dd-yyyy date goes to the dead @timestamp),
+    * 2 RULE 3 Maintenance, 3 RULE 4 log4j, 4 RULE 5 file-path line. */
+  val ropCte: String = s"""
+rop_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 51.0) AS BIGINT) % 5 AS osel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2
+  FROM events WHERE (event_id % 51) = 23
+),
+rop_turns AS (
+  SELECT 'rop_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE osel
+      WHEN 0 THEN '2019-07-01 12:00:00 Report agent heartbeat OK ' || eid_s
+      WHEN 1 THEN 'INFO [net-2019,session' || eid_s || ' opened: Mon Jan ' || dd
+        || ' 04:16:' || ss2 || ' EST 2019]' || chr(13)
+      WHEN 2 THEN 'WARN [net,Maintenance window started ' || eid_s || chr(13)
+      WHEN 3 THEN 'log4j:WARN No appenders found for logger ' || eid_s
+      ELSE 'ERROR [net,report: /opt/reports/run' || eid_s || '.csv]'
+    END AS text,
+    'cisco.riverbed.opnetreport' AS tool, ts, event_id
+  FROM rop_base
+)"""
+
+  def ropInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ropCte SELECT conv_id, turn_idx, role, text, tool, ts FROM rop_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

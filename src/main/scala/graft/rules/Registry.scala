@@ -291,6 +291,14 @@ object Registry {
       "logs-virtustream.linux", Vector("elastic"), Set.empty, "medium"),
     "pingfederate.auth" -> TechnologyConfig("pingfederate.auth",
       "logs-pingfederate.auth", Vector("elastic"), Set.empty, "medium"),
+    "cisco.riverbed.audit" -> TechnologyConfig("cisco.riverbed.audit",
+      "logs-cisco.riverbed.audit", Vector("elastic"), Set.empty, "low"),
+    "cisco.riverbed.vnes_analytics" -> TechnologyConfig("cisco.riverbed.vnes_analytics",
+      "logs-cisco.riverbed.vnes_analytics", Vector("elastic"), Set.empty, "low"),
+    "cisco.riverbed.scportal" -> TechnologyConfig("cisco.riverbed.scportal",
+      "logs-cisco.riverbed.scportal", Vector("elastic"), Set.empty, "low"),
+    "cisco.riverbed.opnetreport" -> TechnologyConfig("cisco.riverbed.opnetreport",
+      "logs-cisco.riverbed.opnetreport", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -691,6 +699,10 @@ object Registry {
     "tanium.inventory" -> InventoryFwdRules.taniumInventory,
     "virtustream.linux" -> InventoryFwdRules.virtustreamLinux,
     "pingfederate.auth" -> InventoryFwdRules.pingfederate,
+    "cisco.riverbed.audit" -> RiverbedFlatRules.audit,
+    "cisco.riverbed.vnes_analytics" -> RiverbedFlatRules.vnes,
+    "cisco.riverbed.scportal" -> RiverbedFlatRules.scportal,
+    "cisco.riverbed.opnetreport" -> RiverbedFlatRules.opnetreport,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

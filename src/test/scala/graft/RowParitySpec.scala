@@ -86,7 +86,9 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ehseccenter", Transcripts.ehcInput), ("graphsec", Transcripts.graInput),
       ("riverbednetim", Transcripts.rvbInput), ("awsapp", Transcripts.appInput),
       ("taniuminv", Transcripts.tinInput), ("virtlinux", Transcripts.vlInput),
-      ("pingfed", Transcripts.pfInput))
+      ("pingfed", Transcripts.pfInput), ("rvbaudit", Transcripts.rauInput),
+      ("rvbvnes", Transcripts.rvnInput), ("rvbscportal", Transcripts.rscInput),
+      ("rvbopnet", Transcripts.ropInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
