@@ -1155,6 +1155,56 @@ px AS (
         col("file_path"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // ubiquiti bridge: folded-frame gsubs, three timestamp-skip dissects,
+    // copy-based bad-pw/child/login refinements, ip:port self-redissect
+    "qub01_ubiqbridge" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ubbInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("rule_description"), col("observer_type"),
+        col("user_name"), col("source_ip"), col("source_port"),
+        col("log_syslog_severity_code"), col("log_syslog_facility_code"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // ubiquiti controller: filebeat envelope renames, yyy.MM.dd date,
+    // hostname copied to host.name then renamed away to log.source.hostname
+    "qub02_ubiqctrl" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ubcInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_provider"), col("event_category"),
+        col("observer_product"), col("observer_type"), col("observer_vendor"),
+        col("organization_name"), col("host_hostname"), col("host_name"),
+        col("log_source_hostname"), col("log_offset"), col("log_file_path"),
+        col("ecs_version"), col("event_description"), col("service_name"),
+        col("event_type"), col("rule_description"), col("user_name"),
+        col("log_syslog_severity_code"), col("log_syslog_facility_code"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // cisco wireless ap: RULE 2 colon guard bug, parse_rule array join,
+    // asterisk/apname clock refinements, sprintf-literal date failure
+    "qcw01_ciscoap" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.cwaInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("rule_name"), col("rule_description"),
+        col("event_action"),
+        col("log_syslog_severity_code"), col("log_syslog_facility_code"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // cisco waas: lowercased rest_msg, service.type overwrite, shared
+    // rule-2/other mapping, cascading main+other dissect failures
+    "qcs01_waas" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.cwsInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("service_type"), col("event_code"),
+        col("event_action"), col("user_name"), col("user_id"),
+        col("source_ip"), col("source_port"), col("destination_ip"),
+        col("destination_port"), col("rule_description"),
+        col("log_syslog_severity_code"), col("log_syslog_facility_code"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4266,6 +4316,128 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // ubiquiti bridge: Ruby line-anchored header grok keeps only the FIRST
+    // line of the \n\t-folded init frame in actual_msg
+    "qub01_ubiqbridge" ->
+      s"""WITH ${Transcripts.ubbCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'ubiquiti' AS event_module,
+  'ubiquiti.wireless.bridge.session' AS event_dataset,
+  'logs-ubiquiti.wireless.bridge.session_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  CASE b.bsel
+    WHEN 0 THEN 'starting pid 14' || b.u5 || ', tty ' || chr(39) || '/dev/ttys0' || chr(39)
+    WHEN 1 THEN 'ath0 ap peer 00:1b:44:7a:aa:0' || b.u5 || ' associated'
+    WHEN 2 THEN 'bad password attempt for ' || chr(39) || 'ubnt' || b.eid_s || chr(39)
+      || ' from 10.' || b.u5 || '.' || b.m250 || '.8:52814'
+    WHEN 3 THEN 'child connection from 10.' || b.u5 || '.' || b.m250 || '.3:40012'
+    ELSE 'login attempt for nonexistent user from 10.' || b.u5 || '.' || b.m250 || '.2:41999'
+  END AS rule_description,
+  CASE b.bsel WHEN 2 THEN 'dropbear[81' || b.u5 || ']'
+    WHEN 3 THEN 'dropbear[9' || b.u5 || ']'
+    WHEN 4 THEN 'dropbear[7' || b.u5 || ']' END AS observer_type,
+  CASE WHEN b.bsel = 2 THEN 'ubnt' || b.eid_s END AS user_name,
+  CASE b.bsel WHEN 2 THEN '10.' || b.u5 || '.' || b.m250 || '.8'
+    WHEN 3 THEN '10.' || b.u5 || '.' || b.m250 || '.3'
+    WHEN 4 THEN '10.' || b.u5 || '.' || b.m250 || '.2' END AS source_ip,
+  CAST(CASE b.bsel WHEN 2 THEN 52814 WHEN 3 THEN 40012 WHEN 4 THEN 41999 END AS BIGINT) AS source_port,
+  CAST(6 AS BIGINT) AS log_syslog_severity_code,
+  CAST(CASE WHEN b.bsel IN (0, 1) THEN 3 ELSE 4 END AS BIGINT) AS log_syslog_facility_code,
+  CASE WHEN b.bsel IN (2, 3, 4) THEN 'sip_private,source_ip_private' ELSE '' END AS tags_s
+FROM ubb_turns t JOIN ubb_base b USING (event_id)""",
+
+    // ubiquiti controller: envelope renames; host.name copied then renamed
+    // away to log.source.hostname; event.description keeps case
+    "qub02_ubiqctrl" ->
+      s"""WITH ${Transcripts.ubcCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.csel = 2 THEN 0 ELSE 1 END AS parse_ok_i,
+  'not parsed' AS parse_rule, 'ubiquiti' AS event_module,
+  'ubiquiti.controller' AS event_dataset,
+  'logs-ubiquiti.controller_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.csel = 2 THEN epoch_ms(t.ts)
+    ELSE epoch_ms(date_trunc('day', t.ts)) + 15480000 + (b.event_id % 60) * 1000 + 123
+  END AS event_created_ms,
+  'ubiquiti' AS event_provider, 'controller.sess' AS event_category,
+  'unifi controller' AS observer_product, 'controller' AS observer_type,
+  'ubiquiti' AS observer_vendor, 'netops' AS organization_name,
+  'ctrl-' || b.u5 AS host_hostname, CAST(NULL AS VARCHAR) AS host_name,
+  'ctrl-' || b.u5 AS log_source_hostname,
+  CAST(b.event_id % 5000 AS BIGINT) AS log_offset,
+  '/var/log/unifi/server.log' AS log_file_path, '1.8.0' AS ecs_version,
+  CASE b.csel
+    WHEN 0 THEN '2024.01.' || b.dd || '-04:18:' || b.ss2 || '.123 [svc-mgr] INFO: radius profile updated ' || b.eid_s
+    WHEN 1 THEN '2024.01.' || b.dd || '-04:18:' || b.ss2 || '.123 [auth] WARN: penalizing Admin' || b.u5 || ' after 3 unsuccessful login attempts'
+    ELSE 'system heartbeat ' || b.eid_s
+  END AS event_description,
+  CASE b.csel WHEN 0 THEN 'svc-mgr' WHEN 1 THEN 'auth' END AS service_name,
+  CASE b.csel WHEN 0 THEN 'info' WHEN 1 THEN 'warn' END AS event_type,
+  CASE b.csel WHEN 0 THEN 'radius profile updated ' || b.eid_s
+    WHEN 1 THEN 'penalizing admin' || b.u5 || ' after 3 unsuccessful login attempts' END AS rule_description,
+  CASE WHEN b.csel = 1 THEN 'admin' || b.u5 END AS user_name,
+  CAST(5 AS BIGINT) AS log_syslog_severity_code,
+  CAST(1 AS BIGINT) AS log_syslog_facility_code,
+  CASE WHEN b.csel = 2 THEN '_dissectfailure' ELSE '' END AS tags_s
+FROM ubc_turns t JOIN ubc_base b USING (event_id)""",
+
+    // cisco wireless ap: parse_rule array join on the clock refinements;
+    // colon-less RULE 2 always fails and its sprintf-literal date tags _ec
+    "qcw01_ciscoap" ->
+      s"""WITH ${Transcripts.cwaCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.wsel = 3 THEN 0 ELSE 1 END AS parse_ok_i,
+  CASE b.wsel WHEN 0 THEN 'rule 1' WHEN 1 THEN 'rule 3,rule 4'
+    WHEN 2 THEN 'rule 3,rule 5' ELSE 'rule 2' END AS parse_rule,
+  'cisco' AS event_module, 'cisco.wireless.access_point' AS event_dataset,
+  'logs-cisco.wireless.access_point_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE b.wsel WHEN 0 THEN epoch_ms(date_trunc('day', t.ts)) + 81913900
+    WHEN 1 THEN epoch_ms(date_trunc('day', t.ts)) + 81914100
+    WHEN 2 THEN epoch_ms(date_trunc('day', t.ts)) + 81915000
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CASE b.wsel WHEN 0 THEN 'validate' WHEN 1 THEN 'auth' WHEN 2 THEN 'join' END AS rule_name,
+  CASE WHEN b.wsel = 0 THEN 'payload ' || b.eid_s END AS rule_description,
+  CASE b.wsel WHEN 1 THEN 'client rejected ' || b.eid_s
+    WHEN 2 THEN 'ap joined ' || b.eid_s END AS event_action,
+  CAST(5 AS BIGINT) AS log_syslog_severity_code,
+  CAST(CASE WHEN b.wsel = 3 THEN 23 ELSE 1 END AS BIGINT) AS log_syslog_facility_code,
+  CASE WHEN b.wsel = 3 THEN '_dateparsefailure_ec,_dissectfailure' ELSE '' END AS tags_s
+FROM cwa_turns t JOIN cwa_base b USING (event_id)""",
+
+    // cisco waas: lowercased rest_msg captures; rule-1 service.type
+    // overwrite; main-dissect failure cascades into _dissectfailure_other
+    "qcs01_waas" ->
+      s"""WITH ${Transcripts.cwsCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.asel = 3 THEN 0 ELSE 1 END AS parse_ok_i,
+  CASE b.asel WHEN 0 THEN 'rule 1' WHEN 1 THEN 'rule 2' ELSE 'other' END AS parse_rule,
+  'cisco' AS event_module, 'cisco.waas' AS event_dataset,
+  'logs-cisco.waas_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE b.asel WHEN 0 THEN epoch_ms(date_trunc('day', t.ts)) + 55980000 + (b.event_id % 60) * 1000
+    WHEN 1 THEN epoch_ms(date_trunc('day', t.ts)) + 56040000 + (b.event_id % 60) * 1000
+    WHEN 2 THEN epoch_ms(date_trunc('day', t.ts)) + 56100000 + (b.event_id % 60) * 1000
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CASE b.asel WHEN 0 THEN 'pam_unix' WHEN 1 THEN 'tcpproxy[4' || b.u5 || ']'
+    WHEN 2 THEN 'tcpproxy[5' || b.u5 || ']' END AS service_type,
+  CASE b.asel WHEN 0 THEN '60' || b.u5 WHEN 1 THEN '70' || b.u5
+    WHEN 2 THEN '71' || b.u5 END AS event_code,
+  CASE WHEN b.asel = 0 THEN 'authentication failure' END AS event_action,
+  CASE WHEN b.asel = 0 THEN 'admin' || b.eid_s END AS user_name,
+  CASE WHEN b.asel = 0 THEN '0' END AS user_id,
+  CASE b.asel WHEN 0 THEN '10.' || b.u5 || '.' || b.m250 || '.2'
+    WHEN 1 THEN '10.' || b.u5 || '.' || b.m250 || '.3'
+    WHEN 2 THEN '10.' || b.u5 || '.' || b.m250 || '.4' END AS source_ip,
+  CAST(CASE b.asel WHEN 1 THEN 5000 WHEN 2 THEN 6000 END AS BIGINT) AS source_port,
+  CASE b.asel WHEN 1 THEN '10.9.9.9' WHEN 2 THEN '10.8.8.8' END AS destination_ip,
+  CAST(CASE b.asel WHEN 1 THEN 443 WHEN 2 THEN 80 END AS BIGINT) AS destination_port,
+  CASE b.asel WHEN 1 THEN 'tcp packet flags are incorrect seq ' || b.eid_s
+    WHEN 2 THEN 'connection reset by peer ' || b.eid_s END AS rule_description,
+  CAST(6 AS BIGINT) AS log_syslog_severity_code,
+  CAST(CASE WHEN b.asel = 3 THEN 23 ELSE 10 END AS BIGINT) AS log_syslog_facility_code,
+  CASE b.asel WHEN 0 THEN 'sip_private,source_ip_private'
+    WHEN 3 THEN '_dissectfailure,_dissectfailure_other'
+    ELSE 'destination_ip_private,dip_private,sip_private,source_ip_private' END AS tags_s
+FROM cws_turns t JOIN cws_base b USING (event_id)""",
 
     // riverbed.opnetreport: RULE 2's session token in event.start draws the
     // enrichment-stage _dateparsefailure_es; event.original keeps case

@@ -5165,6 +5165,157 @@ rop_turns AS (
     spark.sql(s"WITH $ropCte SELECT conv_id, turn_idx, role, text, tool, ts FROM rop_turns")
   }
 
+  /** ubiquiti.wireless.bridge.session — airos/dropbear syslog
+    * (syslog_audit_ubiquiti.wireless_bridge.conf). bsel 0 init line with a
+    * folded "\n\t" continuation, 1 wireless line, 2 bad-password (quoted
+    * user + ip:port self-redissect), 3 child connection, 4 login attempt. */
+  val ubbCte: String = s"""
+ubb_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 55.0) AS BIGINT) % 5 AS bsel,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dnp,
+    CAST(event_id % 250 AS STRING) AS m250
+  FROM events WHERE (event_id % 55) = 19
+),
+ubb_turns AS (
+  SELECT 'ubb_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE bsel
+      WHEN 0 THEN '<30>Jan ' || dnp || ' 04:17:01 init: starting pid 14' || u5
+        || ', tty ' || chr(39) || '/dev/ttyS0' || chr(39) || chr(10) || chr(9) || 'speed 9600'
+      WHEN 1 THEN '<30>Jan ' || dnp || ' 04:17:02 wireless: ath0 AP peer 00:1B:44:7A:AA:0'
+        || u5 || ' associated'
+      WHEN 2 THEN '<38>Jan ' || dnp || ' 04:17:03 dropbear[81' || u5
+        || ']: Bad password attempt for ' || chr(39) || 'ubnt' || eid_s || chr(39)
+        || ' from 10.' || u5 || '.' || m250 || '.8:52814'
+      WHEN 3 THEN '<38>Jan ' || dnp || ' 04:17:04 dropbear[9' || u5
+        || ']: Child connection from 10.' || u5 || '.' || m250 || '.3:40012'
+      ELSE '<38>Jan ' || dnp || ' 04:17:05 dropbear[7' || u5
+        || ']: Login attempt for nonexistent user from 10.' || u5 || '.' || m250 || '.2:41999'
+    END AS text,
+    'ubiquiti.wireless.bridge.session' AS tool, ts, event_id
+  FROM ubb_base
+)"""
+
+  def ubbInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ubbCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ubb_turns")
+  }
+
+  /** ubiquiti.controller — filebeat JSON envelope over the unifi server log
+    * (syslog_audit_ubiquiti.controller_session_logs.conf). csel 0 generic
+    * INFO line, 1 the "penalizing" refinement, 2 description without the
+    * bracket shape (dissect failure). */
+  val ubcCte: String = s"""
+ubc_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 57.0) AS BIGINT) % 3 AS csel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2
+  FROM events WHERE (event_id % 57) = 29
+),
+ubc_turns AS (
+  SELECT 'ubc_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"log":{"offset":', CAST(event_id % 5000 AS STRING),
+      ',"file":{"path":"/var/log/unifi/server.log"}}',
+      ',"message":"',
+      CASE csel
+        WHEN 0 THEN '2024.01.' || dd || '-04:18:' || ss2 || '.123 [svc-mgr] INFO: radius profile updated ' || eid_s
+        WHEN 1 THEN '2024.01.' || dd || '-04:18:' || ss2 || '.123 [auth] WARN: penalizing Admin' || u5 || ' after 3 unsuccessful login attempts'
+        ELSE 'system heartbeat ' || eid_s
+      END, '"',
+      ',"fields":{"observer":{"product":"UniFi Controller","type":"controller","vendor":"Ubiquiti"}',
+      ',"organization":{"name":"NetOps"}',
+      ',"event":{"module":"ubiquiti","dataset":"controller.sess"}}',
+      ',"host":{"name":"Ctrl-', u5, '"}',
+      ',"ecs":{"version":"1.8.0"}}') AS text,
+    'ubiquiti.controller' AS tool, ts, event_id
+  FROM ubc_base
+)"""
+
+  def ubcInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ubcCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ubc_turns")
+  }
+
+  /** cisco.wireless.access_point — WLC/AP syslog
+    * (syslog_audit_cisco.wireless.ap.conf). wsel 0 RULE 1 UTC clock,
+    * 1 RULE 3 + RULE 4 (apname-prefixed clock, parse_rule array join),
+    * 2 RULE 3 + RULE 5 (asterisk clock), 3 colon-less RULE 2 (mapping
+    * always fails; sprintf-literal created draws _dateparsefailure_ec). */
+  val cwaCte: String = s"""
+cwa_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 62.0) AS BIGINT) % 4 AS wsel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd
+  FROM events WHERE (event_id % 62) = 31
+),
+cwa_turns AS (
+  SELECT 'cwa_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE wsel
+      WHEN 0 THEN '81' || u5 || ': Jan ' || dd || ' 22:45:13.900 UTC: %APF-3-VALIDATE: payload ' || eid_s
+      WHEN 1 THEN '901: apname' || u5 || ': Jan ' || dd || ' 22:45:14.100: %APF-3-AUTH: client rejected ' || eid_s
+      WHEN 2 THEN '77: *Jan ' || dd || ' 22:45:15: %CAPWAP-5-JOIN: ap joined ' || eid_s
+      ELSE '<189>radio reset notice ' || eid_s
+    END AS text,
+    'cisco.wireless.access_point' AS tool, ts, event_id
+  FROM cwa_base
+)"""
+
+  def cwaInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $cwaCte SELECT conv_id, turn_idx, role, text, tool, ts FROM cwa_turns")
+  }
+
+  /** cisco.waas — WAAS pam/tcpproxy syslog (syslog_security_cisco.waas.conf).
+    * asel 0 rule 1 auth failure (rest_msg pre-lowercased), 1 rule 2 packet
+    * flags, 2 "other" shared mapping, 3 main dissect failure cascading into
+    * the other-branch failure tag. */
+  val cwsCte: String = s"""
+cws_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 63.0) AS BIGINT) % 4 AS asel,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dnp,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2,
+    CAST(event_id % 250 AS STRING) AS m250
+  FROM events WHERE (event_id % 63) = 37
+),
+cws_turns AS (
+  SELECT 'cws_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE asel
+      WHEN 0 THEN '<86>2024 Jan ' || dnp || ' 15:33:' || ss2 || ' sshd(pam_unix)[81' || u5
+        || ']: 60' || u5 || ': pam_unix: Authentication failure; logname=Admin' || eid_s
+        || ' uid=0 euid=0 rhost=10.' || u5 || '.' || m250 || '.2'
+      WHEN 1 THEN '<86>2024 Jan ' || dnp || ' 15:34:' || ss2 || ' tcpproxy[4' || u5
+        || ']: 70' || u5 || ': 10.' || u5 || '.' || m250 || '.3:5000 - 10.9.9.9:443 - TCP packet flags are incorrect seq ' || eid_s
+      WHEN 2 THEN '<86>2024 Jan ' || dnp || ' 15:35:' || ss2 || ' tcpproxy[5' || u5
+        || ']: 71' || u5 || ': 10.' || u5 || '.' || m250 || '.4:6000 - 10.8.8.8:80 - Connection reset by peer ' || eid_s
+      ELSE '<190>hello waas ' || eid_s
+    END AS text,
+    'cisco.waas' AS tool, ts, event_id
+  FROM cws_base
+)"""
+
+  def cwsInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $cwsCte SELECT conv_id, turn_idx, role, text, tool, ts FROM cws_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -206,7 +206,13 @@ object Grok {
     // keep the \r of each CRLF (the frame splits on \n), so CR-separated
     // bodies are the NORM for kv-over-"\r\n" processors
     // (ref: syslog_security_symantec.dlp.conf:27-33).
-    CompiledGrok(Pattern.compile(finalPattern, Pattern.UNIX_LINES), indexed)
+    // MULTILINE: Ruby's ^/$ are ALWAYS line anchors, so the shared header
+    // grok captures the FIRST LINE of a \n-folded payload into actual_msg
+    // and parsing continues (proven by the dropbear "\n\t" folds that
+    // syslog_audit_ubiquiti.wireless_bridge.conf:22-25 then re-joins).
+    // Java anchors are whole-input by default, which would instead fail the
+    // header grok on any embedded \n. Patterns without ^/$ are unaffected.
+    CompiledGrok(Pattern.compile(finalPattern, Pattern.UNIX_LINES | Pattern.MULTILINE), indexed)
   }
 
   /** First-match-wins over a pattern list; failure appends tag(s).

@@ -441,6 +441,11 @@ object Engine {
       host_timezone = s("[host][timezone]"),
       host_os_type = s("[host][os][type]"),
       log_source_ip = s("[log][source][ip]"),
-      process_id = s("[process][id]")))
+      process_id = s("[process][id]"),
+      observer_type = s("[observer][type]"),
+      event_description = s("[event][description]"),
+      log_offset = l("[log][offset]"),
+      log_file_path = s("[log][file][path]"),
+      ecs_version = s("[ecs][version]")))
   }
 }

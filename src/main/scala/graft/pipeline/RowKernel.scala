@@ -562,6 +562,11 @@ object RowKernel {
     s("[host][os][type]")
     s("[log][source][ip]")
     s("[process][id]")
+    s("[observer][type]")
+    s("[event][description]")
+    l("[log][offset]")
+    s("[log][file][path]")
+    s("[ecs][version]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

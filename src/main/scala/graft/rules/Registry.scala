@@ -299,6 +299,14 @@ object Registry {
       "logs-cisco.riverbed.scportal", Vector("elastic"), Set.empty, "low"),
     "cisco.riverbed.opnetreport" -> TechnologyConfig("cisco.riverbed.opnetreport",
       "logs-cisco.riverbed.opnetreport", Vector("elastic"), Set.empty, "low"),
+    "ubiquiti.wireless.bridge.session" -> TechnologyConfig("ubiquiti.wireless.bridge.session",
+      "logs-ubiquiti.wireless.bridge.session", Vector("elastic"), Set.empty, "low"),
+    "ubiquiti.controller" -> TechnologyConfig("ubiquiti.controller",
+      "logs-ubiquiti.controller", Vector("elastic"), Set.empty, "medium"),
+    "cisco.wireless.access_point" -> TechnologyConfig("cisco.wireless.access_point",
+      "logs-cisco.wireless.access_point", Vector("elastic"), Set.empty, "medium"),
+    "cisco.waas" -> TechnologyConfig("cisco.waas",
+      "logs-cisco.waas", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -703,6 +711,10 @@ object Registry {
     "cisco.riverbed.vnes_analytics" -> RiverbedFlatRules.vnes,
     "cisco.riverbed.scportal" -> RiverbedFlatRules.scportal,
     "cisco.riverbed.opnetreport" -> RiverbedFlatRules.opnetreport,
+    "ubiquiti.wireless.bridge.session" -> WirelessEdgeRules.ubiquitiBridge,
+    "ubiquiti.controller" -> WirelessEdgeRules.ubiquitiController,
+    "cisco.wireless.access_point" -> WirelessEdgeRules.ciscoWirelessAp,
+    "cisco.waas" -> WirelessEdgeRules.ciscoWaas,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

@@ -88,7 +88,9 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("taniuminv", Transcripts.tinInput), ("virtlinux", Transcripts.vlInput),
       ("pingfed", Transcripts.pfInput), ("rvbaudit", Transcripts.rauInput),
       ("rvbvnes", Transcripts.rvnInput), ("rvbscportal", Transcripts.rscInput),
-      ("rvbopnet", Transcripts.ropInput))
+      ("rvbopnet", Transcripts.ropInput), ("ubiqbridge", Transcripts.ubbInput),
+      ("ubiqctrl", Transcripts.ubcInput), ("ciscoap", Transcripts.cwaInput),
+      ("ciscowaas", Transcripts.cwsInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
