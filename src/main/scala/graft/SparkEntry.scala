@@ -1205,6 +1205,62 @@ px AS (
         col("log_syslog_severity_code"), col("log_syslog_facility_code"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // apache rsyslog envelope: dissected (not json-parsed), per-branch
+    // "}-junk gsubs, ::1 nat rewrites, string ingested date -> _ei tag
+    "qah01_apache" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.apaInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_kind"), col("host_name"),
+        col("log_syslog_priority"), col("log_syslog_facility_code"),
+        col("host_user_name"), col("log_logger"), col("log_source_hostname"),
+        col("client_nat_ip"), col("server_port"), col("http_request_method"),
+        col("url_full"), col("url_query"), col("network_protocol"),
+        col("http_response_status_code"), col("client_bytes"),
+        col("process_uptime"), col("dns_header_flags"), col("user_agent_name"),
+        col("network_forwarded_ip"), col("log_level"), col("process_pid"),
+        col("log_origin_file_name"), col("file_name"), col("file_path"),
+        col("event_reason"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // apache.audit: quote gsubs, five-rule error.type ladder, sprintf ip copy
+    "qae01_apacheaudit" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.apeInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("log_level"), col("source_address"),
+        col("source_ip"), col("error_type"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // mwg proxy: underscore/newline fold gsubs into comma-colon kv,
+    // entry-overwrites-source-id rename pair, event.original case kept
+    "qmw01_mwgproxy" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mwgInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("source_user_name"), col("event_action"),
+        col("process_name"), col("event_category"), col("source_ip"),
+        col("source_user_group_name"), col("user_agent_original"),
+        col("source_address"), col("file_path"), col("event_original"),
+        col("observer_hostname"), col("log_source_hostname"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // iis flat file: root-resolved bracket csv columns, dead dotted renames,
+    // XFF copy pair, sprintf log.source.hostname before renames
+    "qis01_iisflat" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.iifInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("log_source_hostname"),
+        col("destination_address"), col("source_ip"), col("source_port"),
+        col("client_ip"), col("observer_ip"), col("http_request_method"),
+        col("url_path"), col("url_query"), col("user_name"),
+        col("tls_next_protocol"), col("user_agent_version"),
+        col("http_request_referrer"), col("http_response_status_code"),
+        col("http_response_bytes"), col("http_request_bytes"),
+        col("event_duration"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4316,6 +4372,125 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // apache envelope: module never stamped; dataset from the envelope type;
+    // string ingested date always drawn off by the e02 walk (_ei tag)
+    "qah01_apache" ->
+      s"""WITH ${Transcripts.apaCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.asel = 4 THEN 0 ELSE 1 END AS parse_ok_i,
+  'not parsed' AS parse_rule, CAST(NULL AS VARCHAR) AS event_module,
+  CASE WHEN b.asel = 4 THEN NULL ELSE 'apache' END AS event_dataset,
+  'logs-apache_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.asel = 4 THEN epoch_ms(t.ts)
+    ELSE epoch_ms(date_trunc('second', t.ts)) + 123 END AS event_created_ms,
+  CASE WHEN b.asel <= 1 THEN 'apache-access'
+    WHEN b.asel = 4 THEN NULL ELSE 'apache-error' END AS event_kind,
+  CASE WHEN b.asel < 4 THEN 'web' || b.u5 END AS host_name,
+  CASE WHEN b.asel < 4 THEN '6' END AS log_syslog_priority,
+  CAST(CASE WHEN b.asel < 4 THEN 23 END AS BIGINT) AS log_syslog_facility_code,
+  CASE WHEN b.asel < 4 THEN 'jdoe' || b.u5 END AS host_user_name,
+  CASE b.asel WHEN 0 THEN 'proxy:error' WHEN 1 THEN 'proxy:error'
+    WHEN 2 THEN 'authz_core' WHEN 3 THEN 'mpm_prefork' END AS log_logger,
+  CASE WHEN b.asel < 4 THEN 'web' || b.u5 || '.internal' END AS log_source_hostname,
+  CASE b.asel WHEN 0 THEN '127.0.0.1' WHEN 1 THEN '10.' || b.u5 || '.' || b.m250 || '.5'
+    WHEN 2 THEN '127.0.0.1:52100' WHEN 3 THEN '10.' || b.u5 || '.' || b.m250 || '.6' END AS client_nat_ip,
+  CAST(CASE b.asel WHEN 0 THEN 8443 WHEN 1 THEN 443 END AS BIGINT) AS server_port,
+  CASE b.asel WHEN 0 THEN 'get' WHEN 1 THEN 'post' END AS http_request_method,
+  CASE b.asel WHEN 0 THEN '/app/page' || b.eid_s WHEN 1 THEN '/submit' || b.eid_s END AS url_full,
+  CASE WHEN b.asel = 0 THEN 'q=1' END AS url_query,
+  CASE WHEN b.asel <= 1 THEN 'http/1.1' END AS network_protocol,
+  CAST(CASE b.asel WHEN 0 THEN 200 WHEN 1 THEN 302 WHEN 2 THEN 403 WHEN 3 THEN 0 END AS BIGINT) AS http_response_status_code,
+  CAST(CASE b.asel WHEN 0 THEN 1234 WHEN 1 THEN 44 END AS BIGINT) AS client_bytes,
+  CAST(CASE b.asel WHEN 0 THEN 77 WHEN 1 THEN 12 END AS BIGINT) AS process_uptime,
+  CASE WHEN b.asel <= 1 THEN 'rd' END AS dns_header_flags,
+  CASE b.asel WHEN 0 THEN 'mozilla/5.0' WHEN 1 THEN 'curl/8.0' END AS user_agent_name,
+  CASE WHEN b.asel = 0 THEN '10.' || b.u5 || '.' || b.m250 || '.9' END AS network_forwarded_ip,
+  CASE b.asel WHEN 2 THEN 'error' WHEN 3 THEN 'warn' END AS log_level,
+  CAST(CASE b.asel WHEN 2 THEN CAST('81' || b.u5 AS BIGINT)
+    WHEN 3 THEN CAST('82' || b.u5 AS BIGINT) END AS BIGINT) AS process_pid,
+  CASE b.asel WHEN 2 THEN 'mod_authz_core.c' WHEN 3 THEN 'prefork.c' END AS log_origin_file_name,
+  CASE WHEN b.asel = 2 THEN 'secret' || b.eid_s || '.html' END AS file_name,
+  CASE WHEN b.asel = 2 THEN '/var/www/secret' || b.eid_s || '.html' END AS file_path,
+  CASE WHEN b.asel = 2 THEN 'because of require directives' END AS event_reason,
+  CASE WHEN b.asel = 4 THEN '_dissectfailure' ELSE '_dateparsefailure_ei' END AS tags_s
+FROM apa_turns t JOIN apa_base b USING (event_id)""",
+
+    // apache.audit: the rule captures are top-level non-ECS fields; only
+    // error.type and the rule tag are visible
+    "qae01_apacheaudit" ->
+      s"""WITH ${Transcripts.apeCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE WHEN b.esel = 5 THEN 'not parsed' ELSE 'rule ' || CAST(b.esel + 1 AS VARCHAR) END AS parse_rule,
+  'apache' AS event_module, 'apache.audit' AS event_dataset,
+  'logs-apache.audit_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  'core:error' AS log_level,
+  '10.' || b.u5 || '.' || b.m250 || '.7' AS source_address,
+  '10.' || b.u5 || '.' || b.m250 || '.7' AS source_ip,
+  CASE b.esel WHEN 0 THEN 'invalid uri' WHEN 1 THEN 'invalid method'
+    WHEN 2 THEN 'invalid request' WHEN 3 THEN 'invalid header'
+    WHEN 4 THEN 'invalid request' ELSE 'other error' END AS error_type,
+  'sip_private,source_ip_private' AS tags_s
+FROM ape_turns t JOIN ape_base b USING (event_id)""",
+
+    // mwg proxy: user_agent.original and event.original keep case; Entry
+    // overwrites Source ID on [source][ip]
+    "qmw01_mwgproxy" ->
+      s"""WITH ${Transcripts.mwgCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'mwg' AS event_module,
+  'mwg.proxy.audit' AS event_dataset,
+  'logs-mwg.proxy.audit_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE b.msel WHEN 0 THEN epoch_ms(date_trunc('day', t.ts)) + 70500000 + (b.event_id % 60) * 1000 + 533
+    WHEN 1 THEN epoch_ms(date_trunc('day', t.ts)) + 70560000 + (b.event_id % 60) * 1000 + 200
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CASE b.msel WHEN 0 THEN 'jdoe' || b.u5 WHEN 1 THEN 'msmith' || b.u5
+    ELSE 'svc' || b.u5 END AS source_user_name,
+  CASE b.msel WHEN 0 THEN 'block' WHEN 1 THEN 'allow' ELSE 'audit' END AS event_action,
+  CASE b.msel WHEN 0 THEN 'authfail' WHEN 1 THEN 'urlfilter' END AS process_name,
+  CASE WHEN b.msel <= 1 THEN 'proxy' END AS event_category,
+  CASE b.msel WHEN 1 THEN '10.' || b.u5 || '.' || b.m250 || '.12'
+    ELSE '10.' || b.u5 || '.' || b.m250 || '.11' END AS source_ip,
+  CASE b.msel WHEN 0 THEN 'admins' WHEN 1 THEN 'users' END AS source_user_group_name,
+  CASE WHEN b.msel = 0 THEN 'Mozilla/5.0 (X11)' END AS user_agent_original,
+  CASE WHEN b.msel <= 1 THEN 'wks' || b.u5 END AS source_address,
+  CASE WHEN b.msel = 0 THEN '/opt/mwg' END AS file_path,
+  CASE b.msel WHEN 0 THEN 'Blocked Request ' || b.eid_s
+    WHEN 1 THEN 'Allowed ' || b.eid_s ELSE 'Audit Entry ' || b.eid_s END AS event_original,
+  'mwg-' || b.u5 AS observer_hostname,
+  'mwg-' || b.u5 AS log_source_hostname,
+  CASE WHEN b.msel = 2 THEN '_dateparsefailure_ec,sip_private,source_ip_private'
+    ELSE 'sip_private,source_ip_private' END AS tags_s
+FROM mwg_turns t JOIN mwg_base b USING (event_id)""",
+
+    // iis flat file: bracket csv columns resolved at root so source.ip/
+    // port/client.ip keep raw values; "-" placeholders scrubbed to null
+    "qis01_iisflat" ->
+      s"""WITH ${Transcripts.iifCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'iis' AS event_module, 'iis' AS event_dataset,
+  'logs-iis_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(date_trunc('day', t.ts)) + 15660000 + (b.event_id % 60) * 1000 AS event_created_ms,
+  'iishost' || b.u5 AS log_source_hostname,
+  'iishost' || b.u5 AS destination_address,
+  CASE WHEN b.isel = 1 THEN '10.' || b.u5 || '.' || b.m250 || '.21' ELSE '10.1.1.1' END AS source_ip,
+  CAST(443 AS BIGINT) AS source_port,
+  '10.2.2.2' AS client_ip,
+  CASE WHEN b.isel = 1 THEN '10.1.1.1' END AS observer_ip,
+  'get' AS http_request_method,
+  '/index' || b.eid_s || '.aspx' AS url_path,
+  CASE WHEN b.isel = 2 THEN NULL ELSE 'q=' || b.eid_s END AS url_query,
+  CASE WHEN b.isel = 2 THEN NULL ELSE 'domuser' || b.u5 END AS user_name,
+  'http/2' AS tls_next_protocol,
+  'mozilla/5.0+(windows)' AS user_agent_version,
+  'http://ref.example/p' AS http_request_referrer,
+  CAST(CASE WHEN b.isel = 2 THEN 404 ELSE 200 END AS BIGINT) AS http_response_status_code,
+  CAST('51' || b.u5 AS BIGINT) AS http_response_bytes,
+  CAST('42' || b.u5 AS BIGINT) AS http_request_bytes,
+  '187' AS event_duration,
+  'sip_private,source_ip_private' AS tags_s
+FROM iif_turns t JOIN iif_base b USING (event_id)""",
 
     // ubiquiti bridge: Ruby line-anchored header grok keeps only the FIRST
     // line of the \n\t-folded init frame in actual_msg

@@ -5316,6 +5316,175 @@ cws_turns AS (
     spark.sql(s"WITH $cwsCte SELECT conv_id, turn_idx, role, text, tool, ts FROM cws_turns")
   }
 
+  /** apache — rsyslog JSON envelope over access+error logs
+    * (syslog_audit_apache.conf). asel 0 access (::1 nat, CR-terminated
+    * forwarded ip), 1 access with "-" forwarded (removed), 2 error with the
+    * access-denied refinement (::1:port gsub), 3 error other, 4 envelope
+    * dissect failure. */
+  val apaCte: String = s"""
+apa_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 65.0) AS BIGINT) % 5 AS asel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    CAST(event_id % 250 AS STRING) AS m250,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 65) = 41
+),
+apa_turns AS (
+  SELECT 'apa_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE WHEN asel = 4 THEN 'plain apache line ' || eid_s
+    ELSE CONCAT('{"type":"apache","@timestamp":"', iso, '.123Z","host":"Web', u5,
+      '","severity":"6","facility":"23","syslog-tag":"apache","source":"',
+      CASE WHEN asel <= 1 THEN 'apache-access' ELSE 'apache-error' END, '","message":"',
+      CASE asel
+        WHEN 0 THEN '[Mon Jan ' || dd || ' 04:19:33.123 2024] [jdoe' || u5
+          || '] [proxy:error] [web' || u5 || '.internal] [::1] [8443] GET /app/page' || eid_s
+          || ' ' || chr(34) || 'q=1' || chr(34) || ' HTTP/1.1 200 5321 1234 77 '
+          || chr(34) || 'RD' || chr(34) || ' ' || chr(34) || 'Mozilla/5.0' || chr(34)
+          || ' 10.' || u5 || '.' || m250 || '.9' || chr(34) || '}' || chr(13)
+        WHEN 1 THEN '[Mon Jan ' || dd || ' 04:19:33.500 2024] [jdoe' || u5
+          || '] [proxy:error] [web' || u5 || '.internal] [10.' || u5 || '.' || m250
+          || '.5] [443] POST /submit' || eid_s || ' ' || chr(34) || chr(34)
+          || ' HTTP/1.1 302 90 44 12 ' || chr(34) || 'RD' || chr(34) || ' '
+          || chr(34) || 'curl/8.0' || chr(34) || ' -' || chr(34) || '}' || chr(13)
+        WHEN 2 THEN '[Mon Jan ' || dd || ' 04:19:34.222 2024] [jdoe' || u5
+          || '] [error] [authz_core] [web' || u5 || '.internal] [81' || u5
+          || '] [mod_authz_core.c: 403] [client ::1:52100] AH01630: access to /secret' || eid_s
+          || '.html denied (filesystem path ' || chr(39) || '/var/www/secret' || eid_s
+          || '.html' || chr(39) || ') because of Require directives' || chr(34) || '}'
+        ELSE '[Mon Jan ' || dd || ' 04:19:35.900 2024] [jdoe' || u5
+          || '] [warn] [mpm_prefork] [web' || u5 || '.internal] [82' || u5
+          || '] [prefork.c: 0] [client 10.' || u5 || '.' || m250
+          || '.6] server seems busy ' || eid_s || chr(34) || '}'
+      END)
+    END AS text,
+    'apache' AS tool, ts, event_id
+  FROM apa_base
+)"""
+
+  def apaInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $apaCte SELECT conv_id, turn_idx, role, text, tool, ts FROM apa_turns")
+  }
+
+  /** apache.audit — error_log flat file (flat_file_audit_apache.error.conf).
+    * esel 0-4 = RULE 1-5, 5 = no rule ("other error"). */
+  val apeCte: String = s"""
+ape_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 68.0) AS BIGINT) % 6 AS esel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    CAST(event_id % 250 AS STRING) AS m250
+  FROM events WHERE (event_id % 68) = 43
+),
+ape_turns AS (
+  SELECT 'ape_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '[Mon Jan ' || dd || ' 04:20:33 2024] [core:error] [client 10.' || u5 || '.' || m250 || '.7] ' ||
+    CASE esel
+      WHEN 0 THEN 'Invalid URI in request GET /bad' || chr(34) || 'path' || eid_s || chr(34)
+      WHEN 1 THEN 'Invalid method in request FOO' || eid_s || ' HTTP/1.1'
+      WHEN 2 THEN 'client sent invalid HTTP/0.9 request: GET /x' || eid_s
+      WHEN 3 THEN 'request failed: error reading the headers ' || eid_s
+      WHEN 4 THEN 'request GET received without hostname ' || eid_s
+      ELSE 'File does not exist: /var/www/favicon' || eid_s || '.ico'
+    END AS text,
+    'apache.audit' AS tool, ts, event_id
+  FROM ape_base
+)"""
+
+  def apeInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $apeCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ape_turns")
+  }
+
+  /** mwg.proxy.audit — newline-folded k:v export
+    * (flat_file_audit_mwg.proxy.conf). msel 0 full block (underscore runs,
+    * leading spaces, +0000 timestamp), 1 Entry overwriting Source ID +
+    * zone-less timestamp, 2 unparseable timestamp (_dateparsefailure_ec). */
+  val mwgCte: String = s"""
+mwg_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 69.0) AS BIGINT) % 3 AS msel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2,
+    CAST(event_id % 250 AS STRING) AS m250
+  FROM events WHERE (event_id % 69) = 47
+),
+mwg_turns AS (
+  SELECT 'mwg_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE msel
+      WHEN 0 THEN '  Timestamp:' || dd || '/Jan/2024:19:35:' || ss2 || '.533 +0000' || chr(10)
+        || 'User:JDoe' || u5 || chr(10) || 'Action:Block' || chr(10) || 'Type:AuthFail' || chr(10)
+        || 'Source Type:proxy' || chr(10) || 'Source ID:10.' || u5 || '.' || m250 || '.11' || chr(10)
+        || 'Role:Admins' || chr(10) || 'User-Agent:Mozilla/5.0 (X11)' || chr(10)
+        || 'Source Name:wks' || u5 || chr(10) || 'Source Path:/opt/mwg' || chr(10)
+        || 'Description:Blocked Request ' || eid_s || '____' || chr(10)
+        || 'Appliance:MWG-' || u5 || chr(13)
+      WHEN 1 THEN 'Timestamp:' || dd || '/Jan/2024:19:36:' || ss2 || '.200' || chr(10)
+        || 'User:MSmith' || u5 || chr(10) || 'Action:Allow' || chr(10) || 'Type:URLFilter' || chr(10)
+        || 'Source Type:proxy' || chr(10) || 'Source ID:10.' || u5 || '.' || m250 || '.11' || chr(10)
+        || 'Entry:10.' || u5 || '.' || m250 || '.12' || chr(10) || 'Role:Users' || chr(10)
+        || 'Source Name:wks' || u5 || chr(10) || 'Description:Allowed ' || eid_s || chr(10)
+        || 'Appliance:MWG-' || u5
+      ELSE 'Timestamp:pending' || chr(10) || 'User:Svc' || u5 || chr(10) || 'Action:Audit' || chr(10)
+        || 'Source ID:10.' || u5 || '.' || m250 || '.11' || chr(10)
+        || 'Description:Audit Entry ' || eid_s || chr(10) || 'Appliance:MWG-' || u5
+    END AS text,
+    'mwg.proxy.audit' AS tool, ts, event_id
+  FROM mwg_base
+)"""
+
+  def mwgInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $mwgCte SELECT conv_id, turn_idx, role, text, tool, ts FROM mwg_turns")
+  }
+
+  /** iis — flat-file W3C row, space-separated (flat_file_audit_iis.conf).
+    * isel 0 22-column row (no XFF), 1 23-column row with private XFF
+    * (source.ip overwritten, observer.ip copy), 2 dash user/query 404. */
+  val iifCte: String = s"""
+iif_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 75.0) AS BIGINT) % 3 AS isel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2,
+    CAST(event_id % 250 AS STRING) AS m250
+  FROM events WHERE (event_id % 75) = 53
+),
+iif_turns AS (
+  SELECT 'iif_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '2024-01-' || dd || ' 04:21:' || ss2 || ' W3SVC1 IISHOST' || u5 || ' 10.1.1.1 ' ||
+    CASE isel
+      WHEN 2 THEN 'GET /index' || eid_s || '.aspx - 443 - 10.2.2.2 HTTP/2 Mozilla/5.0+(Windows) ASPSESS=abc http://ref.example/p ref.example 404 0 2 51' || u5 || ' 42' || u5 || ' 187'
+      ELSE 'GET /index' || eid_s || '.aspx q=' || eid_s || ' 443 DOMUser' || u5
+        || ' 10.2.2.2 HTTP/2 Mozilla/5.0+(Windows) ASPSESS=abc http://ref.example/p ref.example 200 0 0 51' || u5 || ' 42' || u5 || ' 187'
+    END ||
+    CASE WHEN isel = 1 THEN ' 10.' || u5 || '.' || m250 || '.21' ELSE '' END AS text,
+    'iis' AS tool, ts, event_id
+  FROM iif_base
+)"""
+
+  def iifInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $iifCte SELECT conv_id, turn_idx, role, text, tool, ts FROM iif_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

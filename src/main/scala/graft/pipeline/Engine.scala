@@ -446,6 +446,14 @@ object Engine {
       event_description = s("[event][description]"),
       log_offset = l("[log][offset]"),
       log_file_path = s("[log][file][path]"),
-      ecs_version = s("[ecs][version]")))
+      ecs_version = s("[ecs][version]"),
+      client_nat_ip = s("[client][nat][ip]"),
+      host_user_name = s("[host][user][name]"),
+      user_agent_version = s("[user_agent][version]"),
+      source_user_group_name = s("[source][user][group][name]"),
+      log_origin_file_name = s("[log][origin][file][name]"),
+      client_bytes = l("[client][bytes]"),
+      dns_header_flags = s("[dns][header_flags]"),
+      process_uptime = l("[process][uptime]")))
   }
 }

@@ -567,6 +567,14 @@ object RowKernel {
     l("[log][offset]")
     s("[log][file][path]")
     s("[ecs][version]")
+    s("[client][nat][ip]")
+    s("[host][user][name]")
+    s("[user_agent][version]")
+    s("[source][user][group][name]")
+    s("[log][origin][file][name]")
+    l("[client][bytes]")
+    s("[dns][header_flags]")
+    l("[process][uptime]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

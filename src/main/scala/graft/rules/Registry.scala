@@ -307,6 +307,14 @@ object Registry {
       "logs-cisco.wireless.access_point", Vector("elastic"), Set.empty, "medium"),
     "cisco.waas" -> TechnologyConfig("cisco.waas",
       "logs-cisco.waas", Vector("elastic"), Set.empty, "medium"),
+    "apache" -> TechnologyConfig("apache",
+      "logs-apache", Vector("elastic"), Set.empty, "medium"),
+    "apache.audit" -> TechnologyConfig("apache.audit",
+      "logs-apache.audit", Vector("elastic"), Set.empty, "low"),
+    "mwg.proxy.audit" -> TechnologyConfig("mwg.proxy.audit",
+      "logs-mwg.proxy.audit", Vector("elastic"), Set.empty, "medium"),
+    "iis" -> TechnologyConfig("iis",
+      "logs-iis", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -715,6 +723,10 @@ object Registry {
     "ubiquiti.controller" -> WirelessEdgeRules.ubiquitiController,
     "cisco.wireless.access_point" -> WirelessEdgeRules.ciscoWirelessAp,
     "cisco.waas" -> WirelessEdgeRules.ciscoWaas,
+    "apache" -> ApacheWebRules.apache,
+    "apache.audit" -> ApacheWebRules.apacheAudit,
+    "mwg.proxy.audit" -> ApacheWebRules.mwgProxy,
+    "iis" -> ApacheWebRules.iisFlat,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

@@ -90,7 +90,9 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("rvbvnes", Transcripts.rvnInput), ("rvbscportal", Transcripts.rscInput),
       ("rvbopnet", Transcripts.ropInput), ("ubiqbridge", Transcripts.ubbInput),
       ("ubiqctrl", Transcripts.ubcInput), ("ciscoap", Transcripts.cwaInput),
-      ("ciscowaas", Transcripts.cwsInput))
+      ("ciscowaas", Transcripts.cwsInput), ("apache", Transcripts.apaInput),
+      ("apacheaudit", Transcripts.apeInput), ("mwgproxy", Transcripts.mwgInput),
+      ("iisflat", Transcripts.iifInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
