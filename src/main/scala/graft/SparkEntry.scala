@@ -1261,6 +1261,31 @@ px AS (
         col("event_duration"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // jira: Container dissect vs duplicate-named-group session groks,
+    // action1+action2 sprintf rebuild, dash gsub, "/" url-tree drop
+    "qji01_jira" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.jirInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("host_hostname"), col("log_source_hostname"),
+        col("log_file_path"), col("event_original"), col("process_thread_name"),
+        col("event_action"), col("user_name"), col("file_name"),
+        col("source_ip"), col("network_forwarded_ip"), col("url_path"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // jira.audit: double-encoded record, changedValues ruby fold,
+    // hostname copied into both ip fields with the ip- gsub on host.ip only
+    "qji02_jiraaudit" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.jiaInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("log_source_hostname"),
+        col("log_source_ip"), col("host_ip"), col("log_file_path"),
+        col("user_id"), col("event_action"), col("event_category"),
+        col("url_full"), col("user_email"), col("user_full_name"),
+        col("user_name"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4372,6 +4397,71 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // jira: Container dissect vs session groks; action dash gsub;
+    // "/" file and url.path drops; event.original keeps case
+    "qji01_jira" ->
+      s"""WITH ${Transcripts.jirCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'atlassian_jira' AS event_module,
+  'jira' AS event_dataset,
+  'logs-jira_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(date_trunc('second', t.ts)) + 123 AS event_created_ms,
+  'jira-node-' || b.u5 AS host_hostname,
+  'jira-node-' || b.u5 AS log_source_hostname,
+  '/var/atlassian/jira/access.log' AS log_file_path,
+  CASE b.jsel
+    WHEN 0 THEN '2024-01-15 10:00:00 JiraTaskExecThread-' || b.u5
+      || ' Container was destroyed for ' || chr(39) || 'jadmin' || b.u5 || chr(39)
+    WHEN 1 THEN '2024-01-15 10:00:01,500+0000 http-exec-' || b.u5
+      || ' session-destroyed [c0ffee' || b.eid_s || '] destroyed for '
+      || chr(39) || 'juser' || b.u5 || chr(39)
+    WHEN 2 THEN '2024-01-15 10:00:03,000+0000 exec-' || b.u5 || ' juser' || b.u5
+      || ' created /secure/att' || b.eid_s || '.jsp 10.' || b.u5 || '.' || b.m250
+      || '.9,10.0.0.10 /browse issue-created [id' || b.eid_s || ']'
+    WHEN 3 THEN '2024-01-15 10:00:05,000+0000 exec-' || b.u5 || ' juser' || b.u5
+      || ' created / 10.' || b.u5 || '.' || b.m250
+      || '.9,10.0.0.10 / session-created [sid' || b.eid_s || ']'
+    ELSE '2024-01-15 10:00:04,000+0000 exec-' || b.u5
+      || ' user-created [id' || b.eid_s || ']'
+  END AS event_original,
+  CASE b.jsel WHEN 0 THEN 'jirataskexecthread-' || b.u5
+    WHEN 1 THEN 'http-exec-' || b.u5 ELSE 'exec-' || b.u5 END AS process_thread_name,
+  CASE b.jsel WHEN 0 THEN 'container destroyed'
+    WHEN 1 THEN 'sessiondestroyed destroyed' WHEN 2 THEN 'issuecreated'
+    WHEN 3 THEN 'sessioncreated' ELSE 'usercreated' END AS event_action,
+  CASE b.jsel WHEN 0 THEN 'jadmin' || b.u5 WHEN 4 THEN NULL
+    ELSE 'juser' || b.u5 END AS user_name,
+  CASE WHEN b.jsel = 2 THEN '/secure/att' || b.eid_s || '.jsp' END AS file_name,
+  CASE WHEN b.jsel IN (2, 3)
+    THEN '10.' || b.u5 || '.' || b.m250 || '.9' END AS source_ip,
+  CASE WHEN b.jsel IN (2, 3) THEN '10.0.0.10' END AS network_forwarded_ip,
+  CASE WHEN b.jsel = 2 THEN '/browse' END AS url_path,
+  CASE WHEN b.jsel IN (2, 3) THEN 'sip_private,source_ip_private' ELSE '' END AS tags_s
+FROM jir_turns t JOIN jir_base b USING (event_id)""",
+
+    // jira.audit: hostname copied into both ip fields, ip- gsub repairs
+    // host.ip only; Username fallback to affectedObjects name
+    "qji02_jiraaudit" ->
+      s"""WITH ${Transcripts.jiaCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'jira' AS event_module,
+  'jira.audit' AS event_dataset,
+  'logs-jira.audit_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.asel = 2 THEN epoch_ms(t.ts)
+    ELSE epoch_ms(date_trunc('second', t.ts)) + 123 END AS event_created_ms,
+  'ip-10-0-' || b.u5 || '-9' AS log_source_hostname,
+  'ip-10-0-' || b.u5 || '-9' AS log_source_ip,
+  '10.0.' || b.u5 || '.9' AS host_ip,
+  '/var/atlassian/jira/audit.log' AS log_file_path,
+  '100' || b.u5 AS user_id,
+  'user created' AS event_action, 'user management' AS event_category,
+  'https://jira.example' AS url_full,
+  CASE WHEN b.asel = 1 THEN NULL ELSE 'u' || b.u5 || '@example.com' END AS user_email,
+  CASE WHEN b.asel = 1 THEN NULL ELSE 'User ' || b.u5 END AS user_full_name,
+  CASE WHEN b.asel = 1 THEN 'affuser' || b.u5 ELSE 'juser' || b.u5 END AS user_name,
+  CASE WHEN b.asel = 2 THEN '_dateparsefailure_ec' ELSE '' END AS tags_s
+FROM jia_turns t JOIN jia_base b USING (event_id)""",
 
     // apache envelope: module never stamped; dataset from the envelope type;
     // string ingested date always drawn off by the e02 walk (_ei tag)

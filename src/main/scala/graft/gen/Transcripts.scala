@@ -5485,6 +5485,99 @@ iif_turns AS (
     spark.sql(s"WITH $iifCte SELECT conv_id, turn_idx, role, text, tool, ts FROM iif_turns")
   }
 
+  /** jira — filebeat envelope over the access/session log
+    * (flat_file_atlassian_jira.conf). jsel 0 Container-destroyed dissect,
+    * 1 destroyed grok (action1+action2 rebuild, dash gsub), 2 created grok
+    * with the full optional ip/file group, 3 created with "/" file and
+    * url.path (both dropped), 4 created simple. */
+  val jirCte: String = s"""
+jir_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 81.0) AS BIGINT) % 5 AS jsel,
+    CAST(event_id % 250 AS STRING) AS m250,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 81) = 59
+),
+jir_turns AS (
+  SELECT 'jir_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"fields":{"event":{"module":"atlassian_jira"}}',
+      ',"log":{"file":{"path":"/var/atlassian/jira/access.log"}}',
+      ',"@timestamp":"', iso, '.123Z"',
+      ',"agent":{"id":"agid', u5, '","ephemeral_id":"eph', eid_s,
+      '","type":"filebeat","version":"7.9.3"}',
+      ',"host":{"name":"jira-node-', u5, '"}',
+      ',"message":"',
+      CASE jsel
+        WHEN 0 THEN '2024-01-15 10:00:00 JiraTaskExecThread-' || u5
+          || ' Container was destroyed for ' || chr(39) || 'jadmin' || u5 || chr(39)
+        WHEN 1 THEN '2024-01-15 10:00:01,500+0000 http-exec-' || u5
+          || ' session-destroyed [c0ffee' || eid_s || '] destroyed for '
+          || chr(39) || 'juser' || u5 || chr(39)
+        WHEN 2 THEN '2024-01-15 10:00:03,000+0000 exec-' || u5 || ' juser' || u5
+          || ' created /secure/att' || eid_s || '.jsp 10.' || u5 || '.' || m250
+          || '.9,10.0.0.10 /browse issue-created [id' || eid_s || ']'
+        WHEN 3 THEN '2024-01-15 10:00:05,000+0000 exec-' || u5 || ' juser' || u5
+          || ' created / 10.' || u5 || '.' || m250
+          || '.9,10.0.0.10 / session-created [sid' || eid_s || ']'
+        ELSE '2024-01-15 10:00:04,000+0000 exec-' || u5
+          || ' user-created [id' || eid_s || ']'
+      END, '"}') AS text,
+    'jira' AS tool, ts, event_id
+  FROM jir_base
+)"""
+
+  def jirInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $jirCte SELECT conv_id, turn_idx, role, text, tool, ts FROM jir_turns")
+  }
+
+  /** jira.audit — double-encoded audit record in a filebeat envelope
+    * (flat_file_atlassian_jira_audit.conf). asel 0 full changedValues
+    * (user from Username), 1 no changedValues (user falls back to
+    * affectedObjects[0].name), 2 unparseable @timestamp. */
+  val jiaCte: String = s"""
+jia_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 85.0) AS BIGINT) % 3 AS asel,
+    chr(92) || chr(34) AS eq,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 85) = 61
+),
+jia_turns AS (
+  SELECT 'jia_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"host":{"name":"ip-10-0-', u5, '-9"}',
+      ',"@timestamp":"', CASE WHEN asel = 2 THEN 'pending' ELSE iso || '.123Z' END, '"',
+      ',"agent":{"id":"agid', u5, '","ephemeral_id":"eph', eid_s,
+      '","type":"filebeat","version":"7.9.3"}',
+      ',"log":{"file":{"path":"/var/atlassian/jira/audit.log"}}',
+      ',"message":"{', eq, 'affectedObjects', eq, ':[{', eq, 'id', eq, ':', eq, '100', u5, eq,
+      ',', eq, 'name', eq, ':', eq, 'AffUser', u5, eq, '}]',
+      ',', eq, 'auditType', eq, ':{', eq, 'action', eq, ':', eq, 'User created', eq,
+      ',', eq, 'category', eq, ':', eq, 'user management', eq, '}',
+      ',', eq, 'system', eq, ':', eq, 'https://jira.example', eq,
+      CASE WHEN asel = 1 THEN ''
+        ELSE CONCAT(',', eq, 'changedValues', eq, ':[',
+          '{', eq, 'key', eq, ':', eq, 'Email', eq, ',', eq, 'to', eq, ':', eq, 'u', u5, '@example.com', eq, '},',
+          '{', eq, 'key', eq, ':', eq, 'Full name', eq, ',', eq, 'to', eq, ':', eq, 'User ', u5, eq, '},',
+          '{', eq, 'key', eq, ':', eq, 'Username', eq, ',', eq, 'to', eq, ':', eq, 'juser', u5, eq, '}]')
+      END, '}"}') AS text,
+    'jira.audit' AS tool, ts, event_id
+  FROM jia_base
+)"""
+
+  def jiaInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $jiaCte SELECT conv_id, turn_idx, role, text, tool, ts FROM jia_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

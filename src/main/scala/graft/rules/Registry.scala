@@ -315,6 +315,10 @@ object Registry {
       "logs-mwg.proxy.audit", Vector("elastic"), Set.empty, "medium"),
     "iis" -> TechnologyConfig("iis",
       "logs-iis", Vector("elastic"), Set.empty, "medium"),
+    "jira" -> TechnologyConfig("jira",
+      "logs-jira", Vector("elastic"), Set.empty, "medium"),
+    "jira.audit" -> TechnologyConfig("jira.audit",
+      "logs-jira.audit", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -727,6 +731,8 @@ object Registry {
     "apache.audit" -> ApacheWebRules.apacheAudit,
     "mwg.proxy.audit" -> ApacheWebRules.mwgProxy,
     "iis" -> ApacheWebRules.iisFlat,
+    "jira" -> AtlassianRules.jira,
+    "jira.audit" -> AtlassianRules.jiraAudit,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

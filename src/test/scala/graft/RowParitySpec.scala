@@ -92,7 +92,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ubiqctrl", Transcripts.ubcInput), ("ciscoap", Transcripts.cwaInput),
       ("ciscowaas", Transcripts.cwsInput), ("apache", Transcripts.apaInput),
       ("apacheaudit", Transcripts.apeInput), ("mwgproxy", Transcripts.mwgInput),
-      ("iisflat", Transcripts.iifInput))
+      ("iisflat", Transcripts.iifInput), ("jira", Transcripts.jirInput),
+      ("jiraaudit", Transcripts.jiaInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
