@@ -1286,6 +1286,45 @@ px AS (
         col("user_name"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // bomgar: header unix clock string -> _es tag, kv target overwrite of
+    // destination.address, who_ip strip, action translate with fallback
+    "qbg01_bomgar" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.bgrInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_start_ms"),
+        col("destination_address"), col("host_geo_country_iso_code"),
+        col("event_action"), col("rule_ruleset"), col("host_hostname"),
+        col("event_outcome"), col("user_name"), col("source_ip"),
+        col("rule_category"), col("log_source_hostname"),
+        col("log_syslog_severity_code"), col("log_syslog_facility_code"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // tufin: five-rule ladder, SC user-id gsubs, broken remove refs,
+    // dead severity_name translate (rule.category always empty)
+    "qtf01_tufin" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.tufInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("destination_domain"), col("user_id"),
+        col("server_address"), col("observer_name"), col("source_ip"),
+        col("destination_host_name"), col("destination_ip"),
+        col("destination_port"), col("server_host_name"), col("rule_category"),
+        col("log_syslog_severity_code"), col("log_syslog_facility_code"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // hp.nnm: newline/tab dissect + kv, @realm strip on failed logins,
+    // space-joined clock never parses (always _dateparsefailure + _ec)
+    "qhp01_hpnnm" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.hpnInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_action"), col("client_user_name"),
+        col("client_user_roles"), col("client_address"), col("client_port"),
+        col("destination_address"), col("destination_port"),
+        col("log_syslog_severity_code"), col("log_syslog_facility_code"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4397,6 +4436,86 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // bomgar: every event carries the _es tag (unix header clock string),
+    // the misp hostname hit, and the private-source tags
+    "qbg01_bomgar" ->
+      s"""WITH ${Transcripts.bgrCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'beyondtrust' AS event_module,
+  'beyondtrust.secure_remote_mngt' AS event_dataset,
+  'logs-beyondtrust.secure_remote_mngt_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.bsel = 2 THEN epoch_ms(t.ts)
+    ELSE (1704067200 + (b.event_id % 1000000)) * 1000 END AS event_created_ms,
+  CAST(NULL AS BIGINT) AS event_start_ms,
+  'rep-console' AS destination_address,
+  'us' AS host_geo_country_iso_code,
+  CASE b.bsel WHEN 0 THEN 'login' WHEN 1 THEN 'logout' ELSE 'session_end' END AS event_action,
+  CASE b.bsel WHEN 0 THEN 'ok' WHEN 1 THEN 'done' ELSE 'timeout' END AS rule_ruleset,
+  'support' AS host_hostname,
+  CASE WHEN b.bsel = 2 THEN 'failure' ELSE 'success' END AS event_outcome,
+  'alice' || b.u5 AS user_name,
+  '10.' || b.u5 || '.' || b.m250 || '.13' AS source_ip,
+  CASE b.bsel WHEN 0 THEN 'audit/authentication success'
+    WHEN 1 THEN 'audit/access revoked' ELSE 'others' END AS rule_category,
+  'support.example' AS log_source_hostname,
+  CAST(6 AS BIGINT) AS log_syslog_severity_code,
+  CAST(16 AS BIGINT) AS log_syslog_facility_code,
+  CASE WHEN b.bsel = 2
+    THEN '_dateparsefailure_ec,_dateparsefailure_es,log_enriched_by_misp,sip_private,source_ip_private'
+    ELSE '_dateparsefailure_es,log_enriched_by_misp,sip_private,source_ip_private'
+  END AS tags_s
+FROM bgr_turns t JOIN bgr_base b USING (event_id)""",
+
+    // tufin: RULE 5's shifted tokens put the clock into server.host.name
+    // (the USER:INFO prefix eats the month slot); rule.category always null
+    "qtf01_tufin" ->
+      s"""WITH ${Transcripts.tufCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  CASE b.tsel WHEN 0 THEN 'rule 1' WHEN 1 THEN 'rule 2,rule 3'
+    WHEN 2 THEN 'rule 2' WHEN 3 THEN 'rule 4' ELSE 'rule 5' END AS parse_rule,
+  'tufin' AS event_module, 'tufin.fw_acl_manager' AS event_dataset,
+  'logs-tufin.fw_acl_manager_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  CASE WHEN b.tsel <= 2 THEN 'fw-domain' || b.u5 END AS destination_domain,
+  CASE b.tsel WHEN 1 THEN 'tadmin' || b.u5 WHEN 2 THEN 'ops' || b.u5 END AS user_id,
+  -- RULE 4 captures [server][address] and the branch's own remove list
+  -- then deletes the whole top-level "server" subtree - always null
+  CAST(NULL AS VARCHAR) AS server_address,
+  CASE WHEN b.tsel = 3 THEN 'fw-edge' || b.u5 END AS observer_name,
+  CASE WHEN b.tsel = 3 THEN '10.' || b.u5 || '.' || b.m250 || '.2' END AS source_ip,
+  CASE WHEN b.tsel = 3 THEN 'dsthost' || b.u5 END AS destination_host_name,
+  CASE WHEN b.tsel = 3 THEN '10.' || b.u5 || '.' || b.m250 || '.3' END AS destination_ip,
+  CAST(CASE WHEN b.tsel = 3 THEN 443 END AS BIGINT) AS destination_port,
+  CASE WHEN b.tsel = 4 THEN '04:23:01' END AS server_host_name,
+  CAST(NULL AS VARCHAR) AS rule_category,
+  CAST(CASE WHEN b.tsel = 4 THEN 6 ELSE 5 END AS BIGINT) AS log_syslog_severity_code,
+  CAST(3 AS BIGINT) AS log_syslog_facility_code,
+  CASE WHEN b.tsel = 3
+    THEN 'destination_ip_private,dip_private,sip_private,source_ip_private'
+    ELSE '' END AS tags_s
+FROM tuf_turns t JOIN tuf_base b USING (event_id)""",
+
+    // hp.nnm: the line-anchored header grok drops the \n\t block, so
+    // dissect_2 fails and the kv branches stay empty on every event
+    "qhp01_hpnnm" ->
+      s"""WITH ${Transcripts.hpnCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'hp' AS event_module,
+  'hp.nnm_audit' AS event_dataset,
+  'logs-hp.nnm_audit_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  CAST(NULL AS VARCHAR) AS event_action,
+  CAST(NULL AS VARCHAR) AS client_user_name,
+  CAST(NULL AS VARCHAR) AS client_user_roles,
+  CAST(NULL AS VARCHAR) AS client_address,
+  CAST(NULL AS BIGINT) AS client_port,
+  CAST(NULL AS VARCHAR) AS destination_address,
+  CAST(NULL AS BIGINT) AS destination_port,
+  CAST(6 AS BIGINT) AS log_syslog_severity_code,
+  CAST(10 AS BIGINT) AS log_syslog_facility_code,
+  '_dateparsefailure,_dateparsefailure_ec,dissect_2' AS tags_s
+FROM hpn_turns t JOIN hpn_base b USING (event_id)""",
 
     // jira: Container dissect vs session groks; action dash gsub;
     // "/" file and url.path drops; event.original keeps case

@@ -5578,6 +5578,128 @@ jia_turns AS (
     spark.sql(s"WITH $jiaCte SELECT conv_id, turn_idx, role, text, tool, ts FROM jia_turns")
   }
 
+  /** beyondtrust.secure_remote_mngt (bomgar) — RFC5424-ish appliance feed
+    * (syslog_security_bomgar.conf). bsel 0 login, 1 logout, 2 unknown
+    * action + unparseable `when=` (fallback category + _ec). The header's
+    * UNIX clock string always draws _dateparsefailure_es from e02. */
+  val bgrCte: String = s"""
+bgr_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 87.0) AS BIGINT) % 3 AS bsel,
+    CAST(1704067200 + (event_id % 1000000) AS STRING) AS whens,
+    CAST(event_id % 250 AS STRING) AS m250
+  FROM events WHERE (event_id % 87) = 17
+),
+bgr_turns AS (
+  SELECT 'bgr_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<134>1 ' || CAST(1706000000 + event_id AS STRING) || ' appliance' || u5
+      || ' US 800' || u5 || ' - [meta sequenceId=' || eid_s || '] 1427:01:01:'
+      || 'site=support.example;who=Alice' || u5 || ';who_ip= 10.' || u5 || '.' || m250
+      || '.13;target=rep-console;' ||
+    CASE bsel
+      WHEN 0 THEN 'event=login;status=success;when=' || whens || ';reason=ok'
+      WHEN 1 THEN 'event=logout;status=success;when=' || whens || ';reason=done'
+      ELSE 'event=session_end;status=failure;when=notatime;reason=timeout'
+    END AS text,
+    'beyondtrust.secure_remote_mngt' AS tool, ts, event_id
+  FROM bgr_base
+)"""
+
+  def bgrInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $bgrCte SELECT conv_id, turn_idx, role, text, tool, ts FROM bgr_turns")
+  }
+
+  /** tufin.fw_acl_manager — SecureTrack syslog (syslog_security_tufin.conf).
+    * tsel 0 RULE 1 policy fetch, 1 RULE 2+3 (SC-wrapped user id gsubs),
+    * 2 RULE 2 plain user, 3 RULE 4 connection line, 4 RULE 5 USER:INFO.
+    * The classification translate reads a never-set severity_name —
+    * rule.category stays empty on every event (mirrored). */
+  val tufCte: String = s"""
+tuf_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 91.0) AS BIGINT) % 5 AS tsel,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dnp,
+    CAST(event_id % 250 AS STRING) AS m250
+  FROM events WHERE (event_id % 91) = 19
+),
+tuf_turns AS (
+  SELECT 'tuf_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE tsel
+      WHEN 0 THEN '<29>KERN:NOTE Automatic Policy Fetched: revision 7' || u5
+        || ' on fw-domain' || u5 || '; revision ticket ids:12' || eid_s
+        || ', policy fetch complete:'
+      WHEN 1 THEN '<29>KERN:NOTE Installed Policy: Standard r10' || u5
+        || ' on fw-domain' || u5 || '; revision: 5' || eid_s
+        || ', last modified by SC (tadmin' || u5 || '), install ok'
+      WHEN 2 THEN '<29>KERN:NOTE Installed Policy: Standard r11' || u5
+        || ' on fw-domain' || u5 || '; revision: 6' || eid_s
+        || ', last modified by ops' || u5 || ', install ok'
+      WHEN 3 THEN '<29>KERN:NOTE connection audit, 10.' || u5 || '.' || m250
+        || '.1 fw-edge' || u5 || '(10.' || u5 || '.' || m250 || '.2): dsthost' || u5
+        || ' 10.' || u5 || '.' || m250 || '.3 (443): drop rule matched ' || eid_s
+      ELSE '<30>USER:INFO Jan ' || dnp || ' 04:23:01 tufin-srv' || u5
+        || ' audit: user session ' || eid_s
+    END AS text,
+    'tufin.fw_acl_manager' AS tool, ts, event_id
+  FROM tuf_base
+)"""
+
+  def tufInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $tufCte SELECT conv_id, turn_idx, role, text, tool, ts FROM tuf_turns")
+  }
+
+  /** hp.nnm_audit — NNMi sign-in audit with newline/tab k:v blocks
+    * (syslog_security_hp.network.node.mgr.conf). hsel 0 successful sign-in
+    * (else branch), 1 failed login (@realm strip), 2 non-tomcat line
+    * (dissect_2 tag, no kv). The space-joined clock never parses — every
+    * event carries _dateparsefailure + _dateparsefailure_ec. */
+  val hpnCte: String = s"""
+hpn_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 93.0) AS BIGINT) % 3 AS hsel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2
+  FROM events WHERE (event_id % 93) = 29
+),
+hpn_turns AS (
+  SELECT 'hpn_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<86>2024-01-' || dd || ' 04:22:' || ss2 || '.123 ' ||
+    CASE hsel
+      WHEN 0 THEN 'INFO [com.hp.ov.nnm.audit] (tomcat-exec-' || CAST(event_id % 9 AS STRING)
+        || ') Successful Sign In' || chr(10) || chr(9) || 'User Account:' || chr(9)
+        || 'joperator' || u5 || chr(10) || chr(9) || 'NNMi Role:' || chr(9) || 'Administrator'
+        || chr(10) || chr(9) || 'Client Host:' || chr(9) || 'wks' || u5 || '.example'
+        || chr(10) || chr(9) || 'Client Port:' || chr(9) || '51' || u5 || '00'
+      WHEN 1 THEN 'INFO [com.hp.ov.nnm.audit] (tomcat-exec-' || CAST(event_id % 9 AS STRING)
+        || ') Failed Login Attempt' || chr(10) || chr(9) || 'User:' || chr(9)
+        || 'jbad' || u5 || '@CORP.EXAMPLE' || chr(10) || chr(9) || 'Remote Host:' || chr(9)
+        || 'wks' || u5 || '.example' || chr(10) || chr(9) || 'Remote Port:' || chr(9)
+        || '52' || u5 || '11'
+      ELSE 'WARN [com.hp.ov.nnm] health check ok ' || eid_s
+    END AS text,
+    'hp.nnm_audit' AS tool, ts, event_id
+  FROM hpn_base
+)"""
+
+  def hpnInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $hpnCte SELECT conv_id, turn_idx, role, text, tool, ts FROM hpn_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -454,6 +454,11 @@ object Engine {
       log_origin_file_name = s("[log][origin][file][name]"),
       client_bytes = l("[client][bytes]"),
       dns_header_flags = s("[dns][header_flags]"),
-      process_uptime = l("[process][uptime]")))
+      process_uptime = l("[process][uptime]"),
+      client_address = s("[client][address]"),
+      client_user_roles = s("[client][user][roles]"),
+      destination_host_name = s("[destination][host][name]"),
+      server_host_name = s("[server][host][name]"),
+      host_geo_country_iso_code = s("[host][geo][country_iso_code]")))
   }
 }

@@ -575,6 +575,11 @@ object RowKernel {
     l("[client][bytes]")
     s("[dns][header_flags]")
     l("[process][uptime]")
+    s("[client][address]")
+    s("[client][user][roles]")
+    s("[destination][host][name]")
+    s("[server][host][name]")
+    s("[host][geo][country_iso_code]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

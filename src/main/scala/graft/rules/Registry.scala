@@ -319,6 +319,12 @@ object Registry {
       "logs-jira", Vector("elastic"), Set.empty, "medium"),
     "jira.audit" -> TechnologyConfig("jira.audit",
       "logs-jira.audit", Vector("elastic"), Set.empty, "low"),
+    "beyondtrust.secure_remote_mngt" -> TechnologyConfig("beyondtrust.secure_remote_mngt",
+      "logs-beyondtrust.secure_remote_mngt", Vector("elastic"), Set.empty, "low"),
+    "tufin.fw_acl_manager" -> TechnologyConfig("tufin.fw_acl_manager",
+      "logs-tufin.fw_acl_manager", Vector("elastic"), Set.empty, "low"),
+    "hp.nnm_audit" -> TechnologyConfig("hp.nnm_audit",
+      "logs-hp.nnm_audit", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -733,6 +739,9 @@ object Registry {
     "iis" -> ApacheWebRules.iisFlat,
     "jira" -> AtlassianRules.jira,
     "jira.audit" -> AtlassianRules.jiraAudit,
+    "beyondtrust.secure_remote_mngt" -> SecOpsRules.bomgar,
+    "tufin.fw_acl_manager" -> SecOpsRules.tufin,
+    "hp.nnm_audit" -> SecOpsRules.hpNnm,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

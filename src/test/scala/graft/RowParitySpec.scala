@@ -93,7 +93,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ciscowaas", Transcripts.cwsInput), ("apache", Transcripts.apaInput),
       ("apacheaudit", Transcripts.apeInput), ("mwgproxy", Transcripts.mwgInput),
       ("iisflat", Transcripts.iifInput), ("jira", Transcripts.jirInput),
-      ("jiraaudit", Transcripts.jiaInput))
+      ("jiraaudit", Transcripts.jiaInput), ("bomgar", Transcripts.bgrInput),
+      ("tufin", Transcripts.tufInput), ("hpnnm", Transcripts.hpnInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
