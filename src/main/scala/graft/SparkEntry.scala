@@ -1325,6 +1325,58 @@ px AS (
         col("log_syslog_severity_code"), col("log_syslog_facility_code"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // oci.cloudguard: backslash gsub + quote-gsub'd embedded dict reparse
+    "qoc01_cloudguard" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ocgInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("log_source_hostname"),
+        col("event_provider"), col("cloud_region"), col("event_reason"),
+        col("dns_answers_type"), col("rule_description"), col("rule_category"),
+        col("service_state"), col("event_start_ms"), col("event_end_ms"),
+        col("event_ingested_ms"), col("event_type"), col("event_recommendation"),
+        col("file_gid"), col("rule_id"), col("cloud_provider"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // oci.object: flat envelope renames, three iso dates
+    "qoc02_ociobject" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.oobInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("log_source_hostname"), col("event_type"),
+        col("event_provider"), col("event_category"), col("client_ip"),
+        col("event_end_ms"), col("event_start_ms"), col("event_ingested_ms"),
+        col("cloud_region"), col("error_code"), col("event_action"),
+        col("http_request_method"), col("url_path"),
+        col("http_response_status_code"), col("user_agent_original"),
+        col("cloud_account_name"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // jamf: dotted event.description key, ruby array folds, broken
+    // field-ref date guard
+    "qjp01_jamf" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.jmfInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("log_source_hostname"), col("host_ip"),
+        col("host_serial"), col("host_name"), col("file_path"),
+        col("event_description"), col("event_type"), col("event_provider"),
+        col("cloud_provider"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // sap.btp: triple-encoded record, hash-lowercase no-op, email grok
+    "qsb01_sapbtp" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.btpInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("log_source_hostname"), col("service_id"),
+        col("event_category"), col("rule_uuid"), col("cloud_project_id"),
+        col("cloud_instance_id"), col("cloud_account_id"), col("event_type"),
+        col("source_ip"), col("user_name"), col("email_subject"),
+        col("user_email"), col("event_code"),
+        md5(col("event_original")).as("event_original_md5"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4436,6 +4488,107 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // oci.cloudguard: embedded-dict branch vs flat branch
+    "qoc01_cloudguard" ->
+      s"""WITH ${Transcripts.ocgCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'oci' AS event_module,
+  'oci.cloudguard' AS event_dataset,
+  'logs-oci.cloudguard_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  'ocid1.tenancy.prod' || b.u5 AS log_source_hostname,
+  CASE WHEN b.csel = 0 THEN 'secops' END AS event_provider,
+  CASE WHEN b.csel = 0 THEN 'us-ashburn-1' END AS cloud_region,
+  CASE WHEN b.csel = 0 THEN 'public access' END AS event_reason,
+  CASE WHEN b.csel = 0 THEN 'bucket' END AS dns_answers_type,
+  CASE b.csel WHEN 0 THEN 'bucket is public' WHEN 1 THEN 'scan complete ok'
+    ELSE 'scan pending' END AS rule_description,
+  CASE WHEN b.csel = 0 THEN 'public_bucket_' || b.eid_s END AS rule_category,
+  CASE WHEN b.csel = 0 THEN 'open' END AS service_state,
+  CAST(CASE b.csel WHEN 0 THEN epoch_ms(date_trunc('second', t.ts)) + 111
+    WHEN 1 THEN epoch_ms(date_trunc('second', t.ts)) + 333 END AS BIGINT) AS event_start_ms,
+  CAST(CASE WHEN b.csel = 0
+    THEN epoch_ms(date_trunc('second', t.ts)) + 222 END AS BIGINT) AS event_end_ms,
+  CAST(CASE WHEN b.csel >= 1
+    THEN epoch_ms(date_trunc('second', t.ts)) + 555 END AS BIGINT) AS event_ingested_ms,
+  CASE WHEN b.csel = 0 THEN 'config' ELSE 'problemdetected' END AS event_type,
+  CASE WHEN b.csel = 0 THEN 'make private' END AS event_recommendation,
+  CASE WHEN b.csel >= 1 THEN 'lg' || b.u5 END AS file_gid,
+  CASE b.csel WHEN 1 THEN 'r7' || b.u5 WHEN 2 THEN 'r8' || b.u5 END AS rule_id,
+  'oci' AS cloud_provider,
+  CASE WHEN b.csel = 2 THEN '_dateparsefailure_es' ELSE '' END AS tags_s
+FROM ocg_turns t JOIN ocg_base b USING (event_id)""",
+
+    // oci.object: flat renames; bad startTime variant drops the field
+    "qoc02_ociobject" ->
+      s"""WITH ${Transcripts.oobCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'oci' AS event_module,
+  'oci.object' AS event_dataset,
+  'logs-oci.object_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  'ocid1.tenant.t' || b.u5 AS log_source_hostname,
+  'com.oraclecloud.objectstorage.getobject' AS event_type,
+  'objectstorage' AS event_provider, 'natv' AS event_category,
+  '203.0.113.' || CAST(b.event_id % 200 AS VARCHAR) AS client_ip,
+  epoch_ms(date_trunc('second', t.ts)) + 444 AS event_end_ms,
+  CAST(CASE WHEN b.osel = 0
+    THEN epoch_ms(date_trunc('second', t.ts)) + 111 END AS BIGINT) AS event_start_ms,
+  epoch_ms(date_trunc('second', t.ts)) + 555 AS event_ingested_ms,
+  'us-phoenix-1' AS cloud_region, 'notfound' AS error_code,
+  'getobject failed ' || b.eid_s AS event_action,
+  'get' AS http_request_method,
+  '/n/bkt/o/file' || b.eid_s || '.txt' AS url_path,
+  CAST(404 AS BIGINT) AS http_response_status_code,
+  'oci-sdk/2.1' AS user_agent_original,
+  'prodtenant' AS cloud_account_name,
+  CASE WHEN b.osel = 1 THEN '_dateparsefailure_es' ELSE '' END AS tags_s
+FROM oob_turns t JOIN oob_base b USING (event_id)""",
+
+    // jamf: dotted key rename; unix clock; array folds are unobservable
+    // (string columns null on arrays)
+    "qjp01_jamf" ->
+      s"""WITH ${Transcripts.jmfCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'jamf' AS event_module,
+  'jamf.endpoint_protection' AS event_dataset,
+  'logs-jamf.endpoint_protection_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.jsel = 1 THEN epoch_ms(t.ts)
+    ELSE (1704067200 + (b.event_id % 1000000)) * 1000 END AS event_created_ms,
+  'api_jamf' AS log_source_hostname,
+  '10.' || b.u5 || '.' || b.m250 || '.30' AS host_ip,
+  'c02' || b.eid_s AS host_serial,
+  'macbook-' || b.u5 AS host_name,
+  '/tmp/mal' || b.eid_s AS file_path,
+  'Threat Prevented ' || b.eid_s AS event_description,
+  'gpthreatmatchexecevent' AS event_type, 'alert' AS event_provider,
+  'jamf' AS cloud_provider,
+  CASE WHEN b.jsel = 1 THEN '_dateparsefailure_ec' ELSE '' END AS tags_s
+FROM jmf_turns t JOIN jmf_base b USING (event_id)""",
+
+    // sap.btp: triple-encoded record; original md5 over the raw text
+    "qsb01_sapbtp" ->
+      s"""WITH ${Transcripts.btpCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'sap' AS event_module, 'sap.btp' AS event_dataset,
+  'logs-sap.btp_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.bsel = 1 THEN epoch_ms(t.ts)
+    ELSE epoch_ms(date_trunc('second', t.ts)) + 123 END AS event_created_ms,
+  'btptenant' || b.u5 AS log_source_hostname,
+  'alert-notif' AS service_id, 'audit.security-events' AS event_category,
+  'mu' || b.eid_s AS rule_uuid, 'org' || b.u5 AS cloud_project_id,
+  'sp' || b.u5 AS cloud_instance_id, 'btptenant' || b.u5 AS cloud_account_id,
+  'alert' AS event_type,
+  '10.' || b.u5 || '.' || b.m250 || '.40' AS source_ip,
+  'btpuser' || b.u5 AS user_name,
+  CASE WHEN b.bsel = 0 THEN 'critical alert' END AS email_subject,
+  CASE WHEN b.bsel = 0 THEN 'u' || b.u5 || '@example.com' END AS user_email,
+  CASE WHEN b.bsel = 0 THEN 'auth' || b.eid_s END AS event_code,
+  md5(t.text) AS event_original_md5,
+  CASE WHEN b.bsel = 1 THEN '_dateparsefailure_ec,sip_private,source_ip_private'
+    ELSE 'sip_private,source_ip_private' END AS tags_s
+FROM btp_turns t JOIN btp_base b USING (event_id)""",
 
     // bomgar: every event carries the _es tag (unix header clock string),
     // the misp hostname hit, and the private-source tags

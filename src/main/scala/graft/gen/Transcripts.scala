@@ -5700,6 +5700,170 @@ hpn_turns AS (
     spark.sql(s"WITH $hpnCte SELECT conv_id, turn_idx, role, text, tool, ts FROM hpn_turns")
   }
 
+  /** oci.cloudguard — cloud guard problem feed
+    * (api_security_oci.cloudguard.conf). csel 0 embedded python-dict
+    * message (backslash gsub + quote gsub + reparse), 1 flat else-branch,
+    * 2 else-branch with unparseable time (_es). */
+  val ocgCte: String = s"""
+ocg_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 95.0) AS BIGINT) % 3 AS csel,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 95) = 67
+),
+ocg_turns AS (
+  SELECT 'ocg_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE csel
+      WHEN 0 THEN CONCAT('{"oracle":{"tenantid":"ocid1.tenancy.prod', u5, '"},"data":{"message":"{',
+        chr(39), 'compartmentName', chr(39), ': ', chr(39), 'SecOps', chr(39),
+        ', ', chr(39), 'additionalDetails', chr(39), ': {',
+        chr(39), 'riskLevel', chr(39), ': ', chr(39), 'CRITICAL', chr(39),
+        ', ', chr(39), 'region', chr(39), ': ', chr(39), 'us-ashburn-1', chr(39),
+        ', ', chr(39), 'reason', chr(39), ': ', chr(39), 'public access', chr(39),
+        ', ', chr(39), 'resourceType', chr(39), ': ', chr(39), 'Bucket', chr(39),
+        ', ', chr(39), 'problemDescription', chr(39), ': ', chr(39), 'bucket', chr(92), ' is public', chr(39),
+        ', ', chr(39), 'problemName', chr(39), ': ', chr(39), 'PUBLIC_BUCKET_', eid_s, chr(39),
+        ', ', chr(39), 'status', chr(39), ': ', chr(39), 'OPEN', chr(39),
+        ', ', chr(39), 'firstDetected', chr(39), ': ', chr(39), iso, '.111Z', chr(39),
+        ', ', chr(39), 'lastDetected', chr(39), ': ', chr(39), iso, '.222Z', chr(39),
+        ', ', chr(39), 'problemType', chr(39), ': ', chr(39), 'CONFIG', chr(39),
+        ', ', chr(39), 'problemRecommendation', chr(39), ': ', chr(39), 'make private', chr(39),
+        '}}"}}')
+      WHEN 1 THEN CONCAT('{"id":"ocid1.cgevent.', eid_s,
+        '","oracle":{"tenantid":"ocid1.tenancy.prod', u5,
+        '","ingestedtime":"', iso, '.555Z","loggroupid":"lg', u5,
+        '"},"data":{"message":"scan complete ok","ruleid":"R7', u5,
+        '"},"time":"', iso, '.333Z","type":"problemdetected"}')
+      ELSE CONCAT('{"id":"ocid1.cgevent.', eid_s,
+        '","oracle":{"tenantid":"ocid1.tenancy.prod', u5,
+        '","ingestedtime":"', iso, '.555Z","loggroupid":"lg', u5,
+        '"},"data":{"message":"scan pending","ruleid":"R8', u5,
+        '"},"time":"soon","type":"problemdetected"}')
+    END AS text,
+    'oci.cloudguard' AS tool, ts, event_id
+  FROM ocg_base
+)"""
+
+  def ocgInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ocgCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ocg_turns")
+  }
+
+  /** oci.object — object-storage audit envelope
+    * (api_application_oci.object.conf). osel 0 full record, 1 bad
+    * startTime (_es, field dropped). */
+  val oobCte: String = s"""
+oob_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 99.0) AS BIGINT) % 2 AS osel,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 99) = 71
+),
+oob_turns AS (
+  SELECT 'oob_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"id":"ocid1.event.', eid_s,
+      '","type":"com.oraclecloud.objectstorage.getobject","source":"ObjectStorage"',
+      ',"data":{"tenantId":"ocid1.tenant.t', u5,
+      '","authenticationType":"natv","clientIpAddress":"203.0.113.', CAST(event_id % 200 AS STRING),
+      '","endTime":"', iso, '.444Z","startTime":"',
+      CASE WHEN osel = 1 THEN 'later' ELSE iso || '.111Z' END,
+      '","region":"us-phoenix-1","errorCode":"NotFound","message":"GetObject failed ', eid_s,
+      '","requestAction":"GET","requestResourcePath":"/n/bkt/o/file', eid_s,
+      '.txt","statusCode":404,"userAgent":"oci-sdk/2.1","tenantName":"ProdTenant"}',
+      ',"oracle":{"ingestedtime":"', iso, '.555Z"}}') AS text,
+    'oci.object' AS tool, ts, event_id
+  FROM oob_base
+)"""
+
+  def oobInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $oobCte SELECT conv_id, turn_idx, role, text, tool, ts FROM oob_turns")
+  }
+
+  /** jamf.endpoint_protection — protect alert (api_security_jamf.protect
+    * .conf). jsel 0 full record with processes/user arrays + UNIX clock,
+    * 1 unparseable clock (the broken field-ref guard keeps the string for
+    * e02 to scrub). */
+  val jmfCte: String = s"""
+jmf_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 100.0) AS BIGINT) % 2 AS jsel,
+    CAST(1704067200 + (event_id % 1000000) AS STRING) AS whens,
+    CAST(event_id % 250 AS STRING) AS m250
+  FROM events WHERE (event_id % 100) = 73
+),
+jmf_turns AS (
+  SELECT 'jmf_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"ips":"10.', u5, '.', m250, '.30","serial":"C02', eid_s,
+      '","hostname":"MacBook-', u5, '","event":{"path":"/tmp/mal', eid_s,
+      '","timestamp":"', CASE WHEN jsel = 1 THEN 'pending' ELSE whens END,
+      '"},"event.description":"Threat Prevented ', eid_s,
+      '","eventType":"GPThreatMatchExecEvent","reportType":"alert"',
+      CASE WHEN jsel = 1 THEN ''
+        ELSE CONCAT(',"processes":[{"name":"bad', u5, '","path":"/tmp/bad', u5,
+          '","signingInfo":{"authorities":["DevCorp CA"]}},{"name":"","path":""}]',
+          ',"user":{"name":[{"name":"macuser', u5, '"}]}')
+      END, '}') AS text,
+    'jamf.endpoint_protection' AS tool, ts, event_id
+  FROM jmf_base
+)"""
+
+  def jmfInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $jmfCte SELECT conv_id, turn_idx, role, text, tool, ts FROM jmf_turns")
+  }
+
+  /** sap.btp — triple-encoded audit-log record (api_security_sap_btp.conf).
+    * bsel 0 full nesting (email grok), 1 no inner data + bad time. */
+  val btpCte: String = s"""
+btp_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 102.0) AS BIGINT) % 2 AS bsel,
+    chr(92) || chr(34) AS e1,
+    chr(92) || chr(92) || chr(92) || chr(34) AS e2,
+    CAST(event_id % 250 AS STRING) AS m250,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 102) = 79
+),
+btp_turns AS (
+  SELECT 'btp_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"als_service_id":"alert-notif","category":"audit.security-events"',
+      ',"message_uuid":"mu', eid_s, '","org_id":"org', u5,
+      '","time":"', CASE WHEN bsel = 1 THEN 'pending' ELSE iso || '.123Z' END,
+      '","space_id":"sp', u5, '","tenant":"BtpTenant', u5,
+      '","object":{"type":"alert"},"id":"id', eid_s,
+      '","ip":"10.', u5, '.', m250, '.40","user":"btpuser', u5, '"',
+      ',"message":"',
+      CASE WHEN bsel = 1 THEN '{' || e1 || 'note' || e1 || ':' || e1 || 'ok' || e1 || '}'
+        ELSE CONCAT('{', e1, 'data', e1, ':', e1, '{', e2, 'message', e2, ':', e2,
+          'Critical alert (', chr(39), 'u', u5, '@example.com', chr(39),
+          ') raised rc=[AUTH', eid_s, ']', e2, '}', e1, '}')
+      END, '"}') AS text,
+    'sap.btp' AS tool, ts, event_id
+  FROM btp_base
+)"""
+
+  def btpInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $btpCte SELECT conv_id, turn_idx, role, text, tool, ts FROM btp_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

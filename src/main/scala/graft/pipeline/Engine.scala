@@ -459,6 +459,9 @@ object Engine {
       client_user_roles = s("[client][user][roles]"),
       destination_host_name = s("[destination][host][name]"),
       server_host_name = s("[server][host][name]"),
-      host_geo_country_iso_code = s("[host][geo][country_iso_code]")))
+      host_geo_country_iso_code = s("[host][geo][country_iso_code]"),
+      dns_answers_type = s("[dns][answers][type]"),
+      file_gid = s("[file][gid]"),
+      service_id = s("[service][id]")))
   }
 }

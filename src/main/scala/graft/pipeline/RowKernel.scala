@@ -580,6 +580,9 @@ object RowKernel {
     s("[destination][host][name]")
     s("[server][host][name]")
     s("[host][geo][country_iso_code]")
+    s("[dns][answers][type]")
+    s("[file][gid]")
+    s("[service][id]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -325,6 +325,14 @@ object Registry {
       "logs-tufin.fw_acl_manager", Vector("elastic"), Set.empty, "low"),
     "hp.nnm_audit" -> TechnologyConfig("hp.nnm_audit",
       "logs-hp.nnm_audit", Vector("elastic"), Set.empty, "low"),
+    "oci.cloudguard" -> TechnologyConfig("oci.cloudguard",
+      "logs-oci.cloudguard", Vector("elastic"), Set.empty, "low"),
+    "oci.object" -> TechnologyConfig("oci.object",
+      "logs-oci.object", Vector("elastic"), Set.empty, "medium"),
+    "jamf.endpoint_protection" -> TechnologyConfig("jamf.endpoint_protection",
+      "logs-jamf.endpoint_protection", Vector("elastic"), Set.empty, "low"),
+    "sap.btp" -> TechnologyConfig("sap.btp",
+      "logs-sap.btp", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -742,6 +750,10 @@ object Registry {
     "beyondtrust.secure_remote_mngt" -> SecOpsRules.bomgar,
     "tufin.fw_acl_manager" -> SecOpsRules.tufin,
     "hp.nnm_audit" -> SecOpsRules.hpNnm,
+    "oci.cloudguard" -> ApiCloudRules.ociCloudguard,
+    "oci.object" -> ApiCloudRules.ociObject,
+    "jamf.endpoint_protection" -> ApiCloudRules.jamfProtect,
+    "sap.btp" -> ApiCloudRules.sapBtp,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

@@ -94,7 +94,9 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("apacheaudit", Transcripts.apeInput), ("mwgproxy", Transcripts.mwgInput),
       ("iisflat", Transcripts.iifInput), ("jira", Transcripts.jirInput),
       ("jiraaudit", Transcripts.jiaInput), ("bomgar", Transcripts.bgrInput),
-      ("tufin", Transcripts.tufInput), ("hpnnm", Transcripts.hpnInput))
+      ("tufin", Transcripts.tufInput), ("hpnnm", Transcripts.hpnInput),
+      ("cloudguard", Transcripts.ocgInput), ("ociobject", Transcripts.oobInput),
+      ("jamf", Transcripts.jmfInput), ("sapbtp", Transcripts.btpInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
