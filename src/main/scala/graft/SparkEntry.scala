@@ -1377,6 +1377,55 @@ px AS (
         md5(col("event_original")).as("event_original_md5"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // o365.dlp: backwards merge (dest = doomed envelope field), To array
+    // nulls the flat email column
+    "qdl02_o365dlpapi" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.odlInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_start_ms"), col("event_action"),
+        col("user_id"), col("observer_vendor"), col("destination_user_email"),
+        col("source_user_email"), col("file_size"), col("email_subject"),
+        col("log_source_hostname"), col("cloud_provider"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // azure graph identity protection: riskEventTypes-vs-activity fallback,
+    // mismatched date-failure guard
+    "qgi01_graphident" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.gipInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_outcome"), col("rule_category"),
+        col("rule_description"), col("event_kind"), col("client_ip"),
+        col("source_geo_city"), col("user_email"), col("user_name"),
+        col("observer_product"), col("source_as_organization_name"),
+        col("event_type"), col("log_source_hostname"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // scorecard: dst_host overwrite on dns.answers.name, public scan ips
+    "qss01_scorecard" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.sscInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_start_ms"), col("event_end_ms"),
+        col("network_protocol"), col("url_full"), col("host_domain"),
+        col("user_agent_original"), col("source_ip"), col("service_state"),
+        col("rule_reference"), col("rule_description"), col("network_transport"),
+        col("destination_port"), col("destination_ip"), col("event_kind"),
+        col("log_source_hostname"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // ad users: undated list index override, literal sprintf fallbacks
+    "qad01_adusers" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.aduInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_ingested_ms"),
+        col("log_source_hostname"), col("file_path"), col("user_full_name"),
+        col("user_name"), col("user_id"), col("user_domain"),
+        col("user_email"), col("user_roles"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4488,6 +4537,96 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // o365.dlp api: array To nulls the flat email column; backwards merge
+    "qdl02_o365dlpapi" ->
+      s"""WITH ${Transcripts.odlCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'o365' AS event_module, 'o365.dlp' AS event_dataset,
+  'logs-o365.dlp_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.dsel = 2 THEN epoch_ms(t.ts)
+    ELSE epoch_ms(date_trunc('second', t.ts)) + 123 END AS event_created_ms,
+  epoch_ms(date_trunc('second', t.ts)) + 456 AS event_start_ms,
+  'dlprulematch' AS event_action, 'ukey' || b.eid_s AS user_id,
+  'exchange' AS observer_vendor,
+  CASE WHEN b.dsel = 1 THEN NULL ELSE 'rcpt' || b.u5 || '@example.com' END AS destination_user_email,
+  'sender' || b.u5 || '@example.com' AS source_user_email,
+  CAST(2048 AS BIGINT) AS file_size,
+  'quarterly report ' || b.eid_s AS email_subject,
+  'o365_dlp' AS log_source_hostname, 'azure' AS cloud_provider,
+  CASE WHEN b.dsel = 2 THEN '_dateparsefailure_ec' ELSE '' END AS tags_s
+FROM odl_turns t JOIN odl_base b USING (event_id)""",
+
+    // azure graph identity protection
+    "qgi01_graphident" ->
+      s"""WITH ${Transcripts.gipCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'azure' AS event_module,
+  'azure.graph_identity_protection' AS event_dataset,
+  'logs-azure.graph_identity_protection_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.gsel = 2 THEN epoch_ms(t.ts)
+    ELSE epoch_ms(date_trunc('second', t.ts)) + 123 END AS event_created_ms,
+  'atrisk' AS event_outcome, 'realtime' AS rule_category,
+  'userpassedmfadrivenbyriskbasedpolicy' AS rule_description,
+  'unfamiliarfeatures' AS event_kind,
+  '203.0.113.' || CAST(b.event_id % 200 AS VARCHAR) AS client_ip,
+  'redmond' AS source_geo_city,
+  'upn' || b.u5 || '@example.com' AS user_email,
+  'user graph ' || b.u5 AS user_name,
+  'identityprotection' AS observer_product, 'azuread' AS source_as_organization_name,
+  CASE WHEN b.gsel = 1 THEN 'user' ELSE 'signin' END AS event_type,
+  'api_azure_identity_protection' AS log_source_hostname,
+  CASE WHEN b.gsel = 2 THEN '_dateparsefailure_ec' ELSE '' END AS tags_s
+FROM gip_turns t JOIN gip_base b USING (event_id)""",
+
+    // scorecard: public scan ips carry the geo-lookup-failure tag set
+    "qss01_scorecard" ->
+      s"""WITH ${Transcripts.sscCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'security_scorecard' AS event_module,
+  'security_scorecard.events' AS event_dataset,
+  'logs-security_scorecard.events_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  CAST(CASE WHEN b.ssel = 0
+    THEN epoch_ms(date_trunc('second', t.ts)) + 111 END AS BIGINT) AS event_start_ms,
+  epoch_ms(date_trunc('second', t.ts)) + 222 AS event_end_ms,
+  'https' AS network_protocol,
+  'https://bad.example/p' || b.eid_s AS url_full,
+  'bad.example' AS host_domain, 'scorecard-bot/1.0' AS user_agent_original,
+  '203.0.113.' || CAST(b.event_id % 200 AS VARCHAR) AS source_ip,
+  'active' AS service_state, 'https://ref.example/r1' AS rule_reference,
+  'malware observed ' || b.eid_s AS rule_description,
+  'tcp' AS network_transport, CAST(8443 AS BIGINT) AS destination_port,
+  '198.51.100.9' AS destination_ip, 'ssc.issues' AS event_kind,
+  'api_security_scorecard.events' AS log_source_hostname,
+  CASE WHEN b.ssel = 1
+    THEN '_dateparsefailure_es,_geoip_lookup_failure,destination_ip_public,dip_public,sip_public,source_ip_public'
+    ELSE '_geoip_lookup_failure,destination_ip_public,dip_public,sip_public,source_ip_public'
+  END AS tags_s
+FROM ssc_turns t JOIN ssc_base b USING (event_id)""",
+
+    // ad users: undated list index override; literal sprintf fallbacks
+    "qad01_adusers" ->
+      s"""WITH ${Transcripts.aduCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.asel = 1 THEN 0 ELSE 1 END AS parse_ok_i,
+  'not parsed' AS parse_rule, 'active_directory' AS event_module,
+  'active_directory.users' AS event_dataset,
+  CASE WHEN b.asel = 1 THEN 'list_ad_users_%' || chr(123) || '[tmp][sub_domain]' || chr(125)
+    ELSE 'list_ad_users_corp' END AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  CAST(CASE WHEN b.asel = 0
+    THEN epoch_ms(date_trunc('second', t.ts)) END AS BIGINT) AS event_ingested_ms,
+  '%' || chr(123) || '[agent][name]' || chr(125) AS log_source_hostname,
+  '/scripts/ad_users.ps1' AS file_path,
+  'Ad User ' || b.u5 AS user_full_name,
+  'aduser' || b.u5 AS user_name,
+  's-1-5-21-' || b.eid_s AS user_id,
+  CASE WHEN b.asel = 0 THEN 'corp.example.com' END AS user_domain,
+  'aduser' || b.u5 || '@example.com' AS user_email,
+  'domainusers' AS user_roles,
+  CASE WHEN b.asel = 1 THEN '_dateparsefailure_ei,_grokparsefailure' ELSE '' END AS tags_s
+FROM adu_turns t JOIN adu_base b USING (event_id)""",
 
     // oci.cloudguard: embedded-dict branch vs flat branch
     "qoc01_cloudguard" ->

@@ -5864,6 +5864,150 @@ btp_turns AS (
     spark.sql(s"WITH $btpCte SELECT conv_id, turn_idx, role, text, tool, ts FROM btp_turns")
   }
 
+  /** o365.dlp — unified audit DLP record (api_security_azure.o365_dlp.conf).
+    * dsel 0 scalar To, 1 array To + BCC (merge targets the doomed envelope
+    * field; the array To nulls the flat column), 2 bad CreationTime. */
+  val odlCte: String = s"""
+odl_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 104.0) AS BIGINT) % 3 AS dsel,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 104) = 83
+),
+odl_turns AS (
+  SELECT 'odl_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"CreationTime":"', CASE WHEN dsel = 2 THEN 'n/a' ELSE iso || '.123Z' END,
+      '","Operation":"DlpRuleMatch","UserKey":"ukey', eid_s,
+      '","Workload":"Exchange","IncidentId":"inc', eid_s, '"',
+      ',"ExchangeMetaData":{"To":',
+      CASE WHEN dsel = 1 THEN '["a' || u5 || '@example.com","b' || u5 || '@example.com"]'
+        ELSE '"rcpt' || u5 || '@example.com"' END,
+      CASE WHEN dsel = 1 THEN ',"BCC":["bcc' || u5 || '@example.com"]' ELSE '' END,
+      ',"From":"sender', u5, '@example.com","FileSize":2048',
+      ',"Subject":"Quarterly Report ', eid_s, '","Sent":"', iso, '.456Z"}}') AS text,
+    'o365.dlp' AS tool, ts, event_id
+  FROM odl_base
+)"""
+
+  def odlInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $odlCte SELECT conv_id, turn_idx, role, text, tool, ts FROM odl_turns")
+  }
+
+  /** azure.graph_identity_protection — risk detection record
+    * (api_security_azure.graph_identity_protection_api.conf). gsel 0
+    * activity.riskEventTypes, 1 scalar activity, 2 bad activityDateTime
+    * (mismatched guard tag keeps the string for e02). */
+  val gipCte: String = s"""
+gip_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 106.0) AS BIGINT) % 3 AS gsel,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 106) = 89
+),
+gip_turns AS (
+  SELECT 'gip_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"riskState":"atRisk","detectionTimingType":"realtime","id":"rid', eid_s,
+      '","riskDetail":"userPassedMFADrivenByRiskBasedPolicy"',
+      ',"activityDateTime":"', CASE WHEN gsel = 2 THEN 'pending' ELSE iso || '.123Z' END,
+      '","riskEventType":"unfamiliarFeatures","riskLevel":"medium"',
+      ',"tokenIssuerType":"AzureAD","ipAddress":"203.0.113.', CAST(event_id % 200 AS STRING),
+      '","location":{"city":"Redmond","state":"WA","countryOrRegion":"US"}',
+      ',"userPrincipalName":"upn', u5, '@example.com","userDisplayName":"User Graph ', u5,
+      '","source":"IdentityProtection"',
+      CASE WHEN gsel = 1 THEN ',"activity":"user"'
+        ELSE ',"activity":{"riskEventTypes":"signin"}' END, '}') AS text,
+    'azure.graph_identity_protection' AS tool, ts, event_id
+  FROM gip_base
+)"""
+
+  def gipInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $gipCte SELECT conv_id, turn_idx, role, text, tool, ts FROM gip_turns")
+  }
+
+  /** security_scorecard.events — external-scan issue record
+    * (api_security_scorecard.events.conf). ssel 0 full record (dst_host
+    * overwrites hostname on dns.answers.name), 1 bad first_seen (_es). */
+  val sscCte: String = s"""
+ssc_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 108.0) AS BIGINT) % 2 AS ssel,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 108) = 97
+),
+ssc_turns AS (
+  SELECT 'ssc_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"last_seen_time":"', iso, '.222Z","first_seen_time":"',
+      CASE WHEN ssel = 1 THEN 'unknown' ELSE iso || '.111Z' END,
+      '","issue_id":"iss', eid_s, '","scheme":"https"',
+      ',"final_url":"https://bad.example/p', eid_s, '","domain":"bad.example"',
+      ',"hostname":"h', eid_s, '.bad.example","user_agent":"scorecard-bot/1.0"',
+      ',"src_ip":"203.0.113.', CAST(event_id % 200 AS STRING),
+      '","product_state_status_description":"active"',
+      ',"product_state_ref":"https://ref.example/r1"',
+      ',"analysis_description":"malware observed ', eid_s, '"',
+      ',"connection_attributes":{"protocol":"tcp","dst_port":8443,"dst_ip":"198.51.100.9","dst_host":"c2', eid_s, '.bad.example"}',
+      ',"event.dataset":"ssc.issues"}') AS text,
+    'security_scorecard.events' AS tool, ts, event_id
+  FROM ssc_base
+)"""
+
+  def sscInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $sscCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ssc_turns")
+  }
+
+  /** active_directory.users — ad inventory record with dotted keys
+    * (api_list_ad_users.conf). asel 0 full (undated list_ad_users_corp
+    * index override, lowercase 't'/'z' clock), 1 no user.domain (grok
+    * failure, literal sprintf index) + bad ingested. */
+  val aduCte: String = s"""
+adu_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 110.0) AS BIGINT) % 2 AS asel,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 110) = 101
+),
+adu_turns AS (
+  SELECT 'adu_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"_id":"adid', eid_s, '","file.path":"/scripts/ad_users.ps1"',
+      ',"event.ingested":"', CASE WHEN asel = 1 THEN 'no date yet' ELSE iso || '.000z' END, '"',
+      ',"user.full_name":"Ad User ', u5, '","user.name":"ADUser', u5,
+      '","user.id":"S-1-5-21-', eid_s, '"',
+      ',"user.effective.domain":"corp.example"',
+      CASE WHEN asel = 1 THEN '' ELSE ',"user.domain":"corp.example.com"' END,
+      ',"user.email":"aduser', u5, '@example.com","user.description":"svc account"',
+      ',"user.office":"HQ-', u5, '","user.telephone":"555-01', u5,
+      '","user.city":"Wayzata","user.stat":"MN","user.country":"US"',
+      ',"user.title":"Engineer","user.business.unit":"IT","user.company":"ExampleCorp"',
+      ',"tmp_user.roles":{"value":"DomainUsers"},"tmp_user.directreports":{"value":"none"}',
+      ',"user.manager":"mgr', u5, '"}') AS text,
+    'active_directory.users' AS tool, ts, event_id
+  FROM adu_base
+)"""
+
+  def aduInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $aduCte SELECT conv_id, turn_idx, role, text, tool, ts FROM adu_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

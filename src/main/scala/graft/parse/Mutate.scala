@@ -138,6 +138,25 @@ object Mutate {
   def replace(ev: Event, path: String, template: String): Unit =
     ev.set(path, sprintf(ev, template))
 
+  /** mutate.merge: `merge => { dest => added }` — the KEY is the
+    * destination. Scalars/arrays concatenate (Array(dest) + Array(added));
+    * a missing added field is a no-op; a missing dest becomes the added
+    * values (Ruby Array(nil) == []).
+    * (ref: api_security_azure.o365_dlp.conf:30-31 — where dest is the
+    *  envelope BCC/CC field that a later remove_field deletes wholesale.) */
+  def merge(ev: Event, destPath: String, addedPath: String): Unit =
+    ev.get(addedPath).foreach { added =>
+      def arr(v: Any): scala.collection.mutable.ArrayBuffer[Any] = v match {
+        case a: scala.collection.mutable.ArrayBuffer[Any @unchecked] => a.clone()
+        case x => scala.collection.mutable.ArrayBuffer[Any](x)
+      }
+      val out = ev.get(destPath) match {
+        case Some(d) => arr(d) ++ arr(added)
+        case None => arr(added)
+      }
+      ev.set(destPath, out)
+    }
+
   /** mutate.convert: "integer" | "float" | "string" | "boolean". */
   def convert(ev: Event, path: String, typ: String): Unit = ev.get(path).foreach { v =>
     val out: Any = (typ, v) match {

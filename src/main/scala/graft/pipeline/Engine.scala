@@ -149,7 +149,10 @@ object Engine {
       },
       parse_ok = parseOk,
       tags = ev.tags.toVector.sorted,
-      route_index = routeIndex(cfg, tsMillis),
+      // a parse-stage `replace [@metadata][output]` overrides the generated
+      // dated index verbatim (ref: api_list_ad_users.conf:50-53 +
+      // config/outputs/elastic_output.conf:9 `index => "%{[@metadata][output]}"`)
+      route_index = ev.getString("[@metadata][output]").getOrElse(routeIndex(cfg, tsMillis)),
       route_outputs = cfg.outputs,
       message = s("message"),
       log_original = s("[log][original]"),

@@ -273,7 +273,10 @@ object RowKernel {
       while (j < t.length) { o(j) = UTF8String.fromString(t(j)); j += 1 }
       put(new GenericArrayData(o))
     }
-    put(tech.routeIndexU8(tsMillis))  // route_index
+    put(ev.getString("[@metadata][output]") match { // conf-level index override
+      case Some(o) => UTF8String.fromString(o)
+      case None => tech.routeIndexU8(tsMillis)
+    })                                // route_index
     put(tech.routeOutputs)            // route_outputs (shared immutable constant)
     assert(i == numContextCols, s"context section is $i cols, maskFor assumes $numContextCols")
     s("message")

@@ -333,6 +333,14 @@ object Registry {
       "logs-jamf.endpoint_protection", Vector("elastic"), Set.empty, "low"),
     "sap.btp" -> TechnologyConfig("sap.btp",
       "logs-sap.btp", Vector("elastic"), Set.empty, "low"),
+    "o365.dlp" -> TechnologyConfig("o365.dlp",
+      "logs-o365.dlp", Vector("elastic"), Set.empty, "low"),
+    "azure.graph_identity_protection" -> TechnologyConfig("azure.graph_identity_protection",
+      "logs-azure.graph_identity_protection", Vector("elastic"), Set.empty, "low"),
+    "security_scorecard.events" -> TechnologyConfig("security_scorecard.events",
+      "logs-security_scorecard.events", Vector("elastic"), Set.empty, "low"),
+    "active_directory.users" -> TechnologyConfig("active_directory.users",
+      "list_ad_users", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -754,6 +762,10 @@ object Registry {
     "oci.object" -> ApiCloudRules.ociObject,
     "jamf.endpoint_protection" -> ApiCloudRules.jamfProtect,
     "sap.btp" -> ApiCloudRules.sapBtp,
+    "o365.dlp" -> ApiDirectoryRules.o365Dlp,
+    "azure.graph_identity_protection" -> ApiDirectoryRules.graphIdentity,
+    "security_scorecard.events" -> ApiDirectoryRules.scorecard,
+    "active_directory.users" -> ApiDirectoryRules.adUsers,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

@@ -96,7 +96,9 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("jiraaudit", Transcripts.jiaInput), ("bomgar", Transcripts.bgrInput),
       ("tufin", Transcripts.tufInput), ("hpnnm", Transcripts.hpnInput),
       ("cloudguard", Transcripts.ocgInput), ("ociobject", Transcripts.oobInput),
-      ("jamf", Transcripts.jmfInput), ("sapbtp", Transcripts.btpInput))
+      ("jamf", Transcripts.jmfInput), ("sapbtp", Transcripts.btpInput),
+      ("o365dlpapi", Transcripts.odlInput), ("graphident", Transcripts.gipInput),
+      ("scorecard", Transcripts.sscInput), ("adusers", Transcripts.aduInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
