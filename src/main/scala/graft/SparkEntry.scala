@@ -1426,6 +1426,35 @@ px AS (
         col("user_email"), col("user_roles"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // virtustream.windows: rename-overwrite chains, literal message update,
+    // x1e7 duration
+    "qvw01_virtwin" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.vwInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("message"), col("event_created_ms"), col("event_start_ms"),
+        col("event_ingested_ms"), col("destination_domain"), col("error_code"),
+        col("host_name"), col("host_ip"), col("source_port"), col("user_id"),
+        col("user_name"), col("event_type"), col("event_severity"),
+        col("source_user_id"), col("source_user_name"), col("source_user_domain"),
+        col("process_name"), col("process_pid"), col("event_duration"),
+        col("source_address"), col("log_level"), col("event_severity_name"),
+        col("event_category"), col("rule_category"), col("process_parent_name"),
+        col("event_provider"), col("log_source_hostname"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // impala: wrapper grok + unescape, always-true outcome literal,
+    // dead second catalog rename
+    "qim01_impala" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.impInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("source_ip"), col("source_port"),
+        col("user_name"), col("database_query"), col("event_action"),
+        col("database_table"), col("event_type"), col("event_kind"),
+        col("event_outcome"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4537,6 +4566,76 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // virtustream.windows: message always the literal "[tmp][message]"
+    "qvw01_virtwin" ->
+      s"""WITH ${Transcripts.vwCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'virtustream' AS event_module,
+  'virtustream.windows' AS event_dataset,
+  'logs-virtustream.windows_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  '[tmp][message]' AS message,
+  CASE b.wsel WHEN 0 THEN epoch_ms(date_trunc('second', t.ts)) + 123
+    WHEN 1 THEN epoch_ms(date_trunc('second', t.ts)) + 456
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CAST(CASE b.wsel WHEN 0 THEN epoch_ms(date_trunc('day', t.ts)) + 23400000 + (b.event_id % 60) * 1000
+    WHEN 1 THEN epoch_ms(date_trunc('day', t.ts)) + 23460000 + (b.event_id % 60) * 1000
+    END AS BIGINT) AS event_start_ms,
+  CAST(CASE WHEN b.wsel = 0
+    THEN epoch_ms(date_trunc('day', t.ts)) + 23400000 + (b.event_id % 60) * 1000
+    END AS BIGINT) AS event_ingested_ms,
+  CASE WHEN b.wsel = 0 THEN 'corp2' END AS destination_domain,
+  CASE WHEN b.wsel = 0 THEN '0x0' END AS error_code,
+  CASE b.wsel WHEN 0 THEN 'winsrv' || b.u5 ELSE 'winapp' || b.u5 END AS host_name,
+  CASE b.wsel WHEN 0 THEN '10.' || b.u5 || '.' || b.m250 || '.50'
+    WHEN 1 THEN '10.' || b.u5 || '.' || b.m250 || '.51' END AS host_ip,
+  CAST(CASE WHEN b.wsel = 0 THEN 514 END AS BIGINT) AS source_port,
+  CASE b.wsel WHEN 0 THEN 's-1-5-18' WHEN 1 THEN 's-1-5-21-' || b.eid_s END AS user_id,
+  CASE WHEN b.wsel = 0 THEN 'winuser' || b.u5 END AS user_name,
+  CASE b.wsel WHEN 0 THEN 'security' WHEN 1 THEN 'info' END AS event_type,
+  CAST(CASE WHEN b.wsel = 0 THEN 2 END AS BIGINT) AS event_severity,
+  CASE WHEN b.wsel = 0 THEN 's-1-5-19' END AS source_user_id,
+  CASE WHEN b.wsel = 0 THEN 'svcacct' || b.u5 END AS source_user_name,
+  CASE b.wsel WHEN 0 THEN 'nt authority' WHEN 1 THEN 'corpdom' END AS source_user_domain,
+  CASE WHEN b.wsel = 0 THEN 'svchost.exe' END AS process_name,
+  CAST(CASE WHEN b.wsel = 0 THEN CAST('71' || b.u5 AS BIGINT) END AS BIGINT) AS process_pid,
+  CASE WHEN b.wsel = 1 THEN '150000000' END AS event_duration,
+  CASE WHEN b.wsel = 1 THEN 'service control manager' END AS source_address,
+  CASE WHEN b.wsel = 1 THEN 'info' END AS log_level,
+  CASE WHEN b.wsel = 1 THEN 'info' END AS event_severity_name,
+  CASE WHEN b.wsel = 0 THEN 'logon' END AS event_category,
+  CASE WHEN b.wsel = 0 THEN 'audit success' END AS rule_category,
+  CASE WHEN b.wsel = 0 THEN 'services.exe' END AS process_parent_name,
+  CASE WHEN b.wsel = 0 THEN 'microsoft-windows-security-auditing' END AS event_provider,
+  CASE b.wsel WHEN 0 THEN 'winsrv' || b.u5 ELSE 'winapp' || b.u5 END AS log_source_hostname,
+  CASE WHEN b.wsel = 2
+    THEN '_dateparsefailure_ec,_dateparsefailure_ei,_dateparsefailure_es'
+    ELSE '' END AS tags_s
+FROM vw_turns t JOIN vw_base b USING (event_id)""",
+
+    // impala: statement_type overwrites module; outcome always success;
+    // database.query keeps case
+    "qim01_impala" ->
+      s"""WITH ${Transcripts.impCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule,
+  CASE WHEN b.isel = 1 THEN 'ddl' ELSE 'query' END AS event_module,
+  'hadoop.impala_audit' AS event_dataset,
+  'logs-hadoop.impala_audit_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(date_trunc('day', t.ts)) + 59220000 + (b.event_id % 60) * 1000 + 975 AS event_created_ms,
+  CASE WHEN b.isel = 1 THEN '10.' || b.u5 || '.' || b.m250 || '.61'
+    ELSE '10.' || b.u5 || '.' || b.m250 || '.60' END AS source_ip,
+  CAST(21000 AS BIGINT) AS source_port,
+  'hive' || b.u5 AS user_name,
+  CASE WHEN b.isel = 1 THEN 'CREATE TABLE t' || b.eid_s
+    ELSE 'SELECT count(1) FROM t' || b.eid_s END AS database_query,
+  CASE WHEN b.isel = 1 THEN 'failed' ELSE 'ok' END AS event_action,
+  CASE WHEN b.isel = 0 THEN 'db.t' || b.eid_s END AS database_table,
+  CASE WHEN b.isel = 0 THEN 'table' END AS event_type,
+  CAST(NULL AS VARCHAR) AS event_kind,
+  'authorization_success' AS event_outcome,
+  'sip_private,source_ip_private' AS tags_s
+FROM imp_turns t JOIN imp_base b USING (event_id)""",
 
     // o365.dlp api: array To nulls the flat email column; backwards merge
     "qdl02_o365dlpapi" ->

@@ -6008,6 +6008,102 @@ adu_turns AS (
     spark.sql(s"WITH $aduCte SELECT conv_id, turn_idx, role, text, tool, ts FROM adu_turns")
   }
 
+  /** virtustream.windows — nxlog JSON envelope
+    * (logstash_virtustream_windows_forwarder.conf). wsel 0 security 4624
+    * (Channel/TargetDomainName/SubjectUserSid overwrites), 1 service event
+    * with the x1e7 duration + SourceName overwrite, 2 all dates bad. */
+  val vwCte: String = s"""
+vw_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 111.0) AS BIGINT) % 3 AS wsel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2,
+    CAST(event_id % 250 AS STRING) AS m250,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 111) = 103
+),
+vw_turns AS (
+  SELECT 'vw_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE wsel
+      WHEN 0 THEN CONCAT('{"Domain":"CORP","ErrorCode":"0x0","type":"nxlog","Hostname":"WinSrv', u5,
+        '","host":"10.', u5, '.', m250, '.50","port":514,"@timestamp":"', iso,
+        '.123Z","EventTime":"2024-01-', dd, ' 06:30:', ss2,
+        '","EventReceivedTime":"2024-01-', dd, ' 06:30:', ss2,
+        '","EventID":4624,"UserID":"S-1-5-18","TargetUserName":"WinUser', u5,
+        '","EventType":"AUDIT_SUCCESS","SeverityValue":2,"Channel":"Security"',
+        ',"AccountName":"SYSTEM","LogonProcessName":"Advapi","ProcessID":71', u5,
+        ',"ThreadID":88,"SubjectUserSid":"S-1-5-19","SubjectUserName":"SvcAcct', u5,
+        '","SubjectDomainName":"NT AUTHORITY","Category":"Logon","Keywords":"Audit Success"',
+        ',"ProcessName":"svchost.exe","TargetDomainName":"CORP2"',
+        ',"ParentProcessName":"services.exe","NewProcessName":"cmd.exe"',
+        ',"ProviderName":"Microsoft-Windows-Security-Auditing"',
+        ',"message":"An account was successfully logged on ', eid_s, '"}')
+      WHEN 1 THEN CONCAT('{"Hostname":"WinApp', u5, '","host":"10.', u5, '.', m250,
+        '.51","@timestamp":"', iso, '.456Z","EventTime":"2024-01-', dd, ' 06:31:', ss2,
+        '","EventID":7036,"TargetUserSid":"S-1-5-21-', eid_s,
+        '","EventType":"INFO","OperationElaspedTimeInMilliSeconds":"15"',
+        ',"param6":"CORPDOM","param9":"AppHost1","SourceName":"Service Control Manager"',
+        ',"Opcode":"Info","Severity":"INFO","tags":["windows"]',
+        ',"message":"Service entered running state ', eid_s, '"}')
+      ELSE CONCAT('{"Hostname":"WinApp', u5, '","@timestamp":"worse","EventTime":"bad"',
+        ',"EventReceivedTime":"nope","EventID":1,"message":"clock skew ', eid_s, '"}')
+    END AS text,
+    'virtustream.windows' AS tool, ts, event_id
+  FROM vw_base
+)"""
+
+  def vwInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $vwCte SELECT conv_id, turn_idx, role, text, tool, ts FROM vw_turns")
+  }
+
+  /** hadoop.impala_audit — wrapper object with an escaped inner record
+    * (hadoop_impala_audit.conf). isel 0 QUERY with catalog object, 1 DDL
+    * with an ipv6-mapped network_address and no catalog objects. */
+  val impCte: String = s"""
+imp_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 105.0) AS BIGINT) % 2 AS isel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2,
+    CAST(event_id % 250 AS STRING) AS m250,
+    chr(92) || chr(34) AS e1
+  FROM events WHERE (event_id % 105) = 13
+),
+imp_turns AS (
+  SELECT 'imp_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"impala_record":{',
+      e1, 'query_id', e1, ':', e1, 'qid', eid_s, e1,
+      ',', e1, 'start_time', e1, ':', e1, '2024-01-', dd, ' 16:27:', ss2, '.975557', e1,
+      ',', e1, 'user', e1, ':', e1, 'hive', u5, e1,
+      ',', e1, 'sql_statement', e1, ':', e1,
+      CASE WHEN isel = 1 THEN 'CREATE TABLE t' || eid_s ELSE 'SELECT count(1) FROM t' || eid_s END, e1,
+      ',', e1, 'status', e1, ':', e1, CASE WHEN isel = 1 THEN 'failed' ELSE 'ok' END, e1,
+      ',', e1, 'statement_type', e1, ':', e1, CASE WHEN isel = 1 THEN 'DDL' ELSE 'QUERY' END, e1,
+      ',', e1, 'network_address', e1, ':', e1,
+      CASE WHEN isel = 1 THEN '::ffff:10.' || u5 || '.' || m250 || '.61:21000'
+        ELSE '10.' || u5 || '.' || m250 || '.60:21000' END, e1,
+      CASE WHEN isel = 1 THEN ''
+        ELSE CONCAT(',', e1, 'catalog_objects', e1, ':{', e1, 'name', e1, ':', e1,
+          'db.t', eid_s, e1, ',', e1, 'object_type', e1, ':', e1, 'TABLE', e1, '}')
+      END, '}}') AS text,
+    'hadoop.impala_audit' AS tool, ts, event_id
+  FROM imp_base
+)"""
+
+  def impInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $impCte SELECT conv_id, turn_idx, role, text, tool, ts FROM imp_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

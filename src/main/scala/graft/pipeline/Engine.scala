@@ -465,6 +465,7 @@ object Engine {
       host_geo_country_iso_code = s("[host][geo][country_iso_code]"),
       dns_answers_type = s("[dns][answers][type]"),
       file_gid = s("[file][gid]"),
-      service_id = s("[service][id]")))
+      service_id = s("[service][id]"),
+      database_query = s("[database][query]")))
   }
 }

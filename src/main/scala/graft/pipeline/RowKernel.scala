@@ -586,6 +586,7 @@ object RowKernel {
     s("[dns][answers][type]")
     s("[file][gid]")
     s("[service][id]")
+    s("[database][query]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -341,6 +341,10 @@ object Registry {
       "logs-security_scorecard.events", Vector("elastic"), Set.empty, "low"),
     "active_directory.users" -> TechnologyConfig("active_directory.users",
       "list_ad_users", Vector("elastic"), Set.empty, "low"),
+    "virtustream.windows" -> TechnologyConfig("virtustream.windows",
+      "logs-virtustream.windows", Vector("elastic"), Set.empty, "medium"),
+    "hadoop.impala_audit" -> TechnologyConfig("hadoop.impala_audit",
+      "logs-hadoop.impala_audit", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -766,6 +770,8 @@ object Registry {
     "azure.graph_identity_protection" -> ApiDirectoryRules.graphIdentity,
     "security_scorecard.events" -> ApiDirectoryRules.scorecard,
     "active_directory.users" -> ApiDirectoryRules.adUsers,
+    "virtustream.windows" -> ForwarderDbRules.virtustreamWindows,
+    "hadoop.impala_audit" -> ForwarderDbRules.impalaAudit,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

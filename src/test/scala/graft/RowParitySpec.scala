@@ -98,7 +98,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("cloudguard", Transcripts.ocgInput), ("ociobject", Transcripts.oobInput),
       ("jamf", Transcripts.jmfInput), ("sapbtp", Transcripts.btpInput),
       ("o365dlpapi", Transcripts.odlInput), ("graphident", Transcripts.gipInput),
-      ("scorecard", Transcripts.sscInput), ("adusers", Transcripts.aduInput))
+      ("scorecard", Transcripts.sscInput), ("adusers", Transcripts.aduInput),
+      ("virtwin", Transcripts.vwInput), ("impala", Transcripts.impInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
