@@ -1455,6 +1455,27 @@ px AS (
         col("event_outcome"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // tenable security center: untagged app grok fails OS lines
+    "qtc01_tenablesc" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.tscInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_kind"), col("host_hostname"),
+        col("observer_product"), col("event_action"), col("error_id"),
+        col("error_code"), col("error_type"), col("event_outcome"),
+        col("log_syslog_severity_code"), col("log_syslog_facility_code"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
+    // sap cloud connector: header drop, lowercased dissect, T-join gsub
+    "qsc02_sapcc" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.sccInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_action"), col("user_name"),
+        col("process_name"), col("destination_address"), col("destination_port"),
+        col("file_name"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4566,6 +4587,54 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // tenable security center: app grok fails OS lines (default tag)
+    "qtc01_tenablesc" ->
+      s"""WITH ${Transcripts.tscCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.tsel = 2 THEN 0 ELSE 1 END AS parse_ok_i,
+  'not parsed' AS parse_rule, 'tenable_nessus' AS event_module,
+  'tenable_nessus.security_center' AS event_dataset,
+  'logs-tenable_nessus.security_center_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE b.tsel WHEN 0 THEN epoch_ms(date_trunc('day', t.ts)) + 15900000 + (b.event_id % 60) * 1000
+    WHEN 1 THEN epoch_ms(date_trunc('day', t.ts)) + 15960000 + (b.event_id % 60) * 1000
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  CASE WHEN b.tsel = 2 THEN 'tenable_nessus.security_center.os_logs'
+    ELSE 'tenable_nessus.security_center.app' END AS event_kind,
+  CASE b.tsel WHEN 0 THEN 'schost' || b.u5 WHEN 1 THEN 'nessus' || b.u5 END AS host_hostname,
+  CASE b.tsel WHEN 0 THEN 'securitycenter' WHEN 1 THEN 'nessus' END AS observer_product,
+  CASE b.tsel WHEN 0 THEN 'nightlycleanup' WHEN 1 THEN 'scancomplete' END AS event_action,
+  CASE b.tsel WHEN 0 THEN 'message' WHEN 1 THEN 'info' END AS error_id,
+  CASE b.tsel WHEN 0 THEN 'critical' WHEN 1 THEN 'normal' END AS error_code,
+  CASE b.tsel WHEN 0 THEN '0' WHEN 1 THEN '2' END AS error_type,
+  CASE b.tsel WHEN 0 THEN 'job finished ok ' || b.eid_s
+    WHEN 1 THEN 'scan done ' || b.eid_s END AS event_outcome,
+  CAST(CASE WHEN b.tsel = 2 THEN 6 ELSE 4 END AS BIGINT) AS log_syslog_severity_code,
+  CAST(10 AS BIGINT) AS log_syslog_facility_code,
+  CASE WHEN b.tsel = 2 THEN '_grokparsefailure' ELSE '' END AS tags_s
+FROM tsc_turns t JOIN tsc_base b USING (event_id)""",
+
+    // sap cloud connector: header rows dropped; lowercased captures
+    "qsc02_sapcc" ->
+      s"""WITH ${Transcripts.sccCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'sap' AS event_module,
+  'sap.cloud_connector' AS event_dataset,
+  'logs-sap.cloud_connector_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE b.csel WHEN 0 THEN epoch_ms(date_trunc('day', t.ts)) + 16020000 + (b.event_id % 60) * 1000 + 123
+    WHEN 1 THEN epoch_ms(date_trunc('day', t.ts)) + 16080000 + (b.event_id % 60) * 1000 + 456
+    ELSE epoch_ms(date_trunc('day', t.ts)) + 16140000 + (b.event_id % 60) * 1000 + 789
+  END AS event_created_ms,
+  CASE b.csel WHEN 0 THEN 'op_access_allowed' WHEN 1 THEN 'service_started'
+    ELSE 'unspecified' END AS event_action,
+  CASE b.csel WHEN 0 THEN 'scuser' || b.u5 WHEN 1 THEN 'svc' || b.u5 END AS user_name,
+  CASE b.csel WHEN 0 THEN '/api/v' || b.eid_s WHEN 1 THEN 'scservice' END AS process_name,
+  CASE WHEN b.csel <= 1 THEN 'backend' || b.u5 END AS destination_address,
+  CAST(CASE WHEN b.csel = 0 THEN 8443 END AS BIGINT) AS destination_port,
+  CASE WHEN b.csel = 2 THEN 'cc_cert' || b.eid_s || '.pem' END AS file_name,
+  '' AS tags_s
+FROM scc_turns t JOIN scc_base b USING (event_id)
+WHERE b.csel <= 2""",
 
     // virtustream.windows: message always the literal "[tmp][message]"
     "qvw01_virtwin" ->

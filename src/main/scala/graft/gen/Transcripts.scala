@@ -6104,6 +6104,83 @@ imp_turns AS (
     spark.sql(s"WITH $impCte SELECT conv_id, turn_idx, role, text, tool, ts FROM imp_turns")
   }
 
+  /** tenable_nessus.security_center — SC app syslog
+    * (syslog_audit_tenable.security_center.conf). tsel 0 SecurityCenter
+    * app line, 1 T.NessusCore app line, 2 plain OS log (.os_logs kind,
+    * default _grokparsefailure from the untagged app grok). */
+  val tscCte: String = s"""
+tsc_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 114.0) AS BIGINT) % 3 AS tsel,
+    CAST(EXTRACT(DAY FROM ts) AS STRING) AS dnp,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2
+  FROM events WHERE (event_id % 114) = 107
+),
+tsc_turns AS (
+  SELECT 'tsc_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE tsel
+      WHEN 0 THEN '<84>Jan ' || dnp || ' 04:25:' || ss2 || ' schost' || u5
+        || ' SecurityCenter[81' || u5 || ']: message [SecurityCenter]: Mon, '
+        || dd || ' Jan 2024 04:25:' || ss2 || ' -0|NightlyCleanup|Message|Critical|0|Job finished ok ' || eid_s
+      WHEN 1 THEN '<84>Jan ' || dnp || ' 04:26:' || ss2 || ' nessus' || u5
+        || ' T.NessusCore.12: scan [Nessus]: Tue, '
+        || dd || ' Jan 2024 04:26:' || ss2 || ' -1|ScanComplete|Info|Normal|2|Scan done ' || eid_s
+      ELSE '<86>Jan ' || dnp || ' 04:27:' || ss2 || ' schost' || u5
+        || ' kernel: audit rotation complete ' || eid_s
+    END AS text,
+    'tenable_nessus.security_center' AS tool, ts, event_id
+  FROM tsc_base
+)"""
+
+  def tscInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $tscCte SELECT conv_id, turn_idx, role, text, tool, ts FROM tsc_turns")
+  }
+
+  /** sap.cloud_connector — lowercased audit csv-ish rows
+    * (flat_file_log_audit_sap.cloud_connector.conf). csel 0
+    * op_access_allowed, 1 service_started, 2 unspecified cert line,
+    * 3 "Date & Time" header (dropped). */
+  val sccCte: String = s"""
+scc_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 115.0) AS BIGINT) % 4 AS csel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2
+  FROM events WHERE (event_id % 115) = 109
+),
+scc_turns AS (
+  SELECT 'scc_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE csel
+      WHEN 3 THEN 'Date & Time,Subaccount,User,Result,Action,Details'
+      WHEN 0 THEN '2024-01-' || dd || ' 04:27:' || ss2 || '.123 -0500#sub,ten' || u5
+        || ',usr,ok,OP_ACCESS_ALLOWED,granted user scuser' || u5
+        || ' to resource /api/v' || eid_s || ' on system backend' || u5 || ':8443 ok'
+      WHEN 1 THEN '2024-01-' || dd || ' 04:28:' || ss2 || '.456 -0500#sub,ten' || u5
+        || ',usr,ok,SERVICE_STARTED,scservice [backend' || u5
+        || '] started by account://svc' || u5 || ' run ' || eid_s
+      ELSE '2024-01-' || dd || ' 04:29:' || ss2 || '.789 -0500#sub,ten' || u5
+        || ',usr,ok,UNSPECIFIED,trusted cert file cc_cert' || eid_s
+        || '.pem added serial 0a1b2c' || u5 || ' ok'
+    END AS text,
+    'sap.cloud_connector' AS tool, ts, event_id
+  FROM scc_base
+)"""
+
+  def sccInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $sccCte SELECT conv_id, turn_idx, role, text, tool, ts FROM scc_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -345,6 +345,10 @@ object Registry {
       "logs-virtustream.windows", Vector("elastic"), Set.empty, "medium"),
     "hadoop.impala_audit" -> TechnologyConfig("hadoop.impala_audit",
       "logs-hadoop.impala_audit", Vector("elastic"), Set.empty, "low"),
+    "tenable_nessus.security_center" -> TechnologyConfig("tenable_nessus.security_center",
+      "logs-tenable_nessus.security_center", Vector("elastic"), Set.empty, "low"),
+    "sap.cloud_connector" -> TechnologyConfig("sap.cloud_connector",
+      "logs-sap.cloud_connector", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -772,6 +776,8 @@ object Registry {
     "active_directory.users" -> ApiDirectoryRules.adUsers,
     "virtustream.windows" -> ForwarderDbRules.virtustreamWindows,
     "hadoop.impala_audit" -> ForwarderDbRules.impalaAudit,
+    "tenable_nessus.security_center" -> AuditTailRules.securityCenter,
+    "sap.cloud_connector" -> AuditTailRules.sapCloudConnector,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

@@ -99,7 +99,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("jamf", Transcripts.jmfInput), ("sapbtp", Transcripts.btpInput),
       ("o365dlpapi", Transcripts.odlInput), ("graphident", Transcripts.gipInput),
       ("scorecard", Transcripts.sscInput), ("adusers", Transcripts.aduInput),
-      ("virtwin", Transcripts.vwInput), ("impala", Transcripts.impInput))
+      ("virtwin", Transcripts.vwInput), ("impala", Transcripts.impInput),
+      ("tenablesc", Transcripts.tscInput), ("sapcc", Transcripts.sccInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
