@@ -1476,6 +1476,18 @@ px AS (
         col("file_name"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // citrix.admin: copy-based ECS mapping, boolean truthiness branch,
+    // the sss/lowercase date-format bug pair
+    "qct01_citrixadmin" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ctaInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_start_ms"), col("event_end_ms"),
+        col("error_message"), col("source_ip"), col("user_id"),
+        col("event_kind"), col("user_agent_name"), col("user_email"),
+        col("user_domain"), col("user_name"), col("event_action"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4587,6 +4599,31 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // citrix.admin: boolean truthiness branch; both clock cases parse via
+    // the lenient ISO8601 fallback (the sss formats never match)
+    "qct01_citrixadmin" ->
+      s"""WITH ${Transcripts.ctaCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'citrix' AS event_module,
+  'citrix.admin' AS event_dataset,
+  'logs-citrix.admin_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.csel = 2 THEN epoch_ms(t.ts)
+    ELSE epoch_ms(date_trunc('second', t.ts)) + 327 END AS event_created_ms,
+  CAST(CASE WHEN b.csel <= 1
+    THEN epoch_ms(date_trunc('second', t.ts)) + 270 END AS BIGINT) AS event_start_ms,
+  CAST(CASE WHEN b.csel <= 1
+    THEN epoch_ms(date_trunc('second', t.ts)) + 363 END AS BIGINT) AS event_end_ms,
+  'set-brokermachine ' || b.eid_s AS error_message,
+  '10.' || b.u5 || '.' || b.m250 || '.70' AS source_ip,
+  'aid' || b.u5 AS user_id, 'citrix studio' AS event_kind,
+  'posh sdk' AS user_agent_name,
+  'cadmin' || b.u5 || '@example.com' AS user_email,
+  CASE WHEN b.csel = 0 THEN 'corp' END AS user_domain,
+  CASE WHEN b.csel = 0 THEN 'cadmin' || b.u5 END AS user_name,
+  CASE WHEN b.csel = 0 THEN 'success' ELSE 'failed' END AS event_action,
+  'sip_private,source_ip_private' AS tags_s
+FROM cta_turns t JOIN cta_base b USING (event_id)""",
 
     // tenable security center: app grok fails OS lines (default tag)
     "qtc01_tenablesc" ->

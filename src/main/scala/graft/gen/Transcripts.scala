@@ -6181,6 +6181,47 @@ scc_turns AS (
     spark.sql(s"WITH $sccCte SELECT conv_id, turn_idx, role, text, tool, ts FROM scc_turns")
   }
 
+  /** citrix.admin — director/DDC admin audit record
+    * (db_audit_citrix.admin.conf). csel 0 success + domain-backslash
+    * account + UPPERCASE iso clocks (only the ISO8601 fallback fires),
+    * 1 IsSuccessful=false + the conf-comment lowercase clocks (ALL formats
+    * fail: default _dateparsefailure), 2 no IsSuccessful / no clocks. */
+  val ctaCte: String = s"""
+cta_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 116.0) AS BIGINT) % 3 AS csel,
+    CAST(event_id % 250 AS STRING) AS m250,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 116) = 111
+),
+cta_turns AS (
+  SELECT 'cta_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"uid":"cu', eid_s, '","text":"Set-BrokerMachine ', eid_s,
+      '","adminmachineip":"10.', u5, '.', m250, '.70","adminid":"aid', u5,
+      '","source":"Citrix Studio","sourcesdk":"PoSh SDK","adminupn":"cadmin', u5,
+      '@example.com"',
+      CASE csel
+        WHEN 0 THEN ',"adminaccountname":"CORP' || chr(92) || chr(92) || 'cadmin' || u5
+          || '","IsSuccessful":true,"nameupdateduetime":"' || UPPER(iso) || '.327Z"'
+          || ',"starttime":"' || UPPER(iso) || '.270Z","endtime":"' || UPPER(iso) || '.363Z"'
+        WHEN 1 THEN ',"adminaccountname":"cadmin' || u5
+          || '","IsSuccessful":false,"nameupdateduetime":"' || LOWER(iso) || '.327z"'
+          || ',"starttime":"' || LOWER(iso) || '.270z","endtime":"' || LOWER(iso) || '.363z"'
+        ELSE ''
+      END, '}') AS text,
+    'citrix.admin' AS tool, ts, event_id
+  FROM cta_base
+)"""
+
+  def ctaInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ctaCte SELECT conv_id, turn_idx, role, text, tool, ts FROM cta_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -349,6 +349,8 @@ object Registry {
       "logs-tenable_nessus.security_center", Vector("elastic"), Set.empty, "low"),
     "sap.cloud_connector" -> TechnologyConfig("sap.cloud_connector",
       "logs-sap.cloud_connector", Vector("elastic"), Set.empty, "low"),
+    "citrix.admin" -> TechnologyConfig("citrix.admin",
+      "logs-citrix.admin", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -778,6 +780,7 @@ object Registry {
     "hadoop.impala_audit" -> ForwarderDbRules.impalaAudit,
     "tenable_nessus.security_center" -> AuditTailRules.securityCenter,
     "sap.cloud_connector" -> AuditTailRules.sapCloudConnector,
+    "citrix.admin" -> CitrixAdminRules.citrixAdmin,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

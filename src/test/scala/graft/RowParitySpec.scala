@@ -100,7 +100,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("o365dlpapi", Transcripts.odlInput), ("graphident", Transcripts.gipInput),
       ("scorecard", Transcripts.sscInput), ("adusers", Transcripts.aduInput),
       ("virtwin", Transcripts.vwInput), ("impala", Transcripts.impInput),
-      ("tenablesc", Transcripts.tscInput), ("sapcc", Transcripts.sccInput))
+      ("tenablesc", Transcripts.tscInput), ("sapcc", Transcripts.sccInput),
+      ("citrixadmin", Transcripts.ctaInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
