@@ -1488,6 +1488,24 @@ px AS (
         col("user_domain"), col("user_name"), col("event_action"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // aws.lb: verbatim mega-grok with the missing-space field shift
+    "qlb02_awslb" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.albInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_ingested_ms"), col("url_scheme"),
+        col("cloud_instance_name"), col("log_source_hostname"),
+        col("source_ip"), col("source_port"), col("destination_ip"),
+        col("destination_port"), col("event_duration"), col("event_severity"),
+        col("event_category"), col("event_reason"),
+        col("http_response_status_code"), col("http_request_bytes"),
+        col("http_response_bytes"), col("http_request_method"),
+        col("url_full"), col("url_domain"), col("tls_next_protocol"),
+        col("user_agent_name"), col("tls_cipher"), col("tls_version_protocol"),
+        col("trace_id"), col("rule_name"), col("http_request_referrer"),
+        col("cloud_provider"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4599,6 +4617,53 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // aws.lb: the verbatim mega-grok shifts everything after the processing
+    // times one slot left (request_bytes holds the target status, response
+    // bytes the joined "recv sent" — non-numeric, null); v1 lines draw
+    // _grokparsefailure from the nil-field port-list grok
+    "qlb02_awslb" ->
+      s"""WITH ${Transcripts.albCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.lsel = 1 THEN 0 ELSE 1 END AS parse_ok_i,
+  'not parsed' AS parse_rule, 'aws' AS event_module, 'aws.lb' AS event_dataset,
+  'logs-aws.lb_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.lsel = 0 THEN epoch_ms(date_trunc('second', t.ts)) + 123
+    ELSE epoch_ms(t.ts) END AS event_created_ms,
+  epoch_ms(date_trunc('second', t.ts)) + 123 AS event_ingested_ms,
+  CASE WHEN b.lsel = 0 THEN 'http' END AS url_scheme,
+  CASE WHEN b.lsel = 0 THEN 'app/my-lb/50dc6c49' || b.u5
+    ELSE 'my-elb-' || b.u5 END AS cloud_instance_name,
+  CASE WHEN b.lsel = 0 THEN 'app/my-lb/50dc6c49' || b.u5
+    ELSE 'my-elb-' || b.u5 END AS log_source_hostname,
+  '10.' || b.u5 || '.' || b.m250 || '.9' AS source_ip,
+  CAST(46532 AS BIGINT) AS source_port,
+  '10.' || b.u5 || '.' || b.m250 || '.10' AS destination_ip,
+  CAST(CASE WHEN b.lsel = 0 THEN 8080 ELSE 80 END AS BIGINT) AS destination_port,
+  CAST(NULL AS VARCHAR) AS event_duration,
+  CAST(CASE WHEN b.lsel = 0 THEN 0 END AS BIGINT) AS event_severity,
+  CAST(NULL AS VARCHAR) AS event_category,
+  CAST(NULL AS VARCHAR) AS event_reason,
+  CAST(NULL AS BIGINT) AS http_response_status_code,
+  CAST(200 AS BIGINT) AS http_request_bytes,
+  CAST(NULL AS BIGINT) AS http_response_bytes,
+  'get' AS http_request_method,
+  CASE WHEN b.lsel = 0 THEN 'http://api.example:80/p' || b.eid_s
+    ELSE 'http://api.example:80/q' || b.eid_s END AS url_full,
+  CASE WHEN b.lsel = 0 THEN 'api.example' END AS url_domain,
+  'http/1.1' AS tls_next_protocol, 'curl/7.46.0' AS user_agent_name,
+  CASE WHEN b.lsel = 1 THEN 'ecdhe-rsa-aes128' END AS tls_cipher,
+  CASE WHEN b.lsel = 1 THEN 'tlsv1.2' END AS tls_version_protocol,
+  CASE WHEN b.lsel = 0 THEN 'root=1-tr' || b.eid_s END AS trace_id,
+  CASE WHEN b.lsel = 0 THEN 'forward' END AS rule_name,
+  CASE WHEN b.lsel = 0 THEN 'https://r.example/x' || b.eid_s END AS http_request_referrer,
+  'aws' AS cloud_provider,
+  CASE WHEN b.lsel = 1
+    THEN '_grokparsefailure,destination_ip_private,dip_private,sip_private,source_ip_private'
+    ELSE 'destination_ip_private,dip_private,sip_private,source_ip_private'
+  END AS tags_s
+FROM alb_turns t JOIN alb_base b USING (event_id)
+WHERE b.lsel <= 1""",
 
     // citrix.admin: boolean truthiness branch; both clock cases parse via
     // the lenient ISO8601 fallback (the sss formats never match)

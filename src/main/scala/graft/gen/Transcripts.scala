@@ -6222,6 +6222,49 @@ cta_turns AS (
     spark.sql(s"WITH $ctaCte SELECT conv_id, turn_idx, role, text, tool, ts FROM cta_turns")
   }
 
+  /** aws.lb — ALB/ELB access log (s3_log_aws.lb.conf). lsel 0 v2 line with
+    * the full quoted tail, 1 classic v1 line (missing tail; the nil != "-"
+    * branch groks a missing field), 2 empty message (dropped). */
+  val albCte: String = s"""
+alb_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 118.0) AS BIGINT) % 3 AS lsel,
+    CAST(event_id % 250 AS STRING) AS m250,
+    $isoSec AS iso
+  FROM events WHERE (event_id % 118) = 113
+),
+alb_turns AS (
+  SELECT 'alb_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE lsel
+      WHEN 2 THEN ''
+      WHEN 0 THEN CONCAT('http ', iso, '.123456Z app/my-lb/50dc6c49', u5,
+        ' 10.', u5, '.', m250, '.9:46532 10.', u5, '.', m250, '.10:80 0.000 0.001 0.000 200 200 34 366 ',
+        chr(34), 'GET http://api.example:80/p', eid_s, ' HTTP/1.1', chr(34),
+        ' ', chr(34), 'curl/7.46.0', chr(34),
+        ' - - arn:aws:elb:tg/x', u5, ' ', chr(34), 'Root=1-tr', eid_s, chr(34),
+        ' ', chr(34), 'api.example', chr(34), ' ', chr(34), 'cert-', u5, chr(34),
+        ' 0 ', iso, '.123000Z ', chr(34), 'forward', chr(34),
+        ' ', chr(34), 'https://r.example/x', eid_s, chr(34),
+        ' ', chr(34), '-', chr(34), ' ', chr(34), '10.', u5, '.', m250, '.10:8080', chr(34),
+        ' ', chr(34), '200', chr(34), ' ', chr(34), '-', chr(34), ' ', chr(34), '-', chr(34))
+      ELSE CONCAT(iso, '.123456Z my-elb-', u5,
+        ' 10.', u5, '.', m250, '.9:46532 10.', u5, '.', m250, '.10:80 0.000 0.001 0.000 200 200 34 366 ',
+        chr(34), 'GET http://api.example:80/q', eid_s, ' HTTP/1.1', chr(34),
+        ' ', chr(34), 'curl/7.46.0', chr(34), ' ECDHE-RSA-AES128 TLSv1.2')
+    END AS text,
+    'aws.lb' AS tool, ts, event_id
+  FROM alb_base
+)"""
+
+  def albInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $albCte SELECT conv_id, turn_idx, role, text, tool, ts FROM alb_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -220,15 +220,25 @@ object Grok {
   def apply(ev: Event, sourceField: String, patterns: Seq[String],
             tagOnFailure: Seq[String] = Seq("_grokparsefailure"),
             timeoutMillis: Long = 500L): Boolean = {
-    val in = ev.getString(sourceField)
-    if (in.isEmpty) { tagOnFailure.foreach(ev.addTag); return false }
-    val s = in.get
-    var i = 0
-    while (i < patterns.length) {
-      if (compile(patterns(i)).extract(ev, s, timeoutMillis)) return true
-      i += 1
+    def matchOne(s: String): Boolean = {
+      var i = 0
+      while (i < patterns.length) {
+        if (compile(patterns(i)).extract(ev, s, timeoutMillis)) return true
+        i += 1
+      }
+      false
     }
-    tagOnFailure.foreach(ev.addTag)
-    false
+    // Logstash grok on an ARRAY field matches each element; the filter
+    // succeeds if ANY element matched (ref: s3_log_aws.lb.conf:65-72, where
+    // the port-list grok runs on a mutate-split array).
+    val ok = ev.get(sourceField) match {
+      case Some(a: scala.collection.mutable.ArrayBuffer[Any @unchecked]) =>
+        var any = false
+        a.foreach { case s: String => if (matchOne(s)) any = true; case _ => () }
+        any
+      case _ => ev.getString(sourceField).exists(matchOne)
+    }
+    if (!ok) tagOnFailure.foreach(ev.addTag)
+    ok
   }
 }

@@ -351,6 +351,8 @@ object Registry {
       "logs-sap.cloud_connector", Vector("elastic"), Set.empty, "low"),
     "citrix.admin" -> TechnologyConfig("citrix.admin",
       "logs-citrix.admin", Vector("elastic"), Set.empty, "low"),
+    "aws.lb" -> TechnologyConfig("aws.lb",
+      "logs-aws.lb", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -781,6 +783,7 @@ object Registry {
     "tenable_nessus.security_center" -> AuditTailRules.securityCenter,
     "sap.cloud_connector" -> AuditTailRules.sapCloudConnector,
     "citrix.admin" -> CitrixAdminRules.citrixAdmin,
+    "aws.lb" -> AwsLbRules.awsLb,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

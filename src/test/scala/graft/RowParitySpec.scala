@@ -101,7 +101,7 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("scorecard", Transcripts.sscInput), ("adusers", Transcripts.aduInput),
       ("virtwin", Transcripts.vwInput), ("impala", Transcripts.impInput),
       ("tenablesc", Transcripts.tscInput), ("sapcc", Transcripts.sccInput),
-      ("citrixadmin", Transcripts.ctaInput))
+      ("citrixadmin", Transcripts.ctaInput), ("awslb", Transcripts.albInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
