@@ -1506,6 +1506,23 @@ px AS (
         col("cloud_provider"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // skyhigh.atd: Summary vs flat rename trees, MWG/animalized default
+    "qsa01_skyhighatd" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.atdInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_start_ms"), col("source_address"),
+        col("process_name"), col("process_pid"), col("source_ip"),
+        col("user_name"), col("destination_ip"), col("destination_port"),
+        col("file_name"), col("file_type"),
+        array_join(col("file_hash_md5"), ",").as("file_md5_s"),
+        array_join(col("file_hash_sha256"), ",").as("file_sha256_s"),
+        col("file_size"), col("event_severity"), col("event_severity_name"),
+        col("event_action"), col("url_full"), col("threat_technique_name"),
+        col("threat_tactic_name"), col("rule_description"),
+        col("log_syslog_severity_code"), col("log_syslog_facility_code"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4617,6 +4634,48 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // skyhigh.atd: Summary hashes -> file.hash arrays, flat hashes -> the
+    // non-ECS hash tree (unobservable), MWG/animalized action default
+    "qsa01_skyhighatd" ->
+      s"""WITH ${Transcripts.atdCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'skyhigh' AS event_module,
+  'skyhigh.atd' AS event_dataset,
+  'logs-skyhigh.atd_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  epoch_ms(date_trunc('day', t.ts)) + 16560000 + (b.event_id % 60) * 1000 AS event_start_ms,
+  'atdbox' || b.u5 AS source_address, 'atdd' AS process_name,
+  CAST('9' || b.u5 AS BIGINT) AS process_pid,
+  CASE b.asel WHEN 0 THEN '10.' || b.u5 || '.' || b.m250 || '.80'
+    WHEN 1 THEN '10.' || b.u5 || '.' || b.m250 || '.81'
+    ELSE '10.' || b.u5 || '.' || b.m250 || '.82' END AS source_ip,
+  'atduser' || b.u5 AS user_name,
+  CASE WHEN b.asel = 1 THEN '10.9.9.19' END AS destination_ip,
+  CAST(CASE b.asel WHEN 0 THEN 8443 WHEN 1 THEN 443 END AS BIGINT) AS destination_port,
+  CASE b.asel WHEN 0 THEN 'payload' || b.eid_s || '.exe'
+    WHEN 1 THEN 'drop' || b.eid_s || '.bin'
+    ELSE 'sample' || b.eid_s || '.doc' END AS file_name,
+  CASE b.asel WHEN 0 THEN 'pe32' WHEN 1 THEN 'elf' ELSE 'ole' END AS file_type,
+  CASE WHEN b.asel = 0 THEN 'd41d8cd98f00b204e9800998ecf8427e' ELSE '' END AS file_md5_s,
+  CASE WHEN b.asel = 0
+    THEN 'e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855'
+    ELSE '' END AS file_sha256_s,
+  CAST(CASE b.asel WHEN 0 THEN 20480 WHEN 1 THEN 512 ELSE 1024 END AS BIGINT) AS file_size,
+  CAST(CASE WHEN b.asel = 0 THEN 4 END AS BIGINT) AS event_severity,
+  CASE b.asel WHEN 0 THEN 'malicious' WHEN 2 THEN '2' END AS event_severity_name,
+  CASE b.asel WHEN 0 THEN 'permitted' WHEN 1 THEN 'blocked'
+    ELSE 'animalized' END AS event_action,
+  CASE WHEN b.asel = 1 THEN 'http://mal.example/x' || b.eid_s END AS url_full,
+  CASE WHEN b.asel = 1 THEN 't1059' END AS threat_technique_name,
+  CASE WHEN b.asel = 1 THEN 'execution' END AS threat_tactic_name,
+  CASE WHEN b.asel = 1 THEN 'known dropper ' || b.eid_s END AS rule_description,
+  CAST(6 AS BIGINT) AS log_syslog_severity_code,
+  CAST(13 AS BIGINT) AS log_syslog_facility_code,
+  CASE WHEN b.asel = 1
+    THEN 'destination_ip_private,dip_private,sip_private,source_ip_private'
+    ELSE 'sip_private,source_ip_private' END AS tags_s
+FROM atd_turns t JOIN atd_base b USING (event_id)""",
 
     // aws.lb: the verbatim mega-grok shifts everything after the processing
     // times one slot left (request_bytes holds the target status, response

@@ -6265,6 +6265,53 @@ alb_turns AS (
     spark.sql(s"WITH $albCte SELECT conv_id, turn_idx, role, text, tool, ts FROM alb_turns")
   }
 
+  /** skyhigh.atd — detonation verdict syslog (syslog_security_skyhigh.atd
+    * .conf). asel 0 Summary/Subject shape + SubmitterType MWG ("permitted"),
+    * 1 flat shape with Action "Blocked", 2 flat without Action or
+    * SubmitterType ("animalized" literal). */
+  val atdCte: String = s"""
+atd_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 119.0) AS BIGINT) % 3 AS asel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2,
+    CAST(event_id % 250 AS STRING) AS m250
+  FROM events WHERE (event_id % 119) = 29
+),
+atd_turns AS (
+  SELECT 'atd_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    '<110>Jan ' || dd || ' 04:36:' || ss2 || ' atdbox' || u5 || ' atdd[9' || u5 || ']: ' ||
+    CASE asel
+      WHEN 0 THEN CONCAT('{"Summary":{"Client":"10.', u5, '.', m250, '.80"',
+        ',"User":"AtdUser', u5, '","TaskId":"task', eid_s, '","port":8443',
+        ',"Subject":{"Name":"payload', eid_s, '.exe","Type":"PE32"',
+        ',"md5":"d41d8cd98f00b204e9800998ecf8427e"',
+        ',"sha-256":"e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"',
+        ',"size":20480},"Verdict":{"Severity":4,"Description":"Malicious"}',
+        ',"SubmitterType":"MWG"}}')
+      WHEN 1 THEN CONCAT('{"Client":"10.', u5, '.', m250, '.81","Action":"Blocked"',
+        ',"User":"AtdUser', u5, '","Dst IP":"10.9.9.19","port":443',
+        ',"Url":"http://mal.example/x', eid_s, '","name":"drop', eid_s, '.bin"',
+        ',"Type":"ELF","md5":"0cc175b9c0f1b6a831c399e269772661","size":512',
+        ',"Techniques":"T1059","Tactics":"Execution"',
+        ',"Description":"known dropper ', eid_s, '"}')
+      ELSE CONCAT('{"Client":"10.', u5, '.', m250, '.82"',
+        ',"User":"AtdUser', u5, '","name":"sample', eid_s, '.doc","Type":"OLE"',
+        ',"size":1024,"Severity":"2"}')
+    END AS text,
+    'skyhigh.atd' AS tool, ts, event_id
+  FROM atd_base
+)"""
+
+  def atdInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $atdCte SELECT conv_id, turn_idx, role, text, tool, ts FROM atd_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

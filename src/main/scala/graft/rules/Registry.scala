@@ -353,6 +353,8 @@ object Registry {
       "logs-citrix.admin", Vector("elastic"), Set.empty, "low"),
     "aws.lb" -> TechnologyConfig("aws.lb",
       "logs-aws.lb", Vector("elastic"), Set.empty, "medium"),
+    "skyhigh.atd" -> TechnologyConfig("skyhigh.atd",
+      "logs-skyhigh.atd", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -784,6 +786,7 @@ object Registry {
     "sap.cloud_connector" -> AuditTailRules.sapCloudConnector,
     "citrix.admin" -> CitrixAdminRules.citrixAdmin,
     "aws.lb" -> AwsLbRules.awsLb,
+    "skyhigh.atd" -> SkyhighAtdRules.skyhighAtd,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

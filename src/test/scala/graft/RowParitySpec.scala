@@ -101,7 +101,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("scorecard", Transcripts.sscInput), ("adusers", Transcripts.aduInput),
       ("virtwin", Transcripts.vwInput), ("impala", Transcripts.impInput),
       ("tenablesc", Transcripts.tscInput), ("sapcc", Transcripts.sccInput),
-      ("citrixadmin", Transcripts.ctaInput), ("awslb", Transcripts.albInput))
+      ("citrixadmin", Transcripts.ctaInput), ("awslb", Transcripts.albInput),
+      ("skyhighatd", Transcripts.atdInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
