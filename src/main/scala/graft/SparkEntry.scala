@@ -1523,6 +1523,19 @@ px AS (
         col("log_syslog_severity_code"), col("log_syslog_facility_code"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // preempt: flat "parsing rule" field, backslash domain split, broken
+    // end-date formats
+    "qpe01_preempt" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.preInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_start_ms"), col("event_end_ms"),
+        col("log_level"), col("rule_name"), col("rule_description"),
+        col("rule_uuid"), col("user_domain"), col("user_name"),
+        col("source_ip"), col("host_hostname"), col("host_name"),
+        col("rule_ruleset"), col("event_reference"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4634,6 +4647,36 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // preempt: broken end-date formats tag every parsed row; Rule 1 only
+    // writes the flat "parsing rule" field (parse_rule stays default)
+    "qpe01_preempt" ->
+      s"""WITH ${Transcripts.preCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.psel = 2 THEN 0 ELSE 1 END AS parse_ok_i,
+  'not parsed' AS parse_rule, 'preempt' AS event_module,
+  'preempt.threat_intelligence' AS event_dataset,
+  'logs-preempt.threat_intelligence_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  epoch_ms(t.ts) AS event_created_ms,
+  CAST(CASE WHEN b.psel <= 1
+    THEN epoch_ms(date_trunc('day', t.ts)) + 16920000 + (b.event_id % 60) * 1000
+    END AS BIGINT) AS event_start_ms,
+  CAST(NULL AS BIGINT) AS event_end_ms,
+  CASE WHEN b.psel <= 1 THEN '134' END AS log_level,
+  CASE WHEN b.psel <= 1 THEN 'suspicious_activity' END AS rule_name,
+  CASE WHEN b.psel <= 1 THEN 'suspicious activity ' || b.eid_s END AS rule_description,
+  CASE WHEN b.psel <= 1 THEN 'ext' || b.eid_s END AS rule_uuid,
+  CASE WHEN b.psel = 0 THEN 'corp.com' END AS user_domain,
+  CASE b.psel WHEN 0 THEN 'puser' || b.u5 WHEN 1 THEN 'svcacct' || b.u5 END AS user_name,
+  CASE WHEN b.psel <= 1 THEN '10.' || b.u5 || '.' || b.m250 || '.90' END AS source_ip,
+  CASE WHEN b.psel <= 1 THEN 'endpoint-' || b.u5 END AS host_hostname,
+  CASE WHEN b.psel <= 1 THEN 'endpoint-' || b.u5 END AS host_name,
+  CASE WHEN b.psel <= 1 THEN 'credentialtheft' END AS rule_ruleset,
+  CASE WHEN b.psel <= 1 THEN 'https://console.example/i' || b.eid_s END AS event_reference,
+  CASE WHEN b.psel = 2 THEN '_dissectfailure'
+    ELSE '_dateparsefailure,_dateparsefailure_ee,sip_private,source_ip_private'
+  END AS tags_s
+FROM pre_turns t JOIN pre_base b USING (event_id)""",
 
     // skyhigh.atd: Summary hashes -> file.hash arrays, flat hashes -> the
     // non-ECS hash tree (unobservable), MWG/animalized action default

@@ -6312,6 +6312,46 @@ atd_turns AS (
     spark.sql(s"WITH $atdCte SELECT conv_id, turn_idx, role, text, tool, ts FROM atd_turns")
   }
 
+  /** preempt.threat_intelligence — CEF-over-syslog threat feed
+    * (api_security_preempt_monthly.conf). psel 0 domain suser (Rule 1
+    * backslash split), 1 plain suser, 2 header dissect failure. The
+    * stitched " +00:00" tail makes [event][end] unparseable on every row
+    * (the conf's own broken format list). */
+  val preCte: String = s"""
+pre_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 122.0) AS BIGINT) % 3 AS psel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2,
+    CAST(event_id % 250 AS STRING) AS m250
+  FROM events WHERE (event_id % 122) = 121
+),
+pre_turns AS (
+  SELECT 'pre_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE WHEN psel = 2 THEN 'preempt heartbeat ' || eid_s
+    ELSE CONCAT('2024-01-', dd, 'T04:42:00 {tid', eid_s, '} <134>Jan ', dd,
+      ' 04:42:', ss2, ' CEF:0|Preempt|Platform|3.1.0|SUSPICIOUS_ACTIVITY|',
+      'Suspicious activity ', eid_s, '|5|rt=1 start=Jan ', dd, ' 2024 04:42:', ss2,
+      ' end=Jan ', dd, ' 2024 04:43:', ss2, ' +00:00 externalId=ext', eid_s,
+      ' src=10.', u5, '.', m250, '.90 shost=EndPoint-', u5,
+      ' cat=CredentialTheft cn1=3 cs1=https://console.example/i', eid_s,
+      CASE WHEN psel = 0
+        THEN ' suser=CORP.COM' || chr(92) || 'puser' || u5
+        ELSE ' suser=svcacct' || u5 END)
+    END AS text,
+    'preempt.threat_intelligence' AS tool, ts, event_id
+  FROM pre_base
+)"""
+
+  def preInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $preCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pre_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -355,6 +355,8 @@ object Registry {
       "logs-aws.lb", Vector("elastic"), Set.empty, "medium"),
     "skyhigh.atd" -> TechnologyConfig("skyhigh.atd",
       "logs-skyhigh.atd", Vector("elastic"), Set.empty, "low"),
+    "preempt.threat_intelligence" -> TechnologyConfig("preempt.threat_intelligence",
+      "logs-preempt.threat_intelligence", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -787,6 +789,7 @@ object Registry {
     "citrix.admin" -> CitrixAdminRules.citrixAdmin,
     "aws.lb" -> AwsLbRules.awsLb,
     "skyhigh.atd" -> SkyhighAtdRules.skyhighAtd,
+    "preempt.threat_intelligence" -> PreemptRules.preempt,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

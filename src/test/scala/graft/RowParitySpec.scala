@@ -102,7 +102,7 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("virtwin", Transcripts.vwInput), ("impala", Transcripts.impInput),
       ("tenablesc", Transcripts.tscInput), ("sapcc", Transcripts.sccInput),
       ("citrixadmin", Transcripts.ctaInput), ("awslb", Transcripts.albInput),
-      ("skyhighatd", Transcripts.atdInput))
+      ("skyhighatd", Transcripts.atdInput), ("preempt", Transcripts.preInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
