@@ -1536,6 +1536,19 @@ px AS (
         col("rule_ruleset"), col("event_reference"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // skyhigh_scal: whole-message lowercase, surname-first full_name,
+    // UNIX_MS clocks
+    "qsl01_scalaudit" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.sclInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_ingested_ms"), col("source_ip"),
+        col("host_hostname"), col("service_version"), col("cloud_account_id"),
+        col("process_name"), col("event_category"), col("event_code"),
+        col("event_kind"), col("error_message"), col("error_type"),
+        col("user_email"), col("user_id"), col("user_full_name"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4647,6 +4660,30 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // skyhigh_scal: lowercased record, surname-first full_name
+    "qsl01_scalaudit" ->
+      s"""WITH ${Transcripts.sclCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'skyhigh' AS event_module,
+  'skyhigh_scal' AS event_dataset,
+  'logs-skyhigh_scal_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.ssel = 2 THEN epoch_ms(t.ts)
+    ELSE (1704067200 + (b.event_id % 1000000)) * 1000 + 123 END AS event_created_ms,
+  (1704067200 + (b.event_id % 1000000)) * 1000 + 123 AS event_ingested_ms,
+  '10.' || b.u5 || '.' || b.m250 || '.95' AS source_ip,
+  'scalnode-' || b.u5 AS host_hostname,
+  '4.2.' || b.u5 AS service_version,
+  'ten-' || b.u5 AS cloud_account_id,
+  'policyobject' AS process_name,
+  '3' AS event_category, '7' AS event_code, 'policy' AS event_kind,
+  'policy updated' AS error_message, '12' AS error_type,
+  'scal' || b.u5 || '@example.com' AS user_email,
+  'u-' || b.eid_s AS user_id,
+  CASE WHEN b.ssel = 0 THEN 'lopez m ana' ELSE 'lopez ana' END AS user_full_name,
+  CASE WHEN b.ssel = 2 THEN '_dateparsefailure_ec,sip_private,source_ip_private'
+    ELSE 'sip_private,source_ip_private' END AS tags_s
+FROM scl_turns t JOIN scl_base b USING (event_id)""",
 
     // preempt: broken end-date formats tag every parsed row; Rule 1 only
     // writes the flat "parsing rule" field (parse_rule stays default)

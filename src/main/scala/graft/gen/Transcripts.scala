@@ -6352,6 +6352,43 @@ pre_turns AS (
     spark.sql(s"WITH $preCte SELECT conv_id, turn_idx, role, text, tool, ts FROM pre_turns")
   }
 
+  /** skyhigh_scal — SCAL audit record, whole-message lowercased before
+    * parse (api_skyhigh_scal_audit.conf). ssel 0 with middlename, 1
+    * without, 2 string createdtime ("soon" — _ec, default created). */
+  val sclCte: String = s"""
+scl_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 123.0) AS BIGINT) % 3 AS ssel,
+    CAST((1704067200 + (event_id % 1000000)) AS STRING) || '123' AS msv,
+    CAST(event_id % 250 AS STRING) AS m250
+  FROM events WHERE (event_id % 123) = 122
+),
+scl_turns AS (
+  SELECT 'scl_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"clientipaddress":"10.', u5, '.', m250, '.95"',
+      ',"hostmachine":"ScalNode-', u5, '"',
+      ',"createdtime":', CASE WHEN ssel = 2 THEN '"soon"' ELSE msv END,
+      ',"timestamp":', msv,
+      ',"revision":"4.2.', u5, '","tenantid":"ten-', u5,
+      '","insertionid":"ins-', eid_s, '","objectname":"PolicyObject"',
+      ',"auditeventtype":{"eventcategoryid":3,"subtypeid":7,"eventcategoryname":"Policy"',
+      ',"eventtypename":"Policy Updated","eventtypeid":12}',
+      ',"userinfo":{"email":"scal', u5, '@example.com","userid":"u-', eid_s,
+      '","firstname":"Ana","lastname":"Lopez"',
+      CASE WHEN ssel = 0 THEN ',"middlename":"M"' ELSE '' END, '}}') AS text,
+    'skyhigh_scal' AS tool, ts, event_id
+  FROM scl_base
+)"""
+
+  def sclInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $sclCte SELECT conv_id, turn_idx, role, text, tool, ts FROM scl_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

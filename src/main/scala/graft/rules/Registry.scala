@@ -357,6 +357,8 @@ object Registry {
       "logs-skyhigh.atd", Vector("elastic"), Set.empty, "low"),
     "preempt.threat_intelligence" -> TechnologyConfig("preempt.threat_intelligence",
       "logs-preempt.threat_intelligence", Vector("elastic"), Set.empty, "low"),
+    "skyhigh_scal" -> TechnologyConfig("skyhigh_scal",
+      "logs-skyhigh_scal", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -790,6 +792,7 @@ object Registry {
     "aws.lb" -> AwsLbRules.awsLb,
     "skyhigh.atd" -> SkyhighAtdRules.skyhighAtd,
     "preempt.threat_intelligence" -> PreemptRules.preempt,
+    "skyhigh_scal" -> ScalAuditRules.scalAudit,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

@@ -102,7 +102,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("virtwin", Transcripts.vwInput), ("impala", Transcripts.impInput),
       ("tenablesc", Transcripts.tscInput), ("sapcc", Transcripts.sccInput),
       ("citrixadmin", Transcripts.ctaInput), ("awslb", Transcripts.albInput),
-      ("skyhighatd", Transcripts.atdInput), ("preempt", Transcripts.preInput))
+      ("skyhighatd", Transcripts.atdInput), ("preempt", Transcripts.preInput),
+      ("scalaudit", Transcripts.sclInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
