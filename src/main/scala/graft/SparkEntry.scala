@@ -1549,6 +1549,21 @@ px AS (
         col("user_email"), col("user_id"), col("user_full_name"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // infoblox ftp_gzip dns: three-pattern query grok, shuffled answer
+    // grok, missing-tail default _grokparsefailure
+    "qif01_infobloxftp" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.ifxInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("log_source_hostname"), col("source_ip"),
+        col("source_port"), col("network_transport"), col("dns_op_code"),
+        col("dns_question_name"), col("dns_question_class"),
+        col("dns_question_type"), col("dns_response_code"),
+        col("dns_header_flags"), col("dns_resolved_ip"),
+        col("dns_answers_data"), col("dns_id"), col("dns_answers_class"),
+        col("dns_answers_type"), col("dns_answers_name"), col("url_full"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4660,6 +4675,45 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // infoblox ftp_gzip dns: pattern-1 rows alone escape the answer-grok
+    // default failure tag
+    "qif01_infobloxftp" ->
+      s"""WITH ${Transcripts.ifxCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+  CASE WHEN b.isel = 0 THEN 1 ELSE 0 END AS parse_ok_i,
+  'not parsed' AS parse_rule, 'infoblox' AS event_module,
+  'infoblox.dns' AS event_dataset,
+  'logs-infoblox.dns_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE b.isel WHEN 0 THEN epoch_ms(date_trunc('day', t.ts)) + 47460000 + (b.event_id % 60) * 1000 + 893
+    WHEN 1 THEN epoch_ms(date_trunc('day', t.ts)) + 47520000 + (b.event_id % 60) * 1000 + 100
+    ELSE epoch_ms(date_trunc('day', t.ts)) + 47580000 + (b.event_id % 60) * 1000 + 500
+  END AS event_created_ms,
+  'ftp_infoblox_api' AS log_source_hostname,
+  CASE b.isel WHEN 0 THEN '10.' || b.u5 || '.' || b.m250 || '.97'
+    WHEN 1 THEN '10.' || b.u5 || '.' || b.m250 || '.98'
+    ELSE '10.' || b.u5 || '.' || b.m250 || '.99' END AS source_ip,
+  CAST(CASE b.isel WHEN 0 THEN 53311 WHEN 1 THEN 53312 ELSE 53313 END AS BIGINT) AS source_port,
+  'udp' AS network_transport,
+  CASE WHEN b.isel = 2 THEN 'resolving' ELSE 'query' END AS dns_op_code,
+  CASE b.isel WHEN 0 THEN 'www' || b.eid_s || '.example.com'
+    WHEN 1 THEN 'mail' || b.eid_s || '.example.com'
+    ELSE 'ns' || b.eid_s || '.example.com/a' END AS dns_question_name,
+  'in' AS dns_question_class, 'a' AS dns_question_type,
+  CASE b.isel WHEN 0 THEN 'noerror' WHEN 1 THEN 'servfail' END AS dns_response_code,
+  CASE b.isel WHEN 0 THEN '+ae' WHEN 1 THEN '-edc' ELSE '+e' END AS dns_header_flags,
+  CASE WHEN b.isel = 2 THEN '10.22.33.44' END AS dns_resolved_ip,
+  CASE WHEN b.isel = 0 THEN 'www' || b.eid_s || '.example.com' END AS dns_answers_data,
+  CASE WHEN b.isel = 0 THEN '3600' END AS dns_id,
+  CASE WHEN b.isel = 0 THEN 'in' END AS dns_answers_class,
+  CASE WHEN b.isel = 0 THEN 'a' END AS dns_answers_type,
+  CASE WHEN b.isel = 0 THEN '10.11.12.13' END AS dns_answers_name,
+  CASE b.isel WHEN 0 THEN 'www' || b.eid_s || '.example.com'
+    WHEN 1 THEN 'mail' || b.eid_s || '.example.com'
+    ELSE 'ns' || b.eid_s || '.example.com/a' END AS url_full,
+  CASE WHEN b.isel = 0 THEN 'sip_private,source_ip_private'
+    ELSE '_grokparsefailure,sip_private,source_ip_private' END AS tags_s
+FROM ifx_turns t JOIN ifx_base b USING (event_id)""",
 
     // skyhigh_scal: lowercased record, surname-first full_name
     "qsl01_scalaudit" ->

@@ -6389,6 +6389,47 @@ scl_turns AS (
     spark.sql(s"WITH $sclCte SELECT conv_id, turn_idx, role, text, tool, ts FROM scl_turns")
   }
 
+  /** infoblox.dns (ftp_gzip) — named query-log lines
+    * (ftp_gzip_audit_infoblox_dns.conf). isel 0 full response + answer
+    * tail (pattern 1), 1 short response (pattern 2 — the answer grok then
+    * tags _grokparsefailure on the missing tail), 2 resolving form
+    * (pattern 3, resolved ip) — also tail-less. */
+  val ifxCte: String = s"""
+ifx_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 124.0) AS BIGINT) % 3 AS isel,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2,
+    CAST(event_id % 250 AS STRING) AS m250
+  FROM events WHERE (event_id % 124) = 61
+),
+ifx_turns AS (
+  SELECT 'ifx_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE isel
+      WHEN 0 THEN dd || '-Jan-2024 13:11:' || ss2 || '.893 client 10.' || u5 || '.' || m250
+        || '.97#53311: UDP: query: www' || eid_s
+        || '.example.com IN A response: NOERROR +AE www' || eid_s
+        || '.example.com 3600 IN A 10.11.12.13;'
+      WHEN 1 THEN dd || '-Jan-2024 13:12:' || ss2 || '.100 client 10.' || u5 || '.' || m250
+        || '.98#53312: UDP: query: mail' || eid_s
+        || '.example.com IN A response: SERVFAIL -EDC'
+      ELSE dd || '-Jan-2024 13:13:' || ss2 || '.500 client 10.' || u5 || '.' || m250
+        || '.99#53313: UDP: resolving: <ns' || eid_s
+        || '.example.com/a> @0x7fabc IN A +E (10.22.33.44)'
+    END AS text,
+    'infoblox.dns' AS tool, ts, event_id
+  FROM ifx_base
+)"""
+
+  def ifxInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $ifxCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ifx_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

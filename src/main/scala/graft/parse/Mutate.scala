@@ -84,6 +84,12 @@ object Mutate {
 
   def strip(ev: Event, path: String): Unit = ev.get(path).foreach {
     case s: String => ev.set(path, s.trim)
+    case a: mutable.ArrayBuffer[Any @unchecked] => // Logstash strips each element
+      var i = 0
+      while (i < a.length) {
+        a(i) match { case s: String => a(i) = s.trim; case _ => () }
+        i += 1
+      }
     case _ => ()
   }
 

@@ -466,6 +466,15 @@ object Engine {
       dns_answers_type = s("[dns][answers][type]"),
       file_gid = s("[file][gid]"),
       service_id = s("[service][id]"),
-      database_query = s("[database][query]")))
+      database_query = s("[database][query]"),
+      dns_op_code = s("[dns][op_code]"),
+      dns_question_name = s("[dns][question][name]"),
+      dns_question_class = s("[dns][question][class]"),
+      dns_question_type = s("[dns][question][type]"),
+      dns_response_code = s("[dns][response_code]"),
+      dns_resolved_ip = s("[dns][resolved_ip]"),
+      dns_answers_data = s("[dns][answers][data]"),
+      dns_answers_name = s("[dns][answers][name]"),
+      dns_id = s("[dns][id]")))
   }
 }

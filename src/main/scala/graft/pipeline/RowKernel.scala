@@ -587,6 +587,15 @@ object RowKernel {
     s("[file][gid]")
     s("[service][id]")
     s("[database][query]")
+    s("[dns][op_code]")
+    s("[dns][question][name]")
+    s("[dns][question][class]")
+    s("[dns][question][type]")
+    s("[dns][response_code]")
+    s("[dns][resolved_ip]")
+    s("[dns][answers][data]")
+    s("[dns][answers][name]")
+    s("[dns][id]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

@@ -359,6 +359,8 @@ object Registry {
       "logs-preempt.threat_intelligence", Vector("elastic"), Set.empty, "low"),
     "skyhigh_scal" -> TechnologyConfig("skyhigh_scal",
       "logs-skyhigh_scal", Vector("elastic"), Set.empty, "low"),
+    "infoblox.dns" -> TechnologyConfig("infoblox.dns",
+      "logs-infoblox.dns", Vector("elastic"), Set.empty, "medium"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -793,6 +795,7 @@ object Registry {
     "skyhigh.atd" -> SkyhighAtdRules.skyhighAtd,
     "preempt.threat_intelligence" -> PreemptRules.preempt,
     "skyhigh_scal" -> ScalAuditRules.scalAudit,
+    "infoblox.dns" -> InfobloxFtpRules.infobloxFtp,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =
