@@ -1564,6 +1564,20 @@ px AS (
         col("dns_answers_type"), col("dns_answers_name"), col("url_full"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // windows.exporter: double-encoded Payload fold, ==-regex dead branch,
+    // 7-digit clock trim
+    "qwx01_winexport" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.wxpInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("event_provider"), col("event_outcome"),
+        col("event_action"), col("event_reason"), col("event_kind"),
+        col("event_type"), col("process_entity_id"), col("process_pid"),
+        col("host_type"), col("file_path"), col("user_name"),
+        col("package_name"), col("process_name"), col("destination_domain"),
+        col("destination_user_id"), col("source_port"), col("source_ip"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4675,6 +4689,35 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // windows.exporter: ==-regex guard keeps source.ip dead; Workstation
+    // overwrites Computer on host.type
+    "qwx01_winexport" ->
+      s"""WITH ${Transcripts.wxpCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'windows' AS event_module,
+  'windows.exporter' AS event_dataset,
+  'logs-windows.exporter_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.wsel = 1 THEN epoch_ms(t.ts)
+    ELSE epoch_ms(date_trunc('day', t.ts)) + 47640000 + (b.event_id % 60) * 1000 + 763
+  END AS event_created_ms,
+  'microsoft-windows-security-auditing' AS event_provider,
+  'logon successful' AS event_outcome, 'audit success' AS event_action,
+  'logontype 3' AS event_reason, 'ntlm' AS event_kind,
+  'security' AS event_type, '7' AS process_entity_id,
+  CAST('71' || b.u5 AS BIGINT) AS process_pid,
+  CASE WHEN b.wsel = 1 THEN 'winexp-' || b.u5 || '.example'
+    ELSE 'wks-' || b.u5 END AS host_type,
+  'c:/evtx/security' || b.eid_s || '.evtx' AS file_path,
+  CASE WHEN b.wsel = 0 THEN 'wuser' || b.u5 END AS user_name,
+  CASE WHEN b.wsel = 0 THEN 'ntlm v2' END AS package_name,
+  CASE WHEN b.wsel = 0 THEN 'ntlm' END AS process_name,
+  CASE WHEN b.wsel = 0 THEN 'corp' END AS destination_domain,
+  CASE WHEN b.wsel = 0 THEN 's-1-5-21-' || b.eid_s END AS destination_user_id,
+  CAST(CASE WHEN b.wsel = 0 THEN 50512 END AS BIGINT) AS source_port,
+  CAST(NULL AS VARCHAR) AS source_ip,
+  CASE WHEN b.wsel = 1 THEN '_dateparsefailure_ec' ELSE '' END AS tags_s
+FROM wxp_turns t JOIN wxp_base b USING (event_id)""",
 
     // infoblox ftp_gzip dns: pattern-1 rows alone escape the answer-grok
     // default failure tag

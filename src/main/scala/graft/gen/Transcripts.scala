@@ -6430,6 +6430,55 @@ ifx_turns AS (
     spark.sql(s"WITH $ifxCte SELECT conv_id, turn_idx, role, text, tool, ts FROM ifx_turns")
   }
 
+  /** windows.exporter — exported evtx records with a double-encoded Payload
+    * (flat_file_security_windows.exported_security_events.conf). wsel 0
+    * full 4624 with EventData (7-digit clock trimmed to millis), 1 payload
+    * without EventData + unmatching clock (both formats fail, _ec). */
+  val wxpCte: String = s"""
+wxp_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 126.0) AS BIGINT) % 2 AS wsel,
+    chr(92) || chr(34) AS e1,
+    LPAD(CAST(EXTRACT(DAY FROM ts) AS STRING), 2, '0') AS dd,
+    LPAD(CAST(event_id % 60 AS STRING), 2, '0') AS ss2
+  FROM events WHERE (event_id % 126) = 125
+),
+wxp_turns AS (
+  SELECT 'wxp_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CONCAT('{"Provider":"Microsoft-Windows-Security-Auditing","EventId":4624',
+      ',"MapDescription":"Logon Successful","Keywords":"Audit Success"',
+      ',"PayloadData1":"LogonType 3","PayloadData2":"NTLM","Channel":"Security"',
+      ',"ChunkNumber":7,"ProcessId":71', u5, ',"ThreadId":88',
+      ',"Computer":"WINEXP-', u5, '.example"',
+      ',"TimeCreated":"', CASE WHEN wsel = 1 THEN '2024-01-' || dd || 'T13:15:' || ss2 || '.123+00:00'
+        ELSE '2024-01-' || dd || 'T13:14:' || ss2 || '.7639051+00:00' END, '"',
+      ',"SourceFile":"C:/evtx/Security', eid_s, '.evtx"',
+      ',"Payload":"',
+      CASE WHEN wsel = 1 THEN '{' || e1 || 'note' || e1 || ':' || e1 || 'empty' || e1 || '}'
+        ELSE CONCAT('{', e1, 'EventData', e1, ':{', e1, 'Data', e1, ':[',
+          '{', e1, '@Name', e1, ':', e1, 'TargetUserName', e1, ',', e1, '#text', e1, ':', e1, 'wuser', u5, e1, '},',
+          '{', e1, '@Name', e1, ':', e1, 'TargetDomainName', e1, ',', e1, '#text', e1, ':', e1, 'CORP', e1, '},',
+          '{', e1, '@Name', e1, ':', e1, 'IpAddress', e1, ',', e1, '#text', e1, ':', e1, '10.0.5.9', e1, '},',
+          '{', e1, '@Name', e1, ':', e1, 'IpPort', e1, ',', e1, '#text', e1, ':', e1, '50512', e1, '},',
+          '{', e1, '@Name', e1, ':', e1, 'LogonGuid', e1, ',', e1, '#text', e1, ':', e1, 'g', eid_s, e1, '},',
+          '{', e1, '@Name', e1, ':', e1, 'TargetUserSid', e1, ',', e1, '#text', e1, ':', e1, 'S-1-5-21-', eid_s, e1, '},',
+          '{', e1, '@Name', e1, ':', e1, 'AuthenticationPackageName', e1, ',', e1, '#text', e1, ':', e1, 'NTLM', e1, '},',
+          '{', e1, '@Name', e1, ':', e1, 'LmPackageName', e1, ',', e1, '#text', e1, ':', e1, 'NTLM V2', e1, '},',
+          '{', e1, '@Name', e1, ':', e1, 'WorkstationName', e1, ',', e1, '#text', e1, ':', e1, 'WKS-', u5, e1, '}]}}')
+      END, '"}') AS text,
+    'windows.exporter' AS tool, ts, event_id
+  FROM wxp_base
+)"""
+
+  def wxpInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $wxpCte SELECT conv_id, turn_idx, role, text, tool, ts FROM wxp_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -475,6 +475,8 @@ object Engine {
       dns_resolved_ip = s("[dns][resolved_ip]"),
       dns_answers_data = s("[dns][answers][data]"),
       dns_answers_name = s("[dns][answers][name]"),
-      dns_id = s("[dns][id]")))
+      dns_id = s("[dns][id]"),
+      host_type = s("[host][type]"),
+      package_name = s("[package][name]")))
   }
 }

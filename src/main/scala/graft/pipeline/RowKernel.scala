@@ -596,6 +596,8 @@ object RowKernel {
     s("[dns][answers][data]")
     s("[dns][answers][name]")
     s("[dns][id]")
+    s("[host][type]")
+    s("[package][name]")
     assert(i == numFields, s"flatten wrote $i of $numFields fields")
     new GenericInternalRow(v)
   }

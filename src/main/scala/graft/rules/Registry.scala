@@ -361,6 +361,8 @@ object Registry {
       "logs-skyhigh_scal", Vector("elastic"), Set.empty, "low"),
     "infoblox.dns" -> TechnologyConfig("infoblox.dns",
       "logs-infoblox.dns", Vector("elastic"), Set.empty, "medium"),
+    "windows.exporter" -> TechnologyConfig("windows.exporter",
+      "logs-windows.exporter", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -796,6 +798,7 @@ object Registry {
     "preempt.threat_intelligence" -> PreemptRules.preempt,
     "skyhigh_scal" -> ScalAuditRules.scalAudit,
     "infoblox.dns" -> InfobloxFtpRules.infobloxFtp,
+    "windows.exporter" -> WindowsExporterRules.windowsExporter,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

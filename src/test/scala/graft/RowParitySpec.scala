@@ -103,7 +103,8 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("tenablesc", Transcripts.tscInput), ("sapcc", Transcripts.sccInput),
       ("citrixadmin", Transcripts.ctaInput), ("awslb", Transcripts.albInput),
       ("skyhighatd", Transcripts.atdInput), ("preempt", Transcripts.preInput),
-      ("scalaudit", Transcripts.sclInput), ("infobloxftp", Transcripts.ifxInput))
+      ("scalaudit", Transcripts.sclInput), ("infobloxftp", Transcripts.ifxInput),
+      ("winexport", Transcripts.wxpInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
