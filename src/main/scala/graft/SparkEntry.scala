@@ -1578,6 +1578,22 @@ px AS (
         col("destination_user_id"), col("source_port"), col("source_ip"),
         array_join(array_sort(col("tags")), ",").as("tags_s"))),
 
+    // forescout push: kv inventory, dhcp-overwrites-netbios hostname,
+    // seconds-as-UNIX_MS clock bug
+    "qfd01_forescoutinv" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.fsdInput(s, dir)).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        col("parse_ok").cast("int").as("parse_ok_i"), col("parse_rule"),
+        col("event_module"), col("event_dataset"), col("route_index"),
+        col("event_created_ms"), col("host_hostname"), col("dns_answers_name"),
+        col("user_name"), col("user_id"), col("event_action"), col("host_ip"),
+        col("host_mac"), col("host_manufacturer"), col("host_type"),
+        col("host_os_name"), col("host_model"),
+        col("observer_ingress_interface_alias"), col("network_name"),
+        col("observer_name"), col("observer_ip"), col("host_serial"),
+        col("observer_ingress_interface_name"),
+        col("observer_ingress_interface_id"),
+        array_join(array_sort(col("tags")), ",").as("tags_s"))),
+
     // entrust mpki kv + cisco.mso fluentd refinement dissects
     "qmp01_mpki" -> ((s, dir) => Pipeline.parseDf(s, Transcripts.mpInput(s, dir)).toDF()
       .select(col("conv_id"), col("turn_idx"),
@@ -4689,6 +4705,39 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
   '' AS tags_s
 FROM rsc_turns t JOIN rsc_base b USING (event_id)
 WHERE b.ssel <= 2""",
+
+    // forescout push: epoch-seconds parsed as UNIX_MS -> 1970 clocks
+    "qfd01_forescoutinv" ->
+      s"""WITH ${Transcripts.fsdCte}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, 1 AS parse_ok_i,
+  'not parsed' AS parse_rule, 'forescout' AS event_module,
+  'forescout.device_inventory' AS event_dataset,
+  'logs-forescout.device_inventory_' || strftime(t.ts, '%Y.%m.%d') AS route_index,
+  CASE WHEN b.fsel = 2 THEN epoch_ms(t.ts)
+    ELSE 1614786000 + (b.event_id % 1000) END AS event_created_ms,
+  CASE b.fsel WHEN 0 THEN 'nb-host' || b.u5 WHEN 1 THEN 'wlan-host' || b.u5
+    ELSE 'dhcp-host-' || b.u5 END AS host_hostname,
+  CASE WHEN b.fsel = 0 THEN 'h' || b.eid_s || '.corp.example' END AS dns_answers_name,
+  CASE WHEN b.fsel <= 1 THEN 'fsuser' || b.u5 END AS user_name,
+  CASE WHEN b.fsel = 0 THEN 'aduser' || b.u5 END AS user_id,
+  CASE WHEN b.fsel = 2 THEN 'false' ELSE 'true' END AS event_action,
+  CASE b.fsel WHEN 0 THEN '10.' || b.u5 || '.' || b.m250 || '.99'
+    WHEN 1 THEN '10.' || b.u5 || '.' || b.m250 || '.98' END AS host_ip,
+  CASE b.fsel WHEN 0 THEN '00:1b:44:7a:bb:0' || b.u5
+    WHEN 1 THEN '00:1b:44:7a:cc:0' || b.u5 END AS host_mac,
+  CASE WHEN b.fsel = 0 THEN 'dell' END AS host_manufacturer,
+  CASE WHEN b.fsel = 0 THEN 'workstation' END AS host_type,
+  CASE WHEN b.fsel = 0 THEN 'windows 10' END AS host_os_name,
+  CASE WHEN b.fsel = 0 THEN 'optiplex' END AS host_model,
+  CASE WHEN b.fsel = 0 THEN 'uplink-' || b.u5 END AS observer_ingress_interface_alias,
+  CASE WHEN b.fsel = 0 THEN 'corp/floor' || b.u5 END AS network_name,
+  CASE WHEN b.fsel = 1 THEN 'ap-' || b.u5 END AS observer_name,
+  CASE WHEN b.fsel = 1 THEN '10.0.0.250' END AS observer_ip,
+  CASE WHEN b.fsel = 0 THEN 'sn' || b.eid_s END AS host_serial,
+  CASE WHEN b.fsel = 0 THEN 'eth1/' || b.u5 END AS observer_ingress_interface_name,
+  CASE WHEN b.fsel = 0 THEN '4' || b.eid_s END AS observer_ingress_interface_id,
+  CASE WHEN b.fsel = 2 THEN '_dateparsefailure_ec' ELSE '' END AS tags_s
+FROM fsd_turns t JOIN fsd_base b USING (event_id)""",
 
     // windows.exporter: ==-regex guard keeps source.ip dead; Workstation
     // overwrites Computer on host.type

@@ -6479,6 +6479,48 @@ wxp_turns AS (
     spark.sql(s"WITH $wxpCte SELECT conv_id, turn_idx, role, text, tool, ts FROM wxp_turns")
   }
 
+  /** forescout.device_inventory — push-api ';'/':' kv inventory rows
+    * (push_api_list_inventory_forescout.conf). fsel 0 wired host (aci port
+    * grok, space-padded serial, seconds-as-UNIX_MS clock -> 1970),
+    * 1 wireless (Irresolvable port skipped), 2 dhcp overwrite + bad clock. */
+  val fsdCte: String = s"""
+fsd_base AS (
+  SELECT event_id, ts, user_id,
+    CAST(event_id AS STRING) AS eid_s,
+    CAST(user_id % 5 AS STRING) AS u5,
+    CAST(FLOOR(event_id / 127.0) AS BIGINT) % 3 AS fsel,
+    CAST(event_id % 250 AS STRING) AS m250
+  FROM events WHERE (event_id % 127) = 126
+),
+fsd_turns AS (
+  SELECT 'fsd_' || CAST(user_id AS STRING) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+    'tool' AS role,
+    CASE fsel
+      WHEN 0 THEN 'netbiosname:NB-HOST' || u5 || ';dns_hostname:h' || eid_s
+        || '.corp.example;user_name:FsUser' || u5 || ';ad_username:aduser' || u5
+        || ';online:true;ip:10.' || u5 || '.' || m250 || '.99;mac:00:1B:44:7A:BB:0' || u5
+        || ';nic_vendor:Dell;function:Workstation;os:Windows 10;vendor_model:OptiPlex'
+        || ';sw_port_alias:uplink-' || u5 || ';num_of_hosts_on_port:3'
+        || ';segment_path:Corp/Floor' || u5 || ';serial_number: SN' || eid_s
+        || ' ;timestamp:' || CAST(1614786000 + (event_id % 1000) AS STRING)
+        || ';aci_ep_sw_port:eth1/' || u5 || ':4' || eid_s || chr(13)
+      WHEN 1 THEN 'netbiosname:WLAN-HOST' || u5 || ';user_name:FsUser' || u5
+        || ';online:true;ip:10.' || u5 || '.' || m250 || '.98;mac:00:1B:44:7A:CC:0' || u5
+        || ';wlan_ap_name:AP-' || u5 || ';wlan_ctp_ip:10.0.0.250;wlan_ssid:corp-wifi'
+        || ';sw_ip_port:Irresolvable;timestamp:' || CAST(1614786000 + (event_id % 1000) AS STRING)
+      ELSE 'netbiosname:NB' || u5 || ';dhcp_hostname:dhcp-host-' || u5
+        || ';online:false;timestamp:pending'
+    END AS text,
+    'forescout.device_inventory' AS tool, ts, event_id
+  FROM fsd_base
+)"""
+
+  def fsdInput(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(s"WITH $fsdCte SELECT conv_id, turn_idx, role, text, tool, ts FROM fsd_turns")
+  }
+
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the

@@ -363,6 +363,8 @@ object Registry {
       "logs-infoblox.dns", Vector("elastic"), Set.empty, "medium"),
     "windows.exporter" -> TechnologyConfig("windows.exporter",
       "logs-windows.exporter", Vector("elastic"), Set.empty, "low"),
+    "forescout.device_inventory" -> TechnologyConfig("forescout.device_inventory",
+      "logs-forescout.device_inventory", Vector("elastic"), Set.empty, "low"),
     "unknown" -> TechnologyConfig("unknown", "logs-unparsed",
       Vector("failed"), Set.empty, "low")) ++ SnowflakeFamily.configs
 
@@ -799,6 +801,7 @@ object Registry {
     "skyhigh_scal" -> ScalAuditRules.scalAudit,
     "infoblox.dns" -> InfobloxFtpRules.infobloxFtp,
     "windows.exporter" -> WindowsExporterRules.windowsExporter,
+    "forescout.device_inventory" -> ForescoutPushRules.forescoutPush,
     "unknown" -> unknown)
 
   val programs: Map[String, (Event, ParseCtx) => ParseOutcome] =

@@ -104,7 +104,7 @@ class RowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("citrixadmin", Transcripts.ctaInput), ("awslb", Transcripts.albInput),
       ("skyhighatd", Transcripts.atdInput), ("preempt", Transcripts.preInput),
       ("scalaudit", Transcripts.sclInput), ("infobloxftp", Transcripts.ifxInput),
-      ("winexport", Transcripts.wxpInput))
+      ("winexport", Transcripts.wxpInput), ("forescoutinv", Transcripts.fsdInput))
     corpora.foreach { case (name, input) =>
       assertSame(Pipeline.parseDf(spark, input(spark, sf)),
         Pipeline.typedToFlatDf(Pipeline.parseTyped(spark, input(spark, sf))), name)
