@@ -52,26 +52,45 @@ object TextOps {
     val spark = d.sparkSession
     import spark.implicits._
     val base = pinned(d.select(col("doc_id"), col("text")).as[(Long, String)])
-    base.mapPartitions(_.flatMap { case (id, text) =>
-        val w = text.split(' ')
-        if (w.length < 3) Iterator.empty
-        else {
-          val mins = new Array[String](NumHashes)
-          var i = 0
-          while (i + 2 < w.length) {
-            val s = w(i) + " " + w(i + 1) + " " + w(i + 2)
-            var h = 0
-            while (h < NumHashes) {
-              val m = graft.util.Md5.hex(h.toString + ":" + s)
-              if (mins(h) == null || m.compareTo(mins(h)) < 0) mins(h) = m
-              h += 1
+    base.mapPartitions { it =>
+        // Hash family unchanged: h_i(s) = md5(i + ":" + s), minimum taken in
+        // LEXICOGRAPHIC HEX order. Hex encoding is byte-wise order-preserving,
+        // so the min can be tracked over the raw 16-byte digests with an
+        // unsigned byte compare and hex-encoded once per doc — the round-5
+        // version built 12 prefix+shingle strings, UTF-8 encoded each, and
+        // hex-encoded every digest (12 × #shingles String allocations).
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val prefixes = Array.tabulate(NumHashes)(h => (h.toString + ":").getBytes("UTF-8"))
+        val dg = new Array[Byte](16)
+        it.flatMap { case (id, text) =>
+          val w = text.split(' ')
+          if (w.length < 3) Iterator.empty
+          else {
+            val mins = new Array[Array[Byte]](NumHashes)
+            val sb = new java.lang.StringBuilder(64)
+            var i = 0
+            while (i + 2 < w.length) {
+              sb.setLength(0)
+              sb.append(w(i)).append(' ').append(w(i + 1)).append(' ').append(w(i + 2))
+              val sBytes = sb.toString.getBytes("UTF-8")
+              var h = 0
+              while (h < NumHashes) {
+                md.reset()
+                md.update(prefixes(h))
+                md.update(sBytes)
+                md.digest(dg, 0, 16)
+                if (mins(h) == null || java.util.Arrays.compareUnsigned(dg, mins(h)) < 0)
+                  mins(h) = dg.clone()
+                h += 1
+              }
+              i += 1
             }
-            i += 1
+            def hx(h: Int): String = graft.util.Md5.bytesToHex(mins(h))
+            Iterator.single((id, hx(0), hx(1), hx(2), hx(3), hx(4), hx(5),
+              hx(6), hx(7), hx(8), hx(9), hx(10), hx(11)))
           }
-          Iterator.single((id, mins(0), mins(1), mins(2), mins(3), mins(4), mins(5),
-            mins(6), mins(7), mins(8), mins(9), mins(10), mins(11)))
         }
-      })
+      }
       .toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7", "m8", "m9", "m10", "m11")
   }
 
@@ -93,13 +112,13 @@ object TextOps {
   val MaxBandBucket = 65536
 
   /** Near-dup candidate pairs: docs sharing ≥1 LSH bucket, hot buckets
-    * split at [[MaxBandBucket]] (split count logged to stderr). */
-  def minhashPairs(d: DataFrame): DataFrame = {
-    val (pairs, nSplit) = minhashPairsBounded(d, MaxBandBucket)
-    if (nSplit > 0)
-      System.err.println(s"[graft] minhashPairs: $nSplit hot band bucket(s) split at cap=$MaxBandBucket")
-    pairs
-  }
+    * split at [[MaxBandBucket]]. Pure plan construction — zero Spark jobs
+    * until the caller acts (round-5 verdict item 1: the former eager
+    * split-count `count()` materialized the whole minhash lineage at
+    * construction time; split diagnostics now come from the lazy thunk of
+    * [[minhashPairsBounded]]). */
+  def minhashPairs(d: DataFrame): DataFrame =
+    minhashPairsBounded(d, MaxBandBucket)._1
 
   /** Bounded band self-join (same scheme as Similarity.boundedBucketPairs):
     * a (band,sig) bucket larger than `maxBucket` is split by a secondary
@@ -109,24 +128,40 @@ object TextOps {
     * an oversized bucket are sacrificed (the recall trade every LSH
     * blocking scheme makes under skew); when no bucket exceeds the cap,
     * splits = 1 everywhere and the output is IDENTICAL to the unbounded
-    * join — how the d02/d04 oracles stay exact. Unlike d11's
-    * centroid-sized table, the bucket-size aggregate here is O(#buckets) ~
-    * O(docs), so it joins back by shuffle on the same (band,sig) keys
-    * (exchange-reusable) — NOT broadcast. */
-  private[graft] def minhashPairsBounded(d: DataFrame, maxBucket: Int): (DataFrame, Long) = {
+    * join — how the d02/d04 oracles stay exact.
+    *
+    * Plan shape (round-6 rewrite): bucket sizes come from a COUNT window
+    * over (band,sig) instead of a separate aggregate joined back — the
+    * minhash kernel lineage appears ONCE (one documents.parquet scan; the
+    * self-join's other side is a ReusedExchange), vs. three computations
+    * before (sizes branch, bands-join branch, plus an eager count() job at
+    * construction — measured 0.49 s → 2.29 s d02 regression, BENCH_r05).
+    * At scale the window is the same (band,sig)-keyed shuffle the old
+    * aggregate paid, minus the join back. Returns the pairs plan plus a
+    * LAZY split-bucket count (runs its own small aggregate only when
+    * invoked — diagnostics/specs only, never on the query path). */
+  private[graft] def minhashPairsBounded(d: DataFrame, maxBucket: Int): (DataFrame, () => Long) = {
     val bands = lshBands(minhash(d))
-    val sizes = bands.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bucket_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))
+    val sub = bands
       .withColumn("splits",
-        greatest(lit(1L), ceil(col("bucket_n").cast("double") / maxBucket).cast("long")).cast("int"))
-    val nSplit = sizes.filter(col("splits") > 1).count()
-    val sub = bands.join(sizes.select(col("band"), col("sig"), col("splits")), Seq("band", "sig"))
+        greatest(lit(1L), ceil(count(lit(1)).over(w).cast("double") / maxBucket).cast("long")).cast("int"))
       .withColumn("sub_id", pmod(hash(col("doc_id")), col("splits")))
-    val pairs = sub.as("x").join(sub.as("y"),
+      .select(col("doc_id"), col("band"), col("sig"), col("sub_id"))
+    // SORT_MERGE hint: the planner's size estimate under the typed kernel is
+    // tiny, so it would otherwise BROADCAST one side of the self-join —
+    // duplicating the whole minhash lineage into the broadcast build (and a
+    // broadcast self-join is exactly what cannot run at 100 TB). With SMJ
+    // both sides are identical subtrees shuffled on (band,sig,sub_id), so
+    // the second side is a ReusedExchange and minhash runs ONCE.
+    val pairs = sub.as("x").hint("merge").join(sub.as("y").hint("merge"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.sub_id") === col("y.sub_id") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    val nSplit = () => bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket).count()
     (pairs, nSplit)
   }
 
@@ -155,20 +190,27 @@ object TextOps {
     val words = text.split(' ')
     val ones = new Array[Int](64)
     var n = 0
-    words.foreach { w =>
+    // Bit mapping: bit j lives in hex char 15-j/4 at nibble bit j&3, which
+    // is exactly bit j of the big-endian long over the first 8 digest bytes
+    // (hex char c = bits [63-4c .. 60-4c]; c = 15-(j>>2) → bit 4(j>>2)+(j&3)
+    // = j). One long build + 64 shift-adds per word replaces the round-5
+    // per-bit nibble indexing (same counts, d03 oracle unchanged).
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
       if (w.nonEmpty) {
         n += 1
         val h = graft.util.Md5.digest(w)
-        // first 8 bytes = first 16 hex chars; bit j lives in hex char 15-j/4
+        var L = 0L
+        var b = 0
+        while (b < 8) { L = (L << 8) | (h(b) & 0xffL); b += 1 }
         var j = 0
         while (j < 64) {
-          val hexIdx = 15 - (j >> 2) // 0-based index into the 16 hex chars
-          val byteIdx = hexIdx >> 1
-          val nibble = if ((hexIdx & 1) == 0) (h(byteIdx) >> 4) & 0xf else h(byteIdx) & 0xf
-          ones(j) += (nibble >> (j & 3)) & 1
+          ones(j) += ((L >>> j) & 1L).toInt
           j += 1
         }
       }
+      wi += 1
     }
     val sb = new java.lang.StringBuilder(16)
     var k = 15

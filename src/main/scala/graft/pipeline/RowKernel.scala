@@ -137,12 +137,31 @@ object RowKernel {
     m
   }
 
-  /** Pre-parsed path per flatten ordinal — the path probed at ordinal `i`
-    * is the same on every call (flatten's put order is fixed), so the
-    * parse-once cache can be a flat array instead of the global
-    * concurrent map (~180 concurrent-map gets per event otherwise).
-    * Filled idempotently on first use; benign under races. */
-  private val ordinalPaths = new Array[Seq[String]](numFields)
+  // ---- Flatten inversion (round 6, guide §1.2 "per-task work") ----------
+  // The round-5 flatten probed all ~280 Event-derived paths per row (each a
+  // 2-4 level map walk → ~700 hash gets/row) even though a typical event
+  // populates only a few dozen leaves. The spec below declares the same
+  // columns in the same put order; flatten now walks the event tree ONCE,
+  // scattering populated leaves into their ordinals through a precomputed
+  // segment trie — O(populated fields), not O(schema width). Parity with
+  // the typed Engine.flatten is proven by RowParitySpec (full corpus).
+
+  private final val KS = 0 // string column (stringAtParts semantics)
+  private final val KL = 1 // long column (Long | numeric-string | Double)
+  private final val KA = 2 // array-of-string column (scalar promoted)
+
+  /** One Event-derived column: a (path, kind) probe, or a tag-pair derived
+    * boolean (`priv`) when `path == null`. */
+  private final class DCol(val path: String, val kind: Int,
+                           val tagTrue: String, val tagFalse: String)
+
+  /** Trie over path segments; a terminal node carries the flatten ordinal
+    * and conversion kind of the column ending there. */
+  private final class FTrie {
+    val children = new java.util.HashMap[String, FTrie]()
+    var ordinal: Int = -1
+    var kind: Int = -1
+  }
 
   /** Counts-only 5-column schema (see Engine.parseCardinality). */
   val countSchema: org.apache.spark.sql.types.StructType = {
@@ -206,79 +225,19 @@ object RowKernel {
     new GenericInternalRow(v)
   }
 
-  /** Field-for-field mirror of Engine.flatten (ParsedTurn declaration
-    * order); RowParitySpec proves equality against the typed path. */
-  private def flatten(ev: Event, parseOk: Boolean, subIdx: Int, tech: Tech,
-                      convU8: UTF8String, turnIdx: Int, roleU8: UTF8String,
-                      textU8: UTF8String, tsMicros: Long, tsMillis: Long,
-                      mask: Array[Boolean] = null): InternalRow = {
-    val v = new Array[Any](numFields)
-    var i = 0
-    def put(x: Any): Unit = { v(i) = x; i += 1 }
-    // `on` gates every Event-derived column on the lazy-flatten mask: an
-    // unselected ordinal skips its map walk and UTF8String copy (null slot)
-    def on: Boolean = mask == null || mask(i)
-    def pathAt(p: String): Seq[String] = {
-      var parts = ordinalPaths(i)
-      if (parts == null) { parts = graft.model.Event.parsePath(p); ordinalPaths(i) = parts }
-      parts
-    }
-    def s(p: String): Unit = {
-      if (on) {
-        val x = ev.stringAtParts(pathAt(p))
-        put(if (x == null) null else UTF8String.fromString(x))
-      } else put(null)
-    }
-    def l(p: String): Unit = put(if (!on) null else ev.partsOrNull(pathAt(p)) match {
-      case x: Long => x
-      case x: String => x.toLongOption match { case Some(n) => n; case None => null }
-      case x: Double => x.toLong
-      case _ => null
-    })
-    def arr(p: String): Unit = put(if (!on) emptyArray else ev.partsOrNull(pathAt(p)) match {
-      case a: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
-        val b = Array.newBuilder[Any]
-        b.sizeHint(a.length)
-        a.foreach { case x: String => b += UTF8String.fromString(x); case _ => () }
-        new GenericArrayData(b.result())
-      case x: String => new GenericArrayData(Array[Any](UTF8String.fromString(x)))
-      case _ => emptyArray
-    })
+  /** Event-derived columns in flatten put order (ordinal = numContextCols +
+    * index). The column list is the round-5 flatten body VERBATIM — it is
+    * frozen by the output schema; only the execution strategy changed
+    * (trie scatter instead of ~280 per-column path probes). Field-for-field
+    * mirror of Engine.flatten (ParsedTurn declaration order); RowParitySpec
+    * proves equality against the typed path. */
+  private val derivedCols: Array[DCol] = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[DCol]
+    def s(p: String): Unit = b += new DCol(p, KS, null, null)
+    def l(p: String): Unit = b += new DCol(p, KL, null, null)
+    def arr(p: String): Unit = b += new DCol(p, KA, null, null)
     def priv(tagTrue: String, tagFalse: String): Unit =
-      put(if (!on) null
-      else if (ev.hasTag(tagTrue)) true else if (ev.hasTag(tagFalse)) false else null)
-
-    put(convU8)                       // conv_id
-    put(turnIdx)                      // turn_idx
-    put(subIdx)                       // sub_idx
-    put(roleU8)                       // role
-    put(tech.toolU8)                  // tool — raw input value passthrough
-    put(tsMicros)                     // ts
-    put(textU8)                       // text — UNTOUCHED passthrough
-    put(tech.techU8)                  // technology
-    val pr = ev.valueOrNull("[agent][parse_rule]") match {
-      case x: String => x
-      case a: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
-        a.collect { case x: String => x }.mkString(",") // stacked add_field rules
-      case _ => null
-    }
-    put(if (pr == null) notParsed else UTF8String.fromString(pr)) // parse_rule
-    put(parseOk)                      // parse_ok
-    if (ev.tags.isEmpty) put(emptyArray) // tags (sorted)
-    else {
-      val t = ev.tags.toArray
-      java.util.Arrays.sort(t.asInstanceOf[Array[Object]])
-      val o = new Array[Any](t.length)
-      var j = 0
-      while (j < t.length) { o(j) = UTF8String.fromString(t(j)); j += 1 }
-      put(new GenericArrayData(o))
-    }
-    put(ev.getString("[@metadata][output]") match { // conf-level index override
-      case Some(o) => UTF8String.fromString(o)
-      case None => tech.routeIndexU8(tsMillis)
-    })                                // route_index
-    put(tech.routeOutputs)            // route_outputs (shared immutable constant)
-    assert(i == numContextCols, s"context section is $i cols, maskFor assumes $numContextCols")
+      b += new DCol(null, -1, tagTrue, tagFalse)
     s("message")
     s("[log][original]")
     s("[event][module]")
@@ -598,7 +557,145 @@ object RowKernel {
     s("[dns][id]")
     s("[host][type]")
     s("[package][name]")
-    assert(i == numFields, s"flatten wrote $i of $numFields fields")
+    b.toArray
+  }
+
+  private val flattenTrie: FTrie = new FTrie
+
+  /** Tag-derived boolean columns (ordinal, tagTrue, tagFalse) and the
+    * ordinals defaulting to the shared empty array; also builds
+    * [[flattenTrie]] and asserts the spec covers the schema exactly. */
+  private val (privOrdinals, derivedArrOrdinals): (Array[(Int, String, String)], Array[Int]) = {
+    val privs = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    val arrs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var idx = 0
+    while (idx < derivedCols.length) {
+      val c = derivedCols(idx)
+      val ord = numContextCols + idx
+      if (c.path == null) privs += ((ord, c.tagTrue, c.tagFalse))
+      else {
+        var n = flattenTrie
+        graft.model.Event.parsePath(c.path).foreach { seg =>
+          var ch = n.children.get(seg)
+          if (ch == null) { ch = new FTrie; n.children.put(seg, ch) }
+          n = ch
+        }
+        require(n.ordinal == -1, s"duplicate flatten path ${c.path}")
+        n.ordinal = ord
+        n.kind = c.kind
+        if (c.kind == KA) arrs += ord
+      }
+      idx += 1
+    }
+    require(numContextCols + derivedCols.length == numFields,
+      s"flatten spec covers ${numContextCols + derivedCols.length} of $numFields fields")
+    (privs.toArray, arrs.toArray)
+  }
+
+  private def flatten(ev: Event, parseOk: Boolean, subIdx: Int, tech: Tech,
+                      convU8: UTF8String, turnIdx: Int, roleU8: UTF8String,
+                      textU8: UTF8String, tsMicros: Long, tsMillis: Long,
+                      mask: Array[Boolean] = null): InternalRow = {
+    val v = new Array[Any](numFields)
+    v(0) = convU8                     // conv_id
+    v(1) = turnIdx                    // turn_idx
+    v(2) = subIdx                     // sub_idx
+    v(3) = roleU8                     // role
+    v(4) = tech.toolU8                // tool — raw input value passthrough
+    v(5) = tsMicros                   // ts
+    v(6) = textU8                     // text — UNTOUCHED passthrough
+    v(7) = tech.techU8                // technology
+    val pr = ev.valueOrNull("[agent][parse_rule]") match {
+      case x: String => x
+      case a: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
+        a.collect { case x: String => x }.mkString(",") // stacked add_field rules
+      case _ => null
+    }
+    v(8) = if (pr == null) notParsed else UTF8String.fromString(pr) // parse_rule
+    v(9) = parseOk                    // parse_ok
+    v(10) = if (ev.tags.isEmpty) emptyArray // tags (sorted)
+    else {
+      val t = ev.tags.toArray
+      java.util.Arrays.sort(t.asInstanceOf[Array[Object]])
+      val o = new Array[Any](t.length)
+      var j = 0
+      while (j < t.length) { o(j) = UTF8String.fromString(t(j)); j += 1 }
+      new GenericArrayData(o)
+    }
+    v(11) = ev.getString("[@metadata][output]") match { // conf-level index override
+      case Some(o) => UTF8String.fromString(o)
+      case None => tech.routeIndexU8(tsMillis)
+    }                                 // route_index
+    v(12) = tech.routeOutputs         // route_outputs (shared immutable constant)
+    // Event-derived section: array defaults, tag-derived booleans, then ONE
+    // walk of the populated event tree (the masked lazy-flatten contract is
+    // unchanged: unselected ordinals keep their default null/empty-array)
+    var j = 0
+    while (j < derivedArrOrdinals.length) { v(derivedArrOrdinals(j)) = emptyArray; j += 1 }
+    j = 0
+    while (j < privOrdinals.length) {
+      val (ord, tagTrue, tagFalse) = privOrdinals(j)
+      if (mask == null || mask(ord))
+        v(ord) = if (ev.hasTag(tagTrue)) java.lang.Boolean.TRUE
+                 else if (ev.hasTag(tagFalse)) java.lang.Boolean.FALSE else null
+      j += 1
+    }
+    scatter(ev.root, flattenTrie, v, mask)
     new GenericInternalRow(v)
+  }
+
+  /** Walk one level of the event tree against the flatten trie, converting
+    * each matched leaf per its column kind; absent columns keep their
+    * defaults. Descends only into nested maps — an ArrayBuffer at an
+    * intermediate segment never matches (mirrors Event.partsOrNull, whose
+    * array probe requires a numeric segment; no flatten path has one). */
+  private def scatter(m: Event.FMap, node: FTrie, v: Array[Any],
+                      mask: Array[Boolean]): Unit = {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val child = node.children.get(e.getKey)
+      if (child != null) {
+        val value = e.getValue
+        if (child.ordinal >= 0 && (mask == null || mask(child.ordinal))) {
+          val conv = convertLeaf(value, child.kind)
+          if (conv != null) v(child.ordinal) = conv
+        }
+        value match {
+          case mm: Event.FMap if !child.children.isEmpty => scatter(mm, child, v, mask)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  /** Kind-specific conversion — byte-for-byte the round-5 s()/l()/arr()
+    * semantics (returning null keeps the column's default). */
+  private def convertLeaf(value: Any, kind: Int): Any = kind match {
+    case KS => value match {
+      case x: String => UTF8String.fromString(x)
+      case x: Long => UTF8String.fromString(x.toString)
+      case x: Double => UTF8String.fromString(graft.model.Event.numToString(x))
+      case x: Boolean => UTF8String.fromString(x.toString)
+      case _ => null
+    }
+    case KL => value match {
+      case x: Long => java.lang.Long.valueOf(x)
+      case x: String => x.toLongOption match {
+        case Some(n) => java.lang.Long.valueOf(n)
+        case None => null
+      }
+      case x: Double => java.lang.Long.valueOf(x.toLong)
+      case _ => null
+    }
+    case _ => value match { // KA
+      case a: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
+        val b = Array.newBuilder[Any]
+        b.sizeHint(a.length)
+        a.foreach { case x: String => b += UTF8String.fromString(x); case _ => () }
+        new GenericArrayData(b.result())
+      case x: String => new GenericArrayData(Array[Any](UTF8String.fromString(x)))
+      case _ => null
+    }
   }
 }

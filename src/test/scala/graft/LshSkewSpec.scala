@@ -32,7 +32,7 @@ class LshSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
         (9001L, "completely different text about spark catalyst optimizer behavior")))
       .toDF("doc_id", "text")
     val (pairs, nSplit) = TextOps.minhashPairsBounded(docs, maxBucket = 50)
-    assert(nSplit > 0, "the oversized band buckets must be flagged as split")
+    assert(nSplit() > 0, "the oversized band buckets must be flagged as split")
     val cnt = pairs.count()
     val unbounded = n.toLong * (n - 1) / 2 // 179,700
     // ~12 sub-buckets of ~50 per band → ~15k distinct pairs; slack for
@@ -45,6 +45,6 @@ class LshSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
     val (_, nSplit) = TextOps.minhashPairsBounded(docs, TextOps.MaxBandBucket)
-    assert(nSplit == 0, "d02/d04 oracle exactness relies on zero splits at the default cap")
+    assert(nSplit() == 0, "d02/d04 oracle exactness relies on zero splits at the default cap")
   }
 }

@@ -29,7 +29,7 @@ class SimilaritySkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       (i.toLong, Array(i.toFloat, 1.0f, 2.0f), 0L)
     }.toDF("vec_id", "embedding", "cent_id")
     val (pairs, nSplit) = Similarity.boundedBucketPairs(assigned, maxBucket = 100)
-    assert(nSplit == 1, "the single oversized bucket must be flagged as split")
+    assert(nSplit() == 1, "the single oversized bucket must be flagged as split")
     val cnt = pairs.count()
     val unbounded = n.toLong * (n - 1) / 2 // 499,500
     // 10 sub-buckets of ~100 → ~49.5k pairs; allow hash-imbalance slack
@@ -40,6 +40,6 @@ class SimilaritySkewSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("production cap leaves the real sf0.001 assignment unsplit") {
     val a = Similarity.assignment(spark, "/root/testdata/sf0.001")
     val (_, nSplit) = Similarity.boundedBucketPairs(a, maxBucket = 65536)
-    assert(nSplit == 0, "d11 oracle exactness relies on zero splits at the default cap")
+    assert(nSplit() == 0, "d11 oracle exactness relies on zero splits at the default cap")
   }
 }
