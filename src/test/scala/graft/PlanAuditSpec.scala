@@ -61,4 +61,53 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"one agg shuffle expected over the kernel scan, got $exchanges:\n${plan.take(1200)}")
     assert(plan.contains("partial_count"), plan.take(1200)) // map-side combine before the shuffle
   }
+
+  // ---- ml family (round-5 verdict item 5) --------------------------------
+
+  /** Round-5's d02 regression class: constructing the pairs DataFrame ran an
+    * eager split-count job and the plan recomputed the minhash lineage three
+    * times. Pin both properties: construction runs ZERO Spark jobs, and the
+    * executed plan scans documents.parquet exactly once (the self-join's
+    * second side must be a ReusedExchange). */
+  test("d02: constructing minhashPairs runs no Spark job") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.ml.TextOps.minhashPairs(docs) // construction only — no action
+      // sentinel action: flushes the async listener queue (the RDD count is
+      // exactly ONE job — a SQL count under AQE would be two) —
+      // construction itself must contribute zero jobs
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 1, s"plan construction launched ${jobs - 1} Spark job(s)")
+  }
+
+  test("d02: executed plan scans documents.parquet ONCE and reuses the self-join exchange") {
+    val df = graft.ml.TextOps.minhashPairs(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "text"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected ONE documents scan in the final plan, got $scans:\n${plan.take(2000)}")
+    assert(plan.contains("ReusedExchange"), s"self-join side not reused:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin"), s"self-join must stay off the broadcast path:\n${plan.take(2000)}")
+  }
+
+  test("d10: IVF assignment kernel is zero-shuffle over the embeddings scan") {
+    val df = graft.ml.Similarity.ivfAssignWithEmbedding(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // pinned() may add ONE round-robin repartition for parallelism; no
+    // KEYED exchange is allowed (the argmax is row-local by design)
+    assert(!plan.contains("hashpartitioning"),
+      s"assignment must not shuffle by key:\n${plan.take(1200)}")
+  }
 }
