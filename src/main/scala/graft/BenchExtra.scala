@@ -85,6 +85,22 @@ object BenchExtra {
             System.err.println(s"[extra] wrote plans/r06/${name}_$tag.txt (+_count)")
           }
         }
+      case "ann" =>
+        // recall@3 of the IVF approximate top-k vs exact brute force at
+        // nprobe ∈ {1,4,8,16} — the quality dial of the d10 scale path
+        // (round-5 verdict item 6; Bench.scala is frozen, so the curve
+        // ships here and is cited in OPTIMIZATION_r06.md)
+        val exact = graft.ml.Similarity.bruteTopK(spark, sfDir)
+          .select("query_id", "neighbor_id")
+        val exactN = exact.count()
+        val curve = Seq(1, 4, 8, 16).map { np =>
+          val approx = graft.ml.Similarity.ivfTopK(spark, sfDir, nprobe = np)
+            .select("query_id", "neighbor_id")
+          val hit = exact.intersect(approx).count()
+          np -> (if (exactN == 0) 0.0 else hit.toDouble / exactN)
+        }
+        val cs = curve.map { case (np, r) => "\"" + np + f"\":$r%.3f" }.mkString("{", ",", "}")
+        println(s"""{"metric":"ann_recall_curve","sf":"$sfDir","recall_at_3":$cs}""")
       case _ =>
         val results = names.flatMap { name =>
           all.get(name).map { fn =>

@@ -41,25 +41,15 @@ object MispFeeder {
        |"Event":{"threat_level_id":1,"date":"2020-08-31"}}')""".stripMargin
       .replace("\n", " ")
 
-  /** The deterministic feed — one attribute JSON line per store entry. */
+  /** The deterministic feed — one attribute JSON line per store entry.
+    *
+    * One spark.range over the whole id space (round 6): the former 13-way
+    * union (6 segments, the singles as 8 unioned range(1)s) planned 13
+    * branches and scheduled 13 task sets for 102,408 rows. The per-segment
+    * value formulas are verbatim, only re-based on the segment's id offset,
+    * so the multiset of lines is identical (store equality pinned by
+    * MispFeederSpec; the store is a Map — row order never mattered). */
   def feed(spark: SparkSession): DataFrame = {
-    // 100k ip-src: (8|10).(0..199).(0..249).13
-    val src = spark.range(100000).selectExpr(attr("'ip-src'",
-      """concat(CASE WHEN id < 50000 THEN '8' ELSE '10' END, '.',
-        CAST((id % 50000) DIV 250 AS STRING), '.', CAST(id % 250 AS STRING), '.13')""") + " AS line")
-    // 200 ip-dst: (192.168|172.16).(0..99).13
-    val dst = spark.range(200).selectExpr(attr("'ip-dst'",
-      """concat(CASE WHEN id < 100 THEN '192.168' ELSE '172.16' END, '.',
-        CAST(id % 100 AS STRING), '.13')""") + " AS line")
-    // file hashes: md5(k) for k % 10 == 4, k < 1000
-    val fh = spark.range(100).selectExpr(attr("'md5'",
-      "md5(CAST(id * 10 + 4 AS STRING))") + " AS line")
-    // macs: AA:BB:CC:DD:42:00..99 (decimal-formatted last pair)
-    val mac = spark.range(100).selectExpr(attr("'mac-address'",
-      "concat('AA:BB:CC:DD:42:', LPAD(CAST(id AS STRING), 2, '0'))") + " AS line")
-    // hosts: 12-digit ids ≡ 17 (mod 50) below 100000, plus host7
-    val hosts = spark.range(2000).selectExpr(attr("'hostname'",
-      "LPAD(CAST(17 + id * 50 AS STRING), 12, '0')") + " AS line")
     val singles = Seq(
       ("domain", "www.app7.co.uk"),
       ("hostname", "host7"),
@@ -69,10 +59,28 @@ object MispFeeder {
       ("user-agent", "curl/8.5"),
       ("email-src", "u13@example.com"),
       ("target-user", "u13"))
-    val sgl = singles.map { case (t, v) =>
-      spark.range(1).selectExpr(attr(s"'$t'", s"'$v'") + " AS line")
-    }.reduce(_ union _)
-    Seq(src, dst, fh, mac, hosts, sgl).reduce(_ union _)
+    val sglT = singles.map(s => s"'${s._1}'").mkString("array(", ", ", ")")
+    val sglV = singles.map(s => s"'${s._2}'").mkString("array(", ", ", ")")
+    // segments: [0,100000) ip-src, +200 ip-dst, +100 md5, +100 mac-address,
+    // +2000 hostname, +8 singles
+    val typeExpr =
+      """CASE WHEN id < 100000 THEN 'ip-src'
+        |     WHEN id < 100200 THEN 'ip-dst'
+        |     WHEN id < 100300 THEN 'md5'
+        |     WHEN id < 100400 THEN 'mac-address'
+        |     WHEN id < 102400 THEN 'hostname'
+        |     ELSE element_at(""".stripMargin + sglT + ", CAST(id - 102399 AS INT)) END"
+    val valueExpr =
+      """CASE WHEN id < 100000 THEN concat(CASE WHEN id < 50000 THEN '8' ELSE '10' END, '.',
+        |       CAST((id % 50000) DIV 250 AS STRING), '.', CAST(id % 250 AS STRING), '.13')
+        |     WHEN id < 100200 THEN concat(CASE WHEN id - 100000 < 100 THEN '192.168' ELSE '172.16' END, '.',
+        |       CAST((id - 100000) % 100 AS STRING), '.13')
+        |     WHEN id < 100300 THEN md5(CAST((id - 100200) * 10 + 4 AS STRING))
+        |     WHEN id < 100400 THEN concat('AA:BB:CC:DD:42:', LPAD(CAST(id - 100300 AS STRING), 2, '0'))
+        |     WHEN id < 102400 THEN LPAD(CAST(17 + (id - 100400) * 50 AS STRING), 12, '0')
+        |     ELSE element_at(""".stripMargin + sglV + ", CAST(id - 102399 AS INT)) END"
+    spark.range(102408).selectExpr(
+      attr(s"($typeExpr)", s"($valueExpr)").replace("\n", " ") + " AS line")
   }
 
   private def recolon(m: String): String = m.grouped(2).mkString(":")

@@ -114,7 +114,8 @@ object RowKernel {
           var i = -1
           results.map { case (ev, parseOk) =>
             i += 1
-            flatten(ev, parseOk, i, tech, convU8, turnIdx, roleU8, textU8, tsMicros, tsMillis, mask)
+            flatten(ev, parseOk, i, tech, convU8, turnIdx, roleU8, textU8, tsMicros, tsMillis,
+              mask, text)
           }
         }
       }
@@ -595,7 +596,7 @@ object RowKernel {
   private def flatten(ev: Event, parseOk: Boolean, subIdx: Int, tech: Tech,
                       convU8: UTF8String, turnIdx: Int, roleU8: UTF8String,
                       textU8: UTF8String, tsMicros: Long, tsMillis: Long,
-                      mask: Array[Boolean] = null): InternalRow = {
+                      mask: Array[Boolean] = null, textStr: String = null): InternalRow = {
     val v = new Array[Any](numFields)
     v(0) = convU8                     // conv_id
     v(1) = turnIdx                    // turn_idx
@@ -640,7 +641,7 @@ object RowKernel {
                  else if (ev.hasTag(tagFalse)) java.lang.Boolean.FALSE else null
       j += 1
     }
-    scatter(ev.root, flattenTrie, v, mask)
+    scatter(ev.root, flattenTrie, v, mask, textStr, textU8)
     new GenericInternalRow(v)
   }
 
@@ -648,9 +649,15 @@ object RowKernel {
     * each matched leaf per its column kind; absent columns keep their
     * defaults. Descends only into nested maps — an ArrayBuffer at an
     * intermediate segment never matches (mirrors Event.partsOrNull, whose
-    * array probe requires a numeric segment; no flatten path has one). */
+    * array probe requires a numeric segment; no flatten path has one).
+    *
+    * `textStr`/`textU8`: the input text and its already-encoded UTF8String.
+    * A string column whose value IS the input text object (reference
+    * equality — `message`, and `log_original` which e01 copies from the
+    * same object) reuses that encoding instead of re-encoding the largest
+    * string in the row (UTF8Strings are immutable, so sharing is safe). */
   private def scatter(m: Event.FMap, node: FTrie, v: Array[Any],
-                      mask: Array[Boolean]): Unit = {
+                      mask: Array[Boolean], textStr: String, textU8: UTF8String): Unit = {
     val it = m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -658,11 +665,12 @@ object RowKernel {
       if (child != null) {
         val value = e.getValue
         if (child.ordinal >= 0 && (mask == null || mask(child.ordinal))) {
-          val conv = convertLeaf(value, child.kind)
+          val conv = convertLeaf(value, child.kind, textStr, textU8)
           if (conv != null) v(child.ordinal) = conv
         }
         value match {
-          case mm: Event.FMap if !child.children.isEmpty => scatter(mm, child, v, mask)
+          case mm: Event.FMap if !child.children.isEmpty =>
+            scatter(mm, child, v, mask, textStr, textU8)
           case _ => ()
         }
       }
@@ -671,9 +679,11 @@ object RowKernel {
 
   /** Kind-specific conversion — byte-for-byte the round-5 s()/l()/arr()
     * semantics (returning null keeps the column's default). */
-  private def convertLeaf(value: Any, kind: Int): Any = kind match {
+  private def convertLeaf(value: Any, kind: Int,
+                          textStr: String, textU8: UTF8String): Any = kind match {
     case KS => value match {
-      case x: String => UTF8String.fromString(x)
+      case x: String =>
+        if ((x eq textStr) && textU8 != null) textU8 else UTF8String.fromString(x)
       case x: Long => UTF8String.fromString(x.toString)
       case x: Double => UTF8String.fromString(graft.model.Event.numToString(x))
       case x: Boolean => UTF8String.fromString(x.toString)
