@@ -45,8 +45,10 @@ object BenchExtra {
       "d09_fingerprint", "d10_ann_ivf", "d10_ivf_assign", "d11_embed_neardup",
       "m01_multimodal", "r01_lineitem_agg", "r02_join_agg", "r03_window",
       "r04_sessionize", "r05_rank", "q05f_sink_counts_fast", "q05p_counts_projected")
-    val names = if (rest.nonEmpty) headline.filter(rest) else headline
     val all = SparkEntry.queries
+    // explicit names may be ANY declared query (the tech-port q-family
+    // included), not just the default instrumentation set
+    val names = if (rest.nonEmpty) all.keys.filter(rest).toVector.sorted else headline
 
     val spark = session(cpus)
     // mirror Bench: fixed costs out of the per-query window
