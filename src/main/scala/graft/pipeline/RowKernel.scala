@@ -129,7 +129,10 @@ object RowKernel {
   val numContextCols = 13
 
   /** Ordinal mask for a column subset (always includes the context
-    * columns — they are populated unconditionally). */
+    * columns — they are populated unconditionally). NOTE: this is the
+    * lazy-flatten COLUMN mask of the output schema — unrelated to
+    * Enrich.maskFor, the per-technology STEP-skip mask of the enrichment
+    * chain (same name, different axis). */
   def maskFor(cols: Seq[String]): Array[Boolean] = {
     val m = new Array[Boolean](numFields)
     var i = 0
