@@ -87,6 +87,59 @@ object BenchExtra {
             System.err.println(s"[extra] wrote plans/r06/${name}_$tag.txt (+_count)")
           }
         }
+      case "dicts" =>
+        // decompose c_dicts_build_broadcast (guide §1): build vs misp-feeder
+        // job vs broadcast serialization, in a SECOND session so the JVM is
+        // warm — mirrors the state the frozen Bench's headline session is in
+        spark.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        val s2 = session(cpus)
+        def t(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val tBuild = t(graft.enrich.Dicts.build())
+        var store: Map[String, Map[String, String]] = null
+        val tStore = t { store = graft.pipeline.MispFeeder.store(s2) }
+        val d = graft.enrich.Dicts.build().copy(misp = store)
+        val tBc = t(s2.sparkContext.broadcast(d))
+        val tBc2 = t(s2.sparkContext.broadcast(d))
+        val tAll = t(Pipeline.dictsBroadcast(s2))
+        println(f"""{"metric":"dicts","build":$tBuild%.3f,"store":$tStore%.3f,"broadcast":$tBc%.3f,"broadcast2":$tBc2%.3f,"dictsBroadcast_total":$tAll%.3f}""")
+        s2.stop()
+        return
+      case "gen" =>
+        // decompose c_generator_materialize: SQL parse+analyze of the large
+        // generator CTE vs actual evaluation (driver-side planning is
+        // single-threaded — guide §7.3)
+        def t2(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val tPlan1 = t2(Transcripts.input(spark, sfDir))
+        val tPlan2 = t2(Transcripts.input(spark, sfDir))
+        val tCount1 = t2(Transcripts.input(spark, sfDir).count())
+        val tCount2 = t2(Transcripts.input(spark, sfDir).count())
+        println(f"""{"metric":"gen","plan1":$tPlan1%.3f,"plan2":$tPlan2%.3f,"count1":$tCount1%.3f,"count2":$tCount2%.3f}""")
+        return
+      case "parse" =>
+        // decompose c_parse_persist in a FRESH session (SparkEntry.parsed is
+        // session-memoized): generator eval vs kernel vs columnar-cache build
+        spark.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        val s3 = session(cpus)
+        Pipeline.dictsBroadcast(s3)
+        def t3(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val tGen = t3(Transcripts.input(s3, sfDir).count())
+        val tKernel = t3(Pipeline.parseDf(s3, Transcripts.input(s3, sfDir)).count())
+        val tPersist = t3(SparkEntry.parsed(s3, sfDir).count())
+        val tCached = t3(SparkEntry.parsed(s3, sfDir).count())
+        val tCached2 = t3(SparkEntry.parsed(s3, sfDir).count())
+        val tQ05 = t3(Pipeline.sinkCounts(SparkEntry.parsed(s3, sfDir)).collect())
+        val tQ05b = t3(Pipeline.sinkCounts(SparkEntry.parsed(s3, sfDir)).collect())
+        println(f"""{"metric":"parse","gen_count":$tGen%.3f,"kernel_count":$tKernel%.3f,"persist_count":$tPersist%.3f,"cached_count":$tCached%.3f,"cached_count2":$tCached2%.3f,"q05":$tQ05%.3f,"q05b":$tQ05b%.3f}""")
+        s3.stop()
+        return
       case "ann" =>
         // recall@3 of the IVF approximate top-k vs exact brute force at
         // nprobe ∈ {1,4,8,16} — the quality dial of the d10 scale path

@@ -27,7 +27,78 @@ final case class Dicts(
   ptr: Map[String, String], // ip → reverse-dns hostname
   iocIps: Set[String], // destination.ip IOC set (kept for the q19 contract)
   misp: Map[String, Map[String, String]] // namespace → md5(value) → JSON payload
-) extends Serializable
+) extends Serializable {
+  /** Broadcast cost: default Java serialization walks the immutable-Map
+    * object graph with a per-String handle table — measured ~1.2 s per
+    * session broadcast on the ~280k-entry table. The proxy writes flat
+    * UTF pairs instead (~4× less work, same content; DictsSpec pins the
+    * roundtrip). */
+  protected def writeReplace(): AnyRef = new DictsSerProxy(this)
+}
+
+/** Serialization proxy for [[Dicts]] (writeReplace/readResolve pattern):
+  * on-wire form is a flat stream of sizes + UTF-8 strings, rebuilt into
+  * the same immutable structures on read. All dictionary keys/values are
+  * short strings (largest are ~200-char JSON payloads), far under
+  * writeUTF's 64 KB limit. */
+private[enrich] final class DictsSerProxy(@transient private var d: Dicts)
+    extends java.io.Externalizable {
+  def this() = this(null) // Externalizable no-arg contract
+  import java.io.{ObjectInput, ObjectOutput}
+  private def wMap(out: ObjectOutput, m: Map[String, String]): Unit = {
+    out.writeInt(m.size)
+    m.foreach { case (k, v) => out.writeUTF(k); out.writeUTF(v) }
+  }
+  private def rMap(in: ObjectInput): Map[String, String] = {
+    val n = in.readInt()
+    val b = Map.newBuilder[String, String]
+    b.sizeHint(n)
+    var i = 0
+    while (i < n) { b += (in.readUTF() -> in.readUTF()); i += 1 }
+    b.result()
+  }
+  override def writeExternal(out: ObjectOutput): Unit = {
+    wMap(out, d.ianaTransport); wMap(out, d.mnemonics)
+    wMap(out, d.ianaProtocols); wMap(out, d.ianaProtocolsPort)
+    wMap(out, d.mitreTactics); wMap(out, d.facilityCategories)
+    wMap(out, d.ciscoMnemonicInfo)
+    out.writeInt(d.geoRanges.length)
+    d.geoRanges.foreach { r =>
+      out.writeLong(r.start); out.writeLong(r.end)
+      out.writeUTF(r.country); out.writeUTF(r.city)
+    }
+    wMap(out, d.ptr)
+    out.writeInt(d.iocIps.size); d.iocIps.foreach(out.writeUTF)
+    out.writeInt(d.misp.size)
+    d.misp.foreach { case (ns, m) => out.writeUTF(ns); wMap(out, m) }
+  }
+  override def readExternal(in: ObjectInput): Unit = {
+    val ianaTransport = rMap(in); val mnemonics = rMap(in)
+    val ianaProtocols = rMap(in); val ianaProtocolsPort = rMap(in)
+    val mitreTactics = rMap(in); val facilityCategories = rMap(in)
+    val ciscoMnemonicInfo = rMap(in)
+    val nGeo = in.readInt()
+    val geo = new Array[GeoRange](nGeo)
+    var i = 0
+    while (i < nGeo) {
+      geo(i) = GeoRange(in.readLong(), in.readLong(), in.readUTF(), in.readUTF())
+      i += 1
+    }
+    val ptr = rMap(in)
+    val nIoc = in.readInt()
+    val iocB = Set.newBuilder[String]
+    i = 0
+    while (i < nIoc) { iocB += in.readUTF(); i += 1 }
+    val nNs = in.readInt()
+    val mispB = Map.newBuilder[String, Map[String, String]]
+    i = 0
+    while (i < nNs) { mispB += (in.readUTF() -> rMap(in)); i += 1 }
+    d = Dicts(ianaTransport, mnemonics, ianaProtocols, ianaProtocolsPort,
+      mitreTactics, facilityCategories, ciscoMnemonicInfo, geo, ptr,
+      iocB.result(), mispB.result())
+  }
+  private def readResolve(): AnyRef = d
+}
 
 final case class GeoRange(start: Long, end: Long, country: String, city: String)
 
@@ -223,7 +294,20 @@ object Dicts {
       .toMap
   }
 
-  def build(): Dicts = Dicts(
+  /** Built ONCE per JVM (round-6): the table is immutable configuration
+    * data — classpath resources + deterministic synthesis, no input data
+    * involved — and every session in a process broadcasts the same value,
+    * so construction is amortized exactly like the lazy resource vals it
+    * aggregates (measured ~0.1 s per call, paid up to ~25× per bench run
+    * across its sessions and kernel legs before this). */
+  @volatile private var cachedBuild: Dicts = null
+  def build(): Dicts = {
+    var c = cachedBuild
+    if (c == null) { c = buildFresh(); cachedBuild = c }
+    c
+  }
+
+  private def buildFresh(): Dicts = Dicts(
     ianaTransport = IanaTransport,
     mnemonics = buildMnemonics(),
     ianaProtocols = IanaProtocols,

@@ -6524,10 +6524,26 @@ fsd_turns AS (
   /** Spark-side materialization: registers `events` from `sfDir` and returns
     * the turns DataFrame (conv_id, turn_idx, role, text, tool, ts, event_id).
     * `event_id` rides along for deterministic re-derivation in oracles; the
-    * engine itself only consumes the 6 input_hint columns. */
-  def df(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
-    spark.sql(s"WITH $cte SELECT * FROM turns")
+    * engine itself only consumes the 6 input_hint columns.
+    *
+    * The ANALYZED PLAN is memoized per (live session, sfDir) — parsing +
+    * analyzing this ~6.5k-line CTE costs ~0.2 s of single-threaded driver
+    * time per call (guide §7.3) and the bench/driver construct it several
+    * times per session. DataFrames resolve their source eagerly at
+    * creation, so a cached plan stays bound to ITS sfDir even after the
+    * `events` temp view is re-pointed. No data is cached — every action
+    * still evaluates the generator from the parquet input. */
+  @volatile private var dfCache: List[(SparkSession, String, DataFrame)] = Nil
+  def df(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    dfCache = dfCache.filter(e => !e._1.sparkContext.isStopped)
+    dfCache.find(e => (e._1 eq spark) && e._2 == sfDir) match {
+      case Some((_, _, cached)) => cached
+      case None =>
+        spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+        val out = spark.sql(s"WITH $cte SELECT * FROM turns")
+        dfCache = (spark, sfDir, out) :: dfCache
+        out
+    }
   }
 
   /** The 6-column input exactly as input_hint specifies. */

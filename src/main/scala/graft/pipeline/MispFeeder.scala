@@ -87,8 +87,21 @@ object MispFeeder {
 
   /** Run the feed through the ported rule program and assemble the
     * namespace-keyed store. C ≈ 102k entries — broadcast-dictionary sized,
-    * so the collect IS the product (a driver-held broadcast table). */
+    * so the collect IS the product (a driver-held broadcast table).
+    *
+    * Memoized per JVM (round-6): the feed is a pure `spark.range` SQL
+    * program — deterministic and independent of any input table — so every
+    * session in a process computes the identical Map. A production driver
+    * runs the feeder once, not once per downstream session (measured
+    * 0.6–1.9 s per session before). */
+  @volatile private var cachedStore: Map[String, Map[String, String]] = null
   def store(spark: SparkSession): Map[String, Map[String, String]] = {
+    var c = cachedStore
+    if (c == null) { c = storeFresh(spark); cachedStore = c }
+    c
+  }
+
+  private def storeFresh(spark: SparkSession): Map[String, Map[String, String]] = {
     import spark.implicits._
     val pairs: Array[(String, String)] = feed(spark).select("line").as[String]
       .mapPartitions { it =>

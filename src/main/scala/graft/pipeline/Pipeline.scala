@@ -74,11 +74,23 @@ object Pipeline {
 
   def parseRows(spark: SparkSession, df: DataFrame, emitDropped: Boolean): DataFrame = {
     import org.apache.spark.sql.graft.InternalBridge
+    InternalBridge.toDf(spark, parseRowsRdd(spark, df, emitDropped), RowKernel.schema)
+  }
+
+  /** Kernel output as the raw InternalRow RDD — same lineage as
+    * [[parseRows]] without the DataFrame wrapper, so a caller may persist
+    * at the RDD layer (SparkEntry.parsed: building Spark's columnar
+    * InMemoryRelation over the 332-column kernel output pays per-column
+    * compression builders; the kernel's rows are fresh self-contained
+    * GenericInternalRows — RowKernel's row-object contract — so caching
+    * them as-is is safe and costs only the kernel pass itself). */
+  private[graft] def parseRowsRdd(spark: SparkSession, df: DataFrame, emitDropped: Boolean):
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.graft.InternalBridge
     val in = parseInput(spark, df)
     val bc = dictsBroadcast(spark)
-    val rdd = InternalBridge.toRdd(in)
+    InternalBridge.toRdd(in)
       .mapPartitions(it => RowKernel.process(it, bc.value, emitDropped))
-    InternalBridge.toDf(spark, rdd, RowKernel.schema)
   }
 
   /** Lazy flatten (ROADMAP lever; round-3 verdict's one `weak`): parse +

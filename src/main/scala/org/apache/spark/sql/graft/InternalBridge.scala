@@ -29,6 +29,18 @@ object InternalBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Project rows to self-contained UnsafeRows (one flat byte[] each) —
+    * the cache-friendly layout: SizeEstimator's unroll sampling walks a
+    * 2-object graph instead of ~330 boxed fields, field reads are offset
+    * arithmetic, and GC sees one array per row. The projection reuses its
+    * buffer, hence the per-row copy(). */
+  def toUnsafe(rdd: RDD[InternalRow], schema: StructType): RDD[InternalRow] =
+    rdd.mapPartitions { it =>
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(schema.fields.map(_.dataType))
+      it.map(r => proj(r).copy())
+    }
+
   /** Column ⇄ Catalyst Expression bridges for custom expressions. */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)

@@ -30,6 +30,26 @@ class DictsSpec extends AnyFunSuite {
     assert(d.facilityCategories("LINK") == "Data link")
     assert(d.facilityCategories("AAA") == "Authentication, authorization, and accounting")
   }
+  test("java-serialization proxy roundtrips every field (broadcast wire format)") {
+    val d = Dicts.build()
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(d); oos.close()
+    val d2 = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).readObject().asInstanceOf[Dicts]
+    assert(d2 ne d) // genuinely went through the wire format
+    assert(d2.ianaTransport == d.ianaTransport)
+    assert(d2.mnemonics == d.mnemonics)
+    assert(d2.ianaProtocols == d.ianaProtocols)
+    assert(d2.ianaProtocolsPort == d.ianaProtocolsPort)
+    assert(d2.mitreTactics == d.mitreTactics)
+    assert(d2.facilityCategories == d.facilityCategories)
+    assert(d2.ciscoMnemonicInfo == d.ciscoMnemonicInfo)
+    assert(d2.geoRanges.toSeq == d.geoRanges.toSeq)
+    assert(d2.ptr == d.ptr)
+    assert(d2.iocIps == d.iocIps)
+    assert(d2.misp == d.misp)
+  }
   test("misp store is md5-keyed per namespace at feed scale") {
     val d = Dicts.build()
     assert(d.misp("source.ip").size == 100000)

@@ -69,6 +69,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * times. Pin both properties: construction runs ZERO Spark jobs, and the
     * executed plan scans documents.parquet exactly once (the self-join's
     * second side must be a ReusedExchange). */
+  test("parsed() RDD-level cache returns exactly the rows of the direct kernel path") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // round-6: SparkEntry.parsed persists the kernel output as UnsafeRows at
+    // the RDD layer instead of a columnar InMemoryRelation — same rows, same
+    // schema, order-insensitive
+    val direct = Pipeline.parseDf(spark, Transcripts.input(spark, sf)).toDF()
+    val cached = SparkEntry.parsed(spark, sf)
+    assert(cached.schema == direct.schema)
+    val d = direct.collect().map(_.toString).sorted
+    val c = cached.collect().map(_.toString).sorted
+    assert(c.length == d.length)
+    assert(c.sameElements(d))
+  }
+
   test("d02: constructing minhashPairs runs no Spark job") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
